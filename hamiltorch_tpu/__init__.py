@@ -1,0 +1,49 @@
+"""hamiltorch_tpu — a TPU-native Hamiltonian Monte Carlo framework.
+
+JAX/XLA rebuild of the capabilities of hamiltorch (AdamCobb/hamiltorch
+v0.4.1): plain HMC, step-size-adapting NUTS (plus true tree-doubling NUTS as
+an extension), implicit/explicit Riemannian-manifold HMC with
+Hessian/softabs/Jacobian-diag metrics, symmetric-split minibatch HMC, and a
+Bayesian-neural-network layer — redesigned as pure-functional, jit-compiled
+``lax.scan`` programs with vmap chain parallelism on-chip and
+``shard_map``/mesh sharding across chips.
+
+Public API parity surface (reference: hamiltorch/__init__.py:3-4):
+``sample``, ``sample_model``, ``sample_split_model``, ``predict_model``,
+``Sampler``, ``Integrator``, ``Metric``, ``set_random_seed``.
+"""
+
+__version__ = "0.1.0"
+
+from .api import sample
+from .enums import Integrator, Metric, Sampler
+from .samplers.driver import MCMCConfig, MCMCResult, MCMCStats
+from .samplers.hmc import run_hmc, run_hmc_chains
+from .utils.rng import next_key, set_random_seed
+
+__all__ = [
+    "sample",
+    "sample_model",
+    "sample_split_model",
+    "predict_model",
+    "Sampler",
+    "Integrator",
+    "Metric",
+    "set_random_seed",
+    "next_key",
+    "run_hmc",
+    "run_hmc_chains",
+    "MCMCConfig",
+    "MCMCResult",
+    "MCMCStats",
+]
+
+
+def __getattr__(name):
+    # Lazy imports keep `import hamiltorch_tpu` light; the model layer pulls
+    # in flax only when used.
+    if name in ("sample_model", "sample_split_model", "predict_model"):
+        from . import models
+
+        return getattr(models, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

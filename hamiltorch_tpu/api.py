@@ -1,0 +1,128 @@
+"""hamiltorch-compatible façade.
+
+``sample`` mirrors the reference entry point's signature and semantics
+(reference: hamiltorch/samplers.py:850-1091) so user code ports by changing
+the import, while everything underneath is the jit/scan machinery.
+
+Parity notes:
+
+* returns include the initial params followed by the chain state for each
+  post-burn draw (the reference appends for ``n > burn``; samplers.py:1007),
+  so downstream ``samples[1:]`` slicing works unchanged.  The return type is
+  a (num_kept, D) jax array — it supports ``len``/indexing/iteration like
+  the reference's list of 1-d tensors;
+* ``debug=2`` returns ``(samples, final_step_size)`` under NUTS and
+  ``(samples, acc_rate)`` otherwise (samplers.py:1086-1089);
+* randomness: pass ``key=`` explicitly, or the module-level seed set by
+  ``set_random_seed`` is used (replacing the reference's global torch RNG).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .enums import Integrator, Metric, Sampler
+from .samplers.driver import MCMCConfig, MCMCResult
+from .samplers.hmc import run_hmc
+from .utils.rng import next_key
+
+_SPLITTING = (Integrator.SPLITTING, Integrator.SPLITTING_RAND, Integrator.SPLITTING_KMID)
+
+
+def _kept_samples(params_init: jnp.ndarray, result: MCMCResult, burn: int) -> jnp.ndarray:
+    """[init] + states for draws n > burn (reference: samplers.py:1007)."""
+    keep_from = burn + 1  # burn = -1 keeps every draw
+    return jnp.concatenate([params_init[None, :], result.samples[keep_from:]], axis=0)
+
+
+def sample(
+    log_prob_func,
+    params_init,
+    num_samples: int = 10,
+    num_steps_per_sample: int = 10,
+    step_size: float = 0.1,
+    burn: int = 0,
+    jitter: Optional[float] = None,
+    inv_mass=None,
+    normalizing_const: float = 1.0,
+    softabs_const: Optional[float] = None,
+    explicit_binding_const: float = 100.0,
+    fixed_point_threshold: float = 1e-5,
+    fixed_point_max_iterations: int = 1000,
+    jitter_max_tries: int = 10,
+    sampler: Sampler = Sampler.HMC,
+    integrator: Integrator = Integrator.IMPLICIT,
+    metric: Metric = Metric.HESSIAN,
+    debug: int = 0,
+    desired_accept_rate: float = 0.8,
+    store_on_GPU: bool = True,
+    pass_grad=None,
+    verbose: bool = True,
+    key: Optional[jax.Array] = None,
+):
+    """Drop-in equivalent of the reference ``hamiltorch.sample``."""
+    params_init = jnp.asarray(params_init)
+    if params_init.ndim != 1:
+        raise RuntimeError("params_init must be a 1d array.")
+    if burn >= num_samples:
+        raise RuntimeError("burn must be less than num_samples.")
+    if key is None:
+        key = next_key()
+
+    adapt = sampler == Sampler.HMC_NUTS
+    if adapt and burn == 0:
+        raise RuntimeError("burn must be greater than 0 for NUTS.")
+
+    config = MCMCConfig(
+        num_samples=num_samples,
+        num_steps_per_sample=num_steps_per_sample,
+        step_size=step_size,
+        burn=burn,
+        adapt_step_size=adapt,
+        desired_accept_rate=desired_accept_rate,
+    )
+
+    if sampler in (Sampler.HMC, Sampler.HMC_NUTS) and integrator not in _SPLITTING:
+        result = run_hmc(
+            key, log_prob_func, params_init, config,
+            inv_mass=inv_mass, pass_grad=pass_grad,
+        )
+    elif sampler in (Sampler.HMC, Sampler.HMC_NUTS) and integrator in _SPLITTING:
+        if not isinstance(log_prob_func, (list, tuple)):
+            raise RuntimeError("For splitting log_prob_func must be list of functions")
+        if pass_grad is not None:
+            raise RuntimeError("Passing user-determined gradients not implemented for splitting")
+        from .samplers.splitting import run_split_hmc
+
+        result = run_split_hmc(
+            key, list(log_prob_func), params_init, config,
+            integrator=integrator, inv_mass=inv_mass,
+        )
+    elif sampler == Sampler.RMHMC:
+        if pass_grad is not None:
+            raise RuntimeError("Passing user-determined gradients not implemented for RMHMC")
+        from .samplers.rmhmc import run_rmhmc
+
+        result = run_rmhmc(
+            key, log_prob_func, params_init, config,
+            integrator=integrator, metric=metric,
+            jitter=jitter, softabs_const=softabs_const,
+            explicit_binding_const=explicit_binding_const,
+            fixed_point_threshold=fixed_point_threshold,
+            fixed_point_max_iterations=fixed_point_max_iterations,
+        )
+    else:
+        raise NotImplementedError(f"sampler={sampler}, integrator={integrator}")
+
+    samples = _kept_samples(params_init, result, burn)
+    if verbose:
+        print(f"Acceptance Rate {float(result.acc_rate):.2f}")
+
+    if adapt and debug == 2:
+        return samples, float(result.final_step_size)
+    if debug == 2:
+        return samples, float(result.acc_rate)
+    return samples

@@ -1,0 +1,67 @@
+"""Log-probability ("potential") plumbing.
+
+The reference routes every gradient through ``collect_gradients`` which
+dispatches on (tuple log_prob | user tensor | user callable | autograd)
+(reference: hamiltorch/samplers.py:33-66) and signals bad evaluations with a
+``LogProbError`` exception caught by the driver (reference:
+hamiltorch/util.py:92-104, samplers.py:1045-1067).
+
+TPU-native equivalents:
+
+* gradients come from ``jax.value_and_grad``; a user-supplied gradient
+  (``pass_grad``) is attached with ``jax.custom_vjp`` so the same
+  ``value_and_grad`` call sites pick it up with zero branching;
+* divergences are *data*, not control flow: non-finite log-probs/energies
+  flow through as NaN and are folded into the Metropolis accept mask inside
+  the scan (no exceptions exist under jit).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+LogProbFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def make_log_prob(
+    log_prob_fn: LogProbFn,
+    pass_grad=None,
+) -> LogProbFn:
+    """Wrap ``log_prob_fn`` so autodiff uses ``pass_grad`` when given.
+
+    ``pass_grad`` may be a callable ``theta -> (D,) gradient`` or a constant
+    gradient array, matching the reference's ``pass_grad`` contract
+    (reference: hamiltorch/samplers.py:59-63).  Returns a scalar-valued
+    function whose ``jax.grad`` is the user gradient.
+    """
+    if pass_grad is None:
+        return log_prob_fn
+
+    if callable(pass_grad):
+        grad_fn = pass_grad
+    else:
+        const_grad = jnp.asarray(pass_grad)
+
+        def grad_fn(theta):
+            return const_grad
+
+    @jax.custom_vjp
+    def wrapped(theta):
+        return log_prob_fn(theta)
+
+    def fwd(theta):
+        return log_prob_fn(theta), theta
+
+    def bwd(theta, g):
+        return (g * grad_fn(theta),)
+
+    wrapped.defvjp(fwd, bwd)
+    return wrapped
+
+
+def value_and_grad(log_prob_fn: LogProbFn) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """(theta) -> (logp, dlogp/dtheta), one fused forward+backward."""
+    return jax.value_and_grad(log_prob_fn)

@@ -1,0 +1,161 @@
+"""The MCMC driver: one jitted ``lax.scan`` over draws.
+
+Behavioural spec: the reference's 242-line Python sampling loop (reference:
+hamiltorch/samplers.py:850-1091): per draw — momentum refresh, Hamiltonian,
+integrate, new Hamiltonian, Metropolis test against log U(0,1), burn/adapt
+bookkeeping.
+
+TPU-first redesign:
+
+* the whole loop is a single ``lax.scan`` inside jit: the device never
+  returns control to Python between draws;
+* divergences are branchless — the reference's try/except LogProbError
+  auto-reject path (samplers.py:1045-1067) becomes an ``isfinite`` mask
+  folded into the accept test;
+* the potential evaluation (logp, grad) at the current state is cached in
+  the carry, so each draw costs exactly L gradient evaluations;
+* dual-averaging adaptation is carried state, updated with ``jnp.where``
+  masks reproducing the reference's adapt-while-n<burn / freeze-at-eps_bar
+  schedule (samplers.py:1030-1035);
+* every draw emits a stats row (acceptance prob, energies, divergence flag,
+  step size) — cheap under scan, replacing debug prints.
+
+Deviations from the reference (documented, intentional):
+
+* on a post-burn rejection the chain stays at its current state; the
+  reference rewinds to the last *stored* sample, which teleports the chain
+  back to ``params_init`` if the first post-burn draw rejects
+  (samplers.py:1017-1026) — a bug this design does not reproduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .adaptation import DualAveragingState, da_init, da_update
+
+
+class ChainState(NamedTuple):
+    """Current chain position with its cached potential evaluation."""
+
+    theta: jnp.ndarray
+    logp: jnp.ndarray
+    grad: jnp.ndarray
+
+
+class MCMCStats(NamedTuple):
+    """Per-draw diagnostics, stacked over the scan."""
+
+    accept_prob: jnp.ndarray  # alpha = min(1, exp(H0 - H1)), 0 on divergence
+    accepted: jnp.ndarray  # bool, MH outcome
+    divergent: jnp.ndarray  # bool, non-finite energy
+    energy_old: jnp.ndarray
+    energy_new: jnp.ndarray
+    step_size: jnp.ndarray  # step size used for this draw
+
+
+class MCMCResult(NamedTuple):
+    samples: jnp.ndarray  # (num_samples, D) chain state after each draw
+    stats: MCMCStats
+    final_step_size: jnp.ndarray
+    acc_rate: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class MCMCConfig:
+    """Static (trace-time) sampling configuration."""
+
+    num_samples: int
+    num_steps_per_sample: int = 10
+    step_size: float = 0.1
+    burn: int = 0
+    adapt_step_size: bool = False  # the reference's "HMC_NUTS" mode
+    desired_accept_rate: float = 0.8
+
+
+# A transition proposes a new state and returns the two Hamiltonians the
+# Metropolis test needs: (key, state, step_size) -> (proposal, H0, H1).
+TransitionFn = Callable[
+    [jax.Array, ChainState, jnp.ndarray],
+    Tuple[ChainState, jnp.ndarray, jnp.ndarray],
+]
+
+
+def _tree_where(pred, a, b):
+    return jax.tree_util.tree_map(lambda x, y: jnp.where(pred, x, y), a, b)
+
+
+def run_mcmc(
+    key: jax.Array,
+    init_state: ChainState,
+    transition: TransitionFn,
+    config: MCMCConfig,
+) -> MCMCResult:
+    """Run ``config.num_samples`` draws of ``transition`` from ``init_state``.
+
+    Pure and jittable (jit with ``transition``/``config`` static); vmap over
+    ``(key, init_state)`` for multiple chains.
+    """
+    dtype = init_state.theta.dtype
+    da0 = da_init(config.step_size, dtype=dtype)
+
+    def step(carry, n):
+        state, da, key = carry
+        key, k_prop, k_mh = jax.random.split(key, 3)
+
+        proposal, h0, h1 = transition(k_prop, state, da.step_size)
+        log_ratio = h0 - h1
+        finite = jnp.isfinite(log_ratio)
+        rho = jnp.minimum(0.0, jnp.where(finite, log_ratio, -jnp.inf))
+        log_u = jnp.log(jax.random.uniform(k_mh, (), dtype))
+        accept = finite & (rho >= log_u)
+
+        state = _tree_where(accept, proposal, state)
+
+        alpha = jnp.where(finite, jnp.exp(rho), 0.0)
+        stats = MCMCStats(
+            accept_prob=alpha,
+            accepted=accept,
+            divergent=~finite,
+            energy_old=h0,
+            energy_new=h1,
+            step_size=da.step_size,
+        )
+
+        if config.adapt_step_size:
+            # Adapt while n < burn; at n == burn freeze to the averaged
+            # step size; afterwards hold (reference: samplers.py:1030-1035).
+            da_upd = da_update(
+                da,
+                jnp.where(finite, log_ratio, jnp.nan),
+                n,
+                desired_accept_rate=config.desired_accept_rate,
+            )
+            adapting = n < config.burn
+            da = DualAveragingState(
+                step_size=jnp.where(
+                    adapting,
+                    da_upd.step_size,
+                    jnp.where(n == config.burn, jnp.exp(da.log_eps_bar), da.step_size),
+                ),
+                log_eps_bar=jnp.where(adapting, da_upd.log_eps_bar, da.log_eps_bar),
+                h_t=jnp.where(adapting, da_upd.h_t, da.h_t),
+                mu=da.mu,
+            )
+
+        return (state, da, key), (state.theta, stats)
+
+    (final_state, final_da, _), (thetas, stats) = jax.lax.scan(
+        step, (init_state, da0, key), jnp.arange(config.num_samples)
+    )
+    acc_rate = jnp.mean(stats.accepted.astype(dtype))
+    return MCMCResult(
+        samples=thetas,
+        stats=stats,
+        final_step_size=final_da.step_size,
+        acc_rate=acc_rate,
+    )

@@ -1,0 +1,234 @@
+"""Core HMC tests: reversibility, mass operators, statistics, NUTS adaptation.
+
+Mirrors and extends the reference's one numerical test
+(tests/test_util.py:97-110, symplectic reversibility) with
+golden-statistics checks per BASELINE.json config 1.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hamiltorch_tpu as ht
+from hamiltorch_tpu.integrators.leapfrog import PhasePoint, leapfrog
+from hamiltorch_tpu.ops.mass import (
+    BlockDiagMass,
+    DenseMass,
+    DiagMass,
+    IdentityMass,
+    make_mass,
+)
+from hamiltorch_tpu.samplers.driver import MCMCConfig
+from hamiltorch_tpu.samplers.hmc import run_hmc, run_hmc_chains
+
+
+def gaussian_logprob(theta):
+    """2-D correlated Gaussian (BASELINE.json config 1)."""
+    cov = jnp.array([[1.0, 0.8], [0.8, 1.0]])
+    prec = jnp.linalg.inv(cov)
+    return -0.5 * theta @ prec @ theta
+
+
+def std_normal_logprob(theta):
+    return -0.5 * jnp.dot(theta, theta)
+
+
+class TestLeapfrogReversibility:
+    """Forward L steps, negate momentum, L steps back -> initial point."""
+
+    @pytest.mark.parametrize(
+        "mass_builder",
+        [
+            lambda d: IdentityMass(dim=d),
+            lambda d: DiagMass(inv_diag=jnp.array([0.5, 2.0])),
+            lambda d: DenseMass.from_inv_mass(jnp.array([[1.0, 0.3], [0.3, 1.0]])),
+        ],
+    )
+    def test_reversible(self, mass_builder):
+        d = 2
+        mass = mass_builder(d)
+        vg = jax.value_and_grad(gaussian_logprob)
+        theta0 = jnp.array([1.0, -0.5])
+        p0 = jnp.array([0.7, 0.3])
+        logp0, g0 = vg(theta0)
+        start = PhasePoint(theta0, p0, logp0, g0)
+        fwd = leapfrog(vg, mass, start, 0.1, 100)
+        back_start = PhasePoint(fwd.theta, -fwd.momentum, fwd.logp, fwd.grad)
+        back = leapfrog(vg, mass, back_start, 0.1, 100)
+        np.testing.assert_allclose(np.asarray(back.theta), np.asarray(theta0), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(-back.momentum), np.asarray(p0), atol=1e-4)
+
+    def test_energy_conservation(self):
+        mass = IdentityMass(dim=2)
+        vg = jax.value_and_grad(gaussian_logprob)
+        theta0 = jnp.array([1.0, -0.5])
+        p0 = jnp.array([0.7, 0.3])
+        logp0, g0 = vg(theta0)
+        h0 = -logp0 + mass.kinetic(p0)
+        end = leapfrog(vg, mass, PhasePoint(theta0, p0, logp0, g0), 0.05, 200)
+        h1 = -end.logp + mass.kinetic(end.momentum)
+        assert abs(float(h1 - h0)) < 1e-2
+
+
+class TestMassOperators:
+    def test_make_mass_dispatch(self):
+        assert isinstance(make_mass(None, 3), IdentityMass)
+        assert isinstance(make_mass(jnp.ones(3), 3), DiagMass)
+        assert isinstance(make_mass(jnp.eye(3), 3), DenseMass)
+        assert isinstance(make_mass([jnp.eye(2), jnp.eye(3)], 5), BlockDiagMass)
+
+    def test_block_diag_matches_dense(self, key):
+        b1 = jnp.array([[2.0, 0.5], [0.5, 1.0]])
+        b2 = jnp.array([[1.5]])
+        block = BlockDiagMass.from_inv_blocks([b1, b2])
+        dense_inv = jnp.zeros((3, 3)).at[:2, :2].set(b1).at[2, 2].set(b2[0, 0])
+        dense = DenseMass.from_inv_mass(dense_inv)
+        p = jnp.array([0.3, -1.2, 0.7])
+        np.testing.assert_allclose(
+            np.asarray(block.velocity(p)), np.asarray(dense.velocity(p)), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(block.kinetic(p)), float(dense.kinetic(p)), rtol=1e-5
+        )
+
+    def test_block_diag_sample_covariance(self, key):
+        b1 = jnp.array([[2.0, 0.5], [0.5, 1.0]])
+        b2 = jnp.array([[1.5]])
+        block = BlockDiagMass.from_inv_blocks([b1, b2])
+        samples = jax.vmap(lambda k: block.sample(k))(jax.random.split(key, 20000))
+        emp_cov = jnp.cov(samples.T)
+        dense_inv = jnp.zeros((3, 3)).at[:2, :2].set(b1).at[2, 2].set(b2[0, 0])
+        expected = np.linalg.inv(np.asarray(dense_inv))
+        np.testing.assert_allclose(np.asarray(emp_cov), expected, atol=0.1)
+
+    def test_diag_mass_sample_variance(self, key):
+        mass = DiagMass(inv_diag=jnp.array([0.25, 4.0]))
+        samples = jax.vmap(lambda k: mass.sample(k))(jax.random.split(key, 20000))
+        # variance of p is M = 1 / inv_diag
+        np.testing.assert_allclose(
+            np.asarray(jnp.var(samples, axis=0)), [4.0, 0.25], rtol=0.1
+        )
+
+
+class TestHMCStatistics:
+    def test_gaussian_moments(self, key):
+        config = MCMCConfig(num_samples=2000, num_steps_per_sample=25, step_size=0.3, burn=0)
+        result = run_hmc(key, gaussian_logprob, jnp.zeros(2), config)
+        samples = np.asarray(result.samples[200:])
+        cov = np.cov(samples.T)
+        np.testing.assert_allclose(samples.mean(0), [0.0, 0.0], atol=0.15)
+        np.testing.assert_allclose(cov, [[1.0, 0.8], [0.8, 1.0]], atol=0.2)
+        assert float(result.acc_rate) > 0.6
+
+    def test_acceptance_high_for_small_steps(self, key):
+        config = MCMCConfig(num_samples=200, num_steps_per_sample=5, step_size=0.05)
+        result = run_hmc(key, std_normal_logprob, jnp.zeros(3), config)
+        assert float(result.acc_rate) > 0.95
+
+    def test_divergence_flagged_not_fatal(self, key):
+        def bad_logprob(theta):
+            # log-prob of a distribution with a cliff: NaN outside a ball
+            r2 = jnp.dot(theta, theta)
+            return jnp.where(r2 < 1.0, -0.5 * r2, jnp.nan)
+
+        config = MCMCConfig(num_samples=100, num_steps_per_sample=10, step_size=0.5)
+        result = run_hmc(key, bad_logprob, jnp.zeros(2), config)
+        # divergences recorded, samples all finite
+        assert bool(jnp.all(jnp.isfinite(result.samples)))
+        assert int(result.stats.divergent.sum()) > 0
+
+    def test_pass_grad_matches_autograd(self, key):
+        analytic = lambda theta: -theta  # grad of std normal logp
+
+        config = MCMCConfig(num_samples=300, num_steps_per_sample=10, step_size=0.2)
+        r_auto = run_hmc(key, std_normal_logprob, jnp.ones(3), config)
+        r_pass = run_hmc(key, std_normal_logprob, jnp.ones(3), config, pass_grad=analytic)
+        np.testing.assert_allclose(
+            np.asarray(r_auto.samples), np.asarray(r_pass.samples), rtol=1e-5, atol=1e-6
+        )
+
+
+class TestNUTSAdaptation:
+    def test_step_size_converges(self, key):
+        config = MCMCConfig(
+            num_samples=900,
+            num_steps_per_sample=5,
+            step_size=1.5,  # deliberately too large
+            burn=500,
+            adapt_step_size=True,
+        )
+        result = run_hmc(key, gaussian_logprob, jnp.zeros(2), config)
+        final = float(result.final_step_size)
+        assert 0.01 < final < 1.5
+        # post-burn acceptance should be near the 0.8 target
+        post = result.stats.accepted[500:]
+        assert 0.55 < float(jnp.mean(post.astype(jnp.float32))) < 1.0
+
+    def test_step_size_frozen_after_burn(self, key):
+        config = MCMCConfig(
+            num_samples=600, num_steps_per_sample=5, step_size=0.5, burn=300,
+            adapt_step_size=True,
+        )
+        result = run_hmc(key, std_normal_logprob, jnp.zeros(2), config)
+        ss = np.asarray(result.stats.step_size)
+        # all post-burn draws use the same (frozen) step size
+        assert np.allclose(ss[302:], ss[302])
+
+
+class TestMultiChain:
+    def test_vmapped_chains_shape_and_stats(self, key):
+        config = MCMCConfig(num_samples=500, num_steps_per_sample=10, step_size=0.3)
+        result = run_hmc_chains(key, std_normal_logprob, jnp.zeros(3), config, num_chains=8)
+        assert result.samples.shape == (8, 500, 3)
+        pooled = np.asarray(result.samples[:, 100:]).reshape(-1, 3)
+        np.testing.assert_allclose(pooled.mean(0), np.zeros(3), atol=0.15)
+        np.testing.assert_allclose(pooled.std(0), np.ones(3), atol=0.25)
+        # chains differ (independent keys)
+        assert not np.allclose(
+            np.asarray(result.samples[0]), np.asarray(result.samples[1])
+        )
+
+
+class TestAPIParity:
+    def test_sample_shapes_and_slicing(self, key):
+        samples = ht.sample(
+            std_normal_logprob, jnp.zeros(3), num_samples=50,
+            num_steps_per_sample=5, step_size=0.2, burn=10, key=key, verbose=False,
+        )
+        # [init] + draws for n > burn: 1 + (50 - 10 - 1) = 40
+        assert samples.shape == (40, 3)
+        np.testing.assert_allclose(np.asarray(samples[0]), np.zeros(3))
+
+    def test_sample_burn_minus_one(self, key):
+        samples = ht.sample(
+            std_normal_logprob, jnp.zeros(2), num_samples=20, burn=-1,
+            step_size=0.2, key=key, verbose=False,
+        )
+        assert samples.shape == (21, 2)
+
+    def test_debug2_returns_acc_rate(self, key):
+        samples, acc = ht.sample(
+            std_normal_logprob, jnp.zeros(2), num_samples=30, step_size=0.2,
+            debug=2, key=key, verbose=False,
+        )
+        assert 0.0 <= acc <= 1.0
+
+    def test_nuts_debug2_returns_step_size(self, key):
+        samples, ss = ht.sample(
+            std_normal_logprob, jnp.zeros(2), num_samples=100, burn=50,
+            step_size=0.5, sampler=ht.Sampler.HMC_NUTS, debug=2, key=key,
+            verbose=False,
+        )
+        assert ss > 0.0
+
+    def test_validation_errors(self):
+        with pytest.raises(RuntimeError):
+            ht.sample(std_normal_logprob, jnp.zeros((2, 2)), num_samples=10)
+        with pytest.raises(RuntimeError):
+            ht.sample(std_normal_logprob, jnp.zeros(2), num_samples=10, burn=10)
+        with pytest.raises(RuntimeError):
+            ht.sample(
+                std_normal_logprob, jnp.zeros(2), num_samples=10, burn=0,
+                sampler=ht.Sampler.HMC_NUTS,
+            )
