@@ -1,0 +1,407 @@
+"""Bayesian-neural-network layer: model -> flat-vector log-probability.
+
+Behavioural spec: the reference's L4 (``define_model_log_prob``,
+``define_split_model_log_prob``, ``sample_model``, ``sample_split_model``,
+``predict_model`` — reference: hamiltorch/samplers.py:1093-1562).
+
+The reference spends 110 lines rewriting ``torch.nn.Module`` objects into
+pure functions (``make_functional``, reference: hamiltorch/util.py:253-376).
+JAX models already *are* pure functions of parameter pytrees, so this layer
+reduces to: ravel/unravel between the sampler's flat (D,) vector and the
+model's pytree, per-layer Gaussian priors from ``tau_list``, and the
+likelihood zoo (reference: samplers.py:1170-1190).
+
+Models are accepted in three forms:
+
+* a ``flax.linen.Module`` (applied as ``module.apply(variables, x)``);
+* a plain callable ``apply_fn(params_pytree, x)`` plus a params template;
+* a ``torch.nn.Module`` via :mod:`hamiltorch_tpu.models.interop`.
+
+``predict_model`` vmaps over samples instead of the reference's Python loop
+(reference: samplers.py:1531-1555), producing (S, N, O) in one batched
+forward — on TPU the sample axis feeds the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..api import sample as _sample
+from ..enums import Integrator, Metric, Sampler
+from ..utils.pytree import ravel_pytree_fn
+from ..utils.rng import next_key
+
+# ---------------------------------------------------------------------------
+# model normalisation
+
+
+def build_model(model, x_example=None, params_template=None, rng=None):
+    """Normalise ``model`` to ``(apply_fn(params, x), params_template)``.
+
+    * flax.linen.Module: initialised with ``x_example`` (required);
+    * callable: used as-is, ``params_template`` required;
+    * torch.nn.Module: converted via the interop bridge.
+    """
+    # flax module?
+    try:
+        import flax.linen as nn
+
+        if isinstance(model, nn.Module):
+            if params_template is None:
+                if x_example is None:
+                    raise ValueError("x_example required to initialise a flax module")
+                rng = rng if rng is not None else jax.random.key(0)
+                params_template = model.init(rng, x_example)
+
+            def apply_fn(params, x):
+                return model.apply(params, x)
+
+            return apply_fn, params_template
+    except ImportError:  # pragma: no cover
+        pass
+
+    # torch module?
+    if type(model).__module__.startswith("torch") or (
+        hasattr(model, "named_parameters") and hasattr(model, "forward")
+    ):
+        from .interop import from_torch_module
+
+        return from_torch_module(model)
+
+    if callable(model):
+        if params_template is None:
+            raise ValueError("params_template required when model is a plain callable")
+        return model, params_template
+
+    raise TypeError(f"Unsupported model type: {type(model)}")
+
+
+# ---------------------------------------------------------------------------
+# priors and likelihoods
+
+
+def _normal_log_prob(w: jnp.ndarray, tau) -> jnp.ndarray:
+    """Sum of N(0, tau^-1) log-pdfs, constants included (reference keeps
+    them via torch.distributions.Normal — samplers.py:1141-1156)."""
+    tau = jnp.asarray(tau, w.dtype)
+    n = w.size
+    return 0.5 * n * jnp.log(tau) - 0.5 * n * math.log(2 * math.pi) - 0.5 * tau * jnp.sum(w * w)
+
+
+def gaussian_prior_log_prob(params, tau_list) -> jnp.ndarray:
+    """Per-leaf Gaussian prior; ``tau_list`` is one precision per leaf (in
+    pytree-leaf order) or a scalar applied to every leaf."""
+    leaves = jax.tree_util.tree_leaves(params)
+    if tau_list is None:
+        taus = [1.0] * len(leaves)
+    elif isinstance(tau_list, (int, float)) or (
+        hasattr(tau_list, "ndim") and getattr(tau_list, "ndim", 1) == 0
+    ):
+        taus = [tau_list] * len(leaves)
+    else:
+        taus = list(tau_list)
+        if len(taus) != len(leaves):
+            raise ValueError(
+                f"tau_list has {len(taus)} entries but the model has {len(leaves)} parameter leaves"
+            )
+    lp = jnp.zeros((), leaves[0].dtype if leaves else jnp.float32)
+    for w, tau in zip(leaves, taus):
+        lp = lp + _normal_log_prob(w, tau)
+    return lp
+
+
+def log_likelihood(output, y, model_loss, tau_out=1.0):
+    """The reference's likelihood switch (samplers.py:1170-1190)."""
+    if model_loss == "binary_class_linear_output":
+        # BCE-with-logits, summed; stable softplus form.
+        z, t = output, y
+        bce = jnp.sum(jnp.maximum(z, 0.0) - z * t + jnp.log1p(jnp.exp(-jnp.abs(z))))
+        return -tau_out * bce
+    if model_loss == "multi_class_linear_output":
+        logits = jax.nn.log_softmax(output, axis=-1)
+        labels = y.reshape(-1).astype(jnp.int32)
+        return -tau_out * (-jnp.sum(jnp.take_along_axis(logits, labels[:, None], axis=-1)))
+    if model_loss == "multi_class_log_softmax_output":
+        labels = y.reshape(-1).astype(jnp.int32)
+        return -tau_out * (-jnp.sum(jnp.take_along_axis(output, labels[:, None], axis=-1)))
+    if model_loss == "regression":
+        return -0.5 * tau_out * jnp.sum((output - y) ** 2)
+    if callable(model_loss):
+        return -jnp.sum(model_loss(output, y))
+    raise NotImplementedError(f"Unknown model_loss: {model_loss!r}")
+
+
+# ---------------------------------------------------------------------------
+# log-prob factories
+
+
+def define_model_log_prob(
+    model,
+    model_loss,
+    x,
+    y,
+    tau_list=None,
+    tau_out: float = 1.0,
+    predict: bool = False,
+    prior_scale: float = 1.0,
+    x_example=None,
+    params_template=None,
+):
+    """Build ``log_prob_func(flat_theta)`` for a model + dataset.
+
+    Equivalent of reference samplers.py:1093-1201; the functionalisation,
+    unflattening and device moves all collapse into one ``unravel`` plus a
+    pure apply.  Returns (log_prob_func, flat_init, unravel).
+    """
+    apply_fn, template = build_model(
+        model, x_example=x_example if x_example is not None else x,
+        params_template=params_template,
+    )
+    flat_init, unravel = ravel_pytree_fn(template)
+    x = None if x is None else jnp.asarray(x)
+    y = None if y is None else jnp.asarray(y)
+
+    def log_prob_func(theta):
+        params = unravel(theta)
+        l_prior = gaussian_prior_log_prob(params, tau_list) / prior_scale
+        if x is None:
+            return l_prior
+        output = apply_fn(params, x)
+        ll = log_likelihood(output, y, model_loss, tau_out)
+        if predict:
+            return ll + l_prior, output
+        return ll + l_prior
+
+    return log_prob_func, flat_init, unravel
+
+
+def _as_batches(train_loader, num_splits: Optional[int] = None):
+    """Materialise (x, y) batches from a torch DataLoader or any iterable of
+    pairs; equal-size batches only (ragged tails are dropped, mirroring the
+    reference's 'ensure each batch is the same length' requirement,
+    samplers.py:1221-1222)."""
+    import numpy as np
+
+    xs, ys = [], []
+    for i, (bx, by) in enumerate(train_loader):
+        if num_splits is not None and i >= num_splits:
+            break
+        bx = np.asarray(bx) if not hasattr(bx, "detach") else bx.detach().cpu().numpy()
+        by = np.asarray(by) if not hasattr(by, "detach") else by.detach().cpu().numpy()
+        xs.append(bx)
+        ys.append(by)
+    if not xs:
+        raise ValueError("train_loader yielded no batches")
+    n0 = xs[0].shape[0]
+    keep = [i for i in range(len(xs)) if xs[i].shape[0] == n0]
+    xs = jnp.stack([jnp.asarray(xs[i]) for i in keep])
+    ys = jnp.stack([jnp.asarray(ys[i]) for i in keep])
+    return xs, ys
+
+
+def define_split_model_log_prob(
+    model,
+    model_loss,
+    train_loader,
+    num_splits: int,
+    tau_list=None,
+    tau_out: float = 1.0,
+    predict: bool = False,
+    verbose: bool = True,
+    params_template=None,
+):
+    """Stacked-data split likelihood (reference: samplers.py:1203-1258).
+
+    TPU-first: instead of a Python list of closures each pinning its own
+    batch, the batches are stacked to (M, B, ...) arrays and one traced
+    ``term_fn(theta, m)`` indexes them — the splitting integrator then scans
+    over the term axis in a single compiled program.  The prior enters each
+    term divided by ``num_splits`` so it is counted once in the sum.
+
+    Returns (term_fn, num_terms, flat_init, unravel).
+    """
+    xs, ys = _as_batches(train_loader, num_splits)
+    m_terms = int(xs.shape[0])
+    apply_fn, template = build_model(
+        model, x_example=xs[0], params_template=params_template
+    )
+    flat_init, unravel = ravel_pytree_fn(template)
+    if verbose:
+        print(f"Number of splits: {m_terms} , each of batch size {xs.shape[1]}\n")
+
+    def term_fn(theta, m):
+        params = unravel(theta)
+        l_prior = gaussian_prior_log_prob(params, tau_list) / m_terms
+        output = apply_fn(params, xs[m])
+        ll = log_likelihood(output, ys[m], model_loss, tau_out)
+        if predict:
+            return ll + l_prior, output
+        return ll + l_prior
+
+    return term_fn, m_terms, flat_init, unravel
+
+
+# ---------------------------------------------------------------------------
+# user-facing parity entry points
+
+
+def sample_model(
+    model,
+    x,
+    y,
+    params_init=None,
+    model_loss="multi_class_linear_output",
+    num_samples: int = 10,
+    num_steps_per_sample: int = 10,
+    step_size: float = 0.1,
+    burn: int = 0,
+    inv_mass=None,
+    jitter=None,
+    normalizing_const: float = 1.0,
+    softabs_const=None,
+    explicit_binding_const: float = 100.0,
+    fixed_point_threshold: float = 1e-5,
+    fixed_point_max_iterations: int = 1000,
+    jitter_max_tries: int = 10,
+    sampler: Sampler = Sampler.HMC,
+    integrator: Integrator = Integrator.IMPLICIT,
+    metric: Metric = Metric.HESSIAN,
+    debug: int = 0,
+    tau_out: float = 1.0,
+    tau_list=None,
+    store_on_GPU: bool = True,
+    desired_accept_rate: float = 0.8,
+    verbose: bool = True,
+    key=None,
+    params_template=None,
+):
+    """Sample BNN weights (reference: samplers.py:1261-1362)."""
+    log_prob_func, flat_init, _ = define_model_log_prob(
+        model, model_loss, x, y, tau_list=tau_list, tau_out=tau_out,
+        params_template=params_template,
+    )
+    if params_init is None:
+        params_init = flat_init
+    return _sample(
+        log_prob_func, params_init,
+        num_samples=num_samples, num_steps_per_sample=num_steps_per_sample,
+        step_size=step_size, burn=burn, jitter=jitter, inv_mass=inv_mass,
+        normalizing_const=normalizing_const, softabs_const=softabs_const,
+        explicit_binding_const=explicit_binding_const,
+        fixed_point_threshold=fixed_point_threshold,
+        fixed_point_max_iterations=fixed_point_max_iterations,
+        jitter_max_tries=jitter_max_tries, sampler=sampler,
+        integrator=integrator, metric=metric, debug=debug,
+        desired_accept_rate=desired_accept_rate, store_on_GPU=store_on_GPU,
+        verbose=verbose, key=key,
+    )
+
+
+def sample_split_model(
+    model,
+    train_loader,
+    params_init=None,
+    num_splits: int = 2,
+    model_loss="multi_class_linear_output",
+    num_samples: int = 10,
+    num_steps_per_sample: int = 10,
+    step_size: float = 0.1,
+    burn: int = 0,
+    inv_mass=None,
+    jitter=None,
+    normalizing_const: float = 1.0,
+    softabs_const=None,
+    explicit_binding_const: float = 100.0,
+    fixed_point_threshold: float = 1e-5,
+    fixed_point_max_iterations: int = 1000,
+    jitter_max_tries: int = 10,
+    sampler: Sampler = Sampler.HMC,
+    integrator: Integrator = Integrator.SPLITTING,
+    metric: Metric = Metric.HESSIAN,
+    debug: int = 0,
+    tau_out: float = 1.0,
+    tau_list=None,
+    store_on_GPU: bool = True,
+    desired_accept_rate: float = 0.8,
+    verbose: bool = True,
+    key=None,
+    params_template=None,
+):
+    """Symmetric-split minibatch HMC on a BNN (reference: samplers.py:1364-1466)."""
+    term_fn, m_terms, flat_init, _ = define_split_model_log_prob(
+        model, model_loss, train_loader, num_splits,
+        tau_list=tau_list, tau_out=tau_out, verbose=verbose,
+        params_template=params_template,
+    )
+    if params_init is None:
+        params_init = flat_init
+    params_init = jnp.asarray(params_init)
+    if params_init.ndim != 1:
+        raise RuntimeError("params_init must be a 1d array.")
+    if burn >= num_samples:
+        raise RuntimeError("burn must be less than num_samples.")
+    if key is None:
+        key = next_key()
+
+    from ..samplers.driver import MCMCConfig
+    from ..samplers.splitting import run_split_hmc_stacked
+    from ..api import _kept_samples
+
+    config = MCMCConfig(
+        num_samples=num_samples, num_steps_per_sample=num_steps_per_sample,
+        step_size=step_size, burn=burn,
+        adapt_step_size=(sampler == Sampler.HMC_NUTS),
+        desired_accept_rate=desired_accept_rate,
+    )
+    result = run_split_hmc_stacked(
+        key, term_fn, m_terms, params_init, config,
+        integrator=integrator, inv_mass=inv_mass,
+    )
+    samples = _kept_samples(params_init, result, burn)
+    if verbose:
+        print(f"Acceptance Rate {float(result.acc_rate):.2f}")
+    if debug == 2:
+        return samples, float(result.acc_rate)
+    return samples
+
+
+def predict_model(
+    model,
+    samples,
+    x=None,
+    y=None,
+    test_loader=None,
+    model_loss="multi_class_linear_output",
+    tau_out: float = 1.0,
+    tau_list=None,
+    verbose: bool = False,
+    params_template=None,
+):
+    """Posterior predictive over weight samples (reference: samplers.py:1468-1562).
+
+    Returns (predictions (S, N, O), log_prob_list (S,)).  The per-sample
+    Python loop becomes one vmap over the sample axis.
+    """
+    if test_loader is not None:
+        xs, ys = _as_batches(test_loader, None)
+        x = xs.reshape((-1,) + xs.shape[2:])
+        y = ys.reshape((-1,) + ys.shape[2:])
+    elif x is None or y is None:
+        raise RuntimeError("Val data not defined (pass x,y or test_loader)")
+    log_prob_func, _, _ = define_model_log_prob(
+        model, model_loss, x, y, tau_list=tau_list, tau_out=tau_out,
+        predict=True, params_template=params_template,
+    )
+    samples = jnp.stack(list(samples)) if not isinstance(samples, jnp.ndarray) else samples
+
+    @jax.jit
+    def batched(thetas):
+        return jax.vmap(log_prob_func)(thetas)
+
+    lps, preds = batched(samples)
+    return preds, lps

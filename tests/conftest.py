@@ -9,7 +9,7 @@ Must run before jax initialises its backends, hence env vars set at import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU default
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# The axon sitecustomize force-registers the TPU platform and overrides
+# JAX_PLATFORMS; config.update wins over both.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,218 @@
+"""BNN layer tests: likelihood parity vs torch, priors, sample/predict flow,
+torch-module interop."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flax.linen as nn
+
+import hamiltorch_tpu as ht
+from hamiltorch_tpu.models.bnn import (
+    define_model_log_prob,
+    gaussian_prior_log_prob,
+    log_likelihood,
+    predict_model,
+    sample_model,
+)
+
+
+class MLP(nn.Module):
+    features: tuple = (16, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        for f in self.features[:-1]:
+            x = jnp.tanh(nn.Dense(f)(x))
+        return nn.Dense(self.features[-1])(x)
+
+
+class TestLikelihoodParityVsTorch:
+    """The likelihood zoo must match the reference's torch losses
+    (reference: hamiltorch/samplers.py:1170-1190) numerically."""
+
+    def setup_method(self, _):
+        torch = pytest.importorskip("torch")
+        self.torch = torch
+
+    def test_bce_with_logits(self):
+        torch = self.torch
+        rng = np.random.RandomState(0)
+        z = rng.randn(7, 1).astype(np.float32)
+        y = (rng.rand(7, 1) > 0.5).astype(np.float32)
+        ref = -2.5 * torch.nn.BCEWithLogitsLoss(reduction="sum")(
+            torch.tensor(z), torch.tensor(y)
+        )
+        ours = log_likelihood(jnp.asarray(z), jnp.asarray(y), "binary_class_linear_output", 2.5)
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-4)
+
+    def test_cross_entropy(self):
+        torch = self.torch
+        rng = np.random.RandomState(1)
+        z = rng.randn(9, 4).astype(np.float32)
+        y = rng.randint(0, 4, size=(9,))
+        ref = -1.0 * torch.nn.CrossEntropyLoss(reduction="sum")(
+            torch.tensor(z), torch.tensor(y)
+        )
+        ours = log_likelihood(jnp.asarray(z), jnp.asarray(y), "multi_class_linear_output", 1.0)
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+    def test_nll_log_softmax(self):
+        torch = self.torch
+        rng = np.random.RandomState(2)
+        z = rng.randn(5, 3).astype(np.float32)
+        logz = np.asarray(jax.nn.log_softmax(jnp.asarray(z), axis=-1))
+        y = rng.randint(0, 3, size=(5,))
+        ref = -torch.nn.functional.nll_loss(
+            torch.tensor(logz), torch.tensor(y), reduction="sum"
+        )
+        ours = log_likelihood(jnp.asarray(logz), jnp.asarray(y), "multi_class_log_softmax_output", 1.0)
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+    def test_regression(self):
+        out = jnp.array([[1.0], [2.0]])
+        y = jnp.array([[0.5], [2.5]])
+        # -0.5 * tau * sum((out-y)^2) = -0.5 * 3 * 0.5
+        np.testing.assert_allclose(
+            float(log_likelihood(out, y, "regression", 3.0)), -0.75, rtol=1e-6
+        )
+
+    def test_custom_callable(self):
+        loss = lambda pred, y: (pred - y) ** 4
+        out, y = jnp.ones((3, 1)), jnp.zeros((3, 1))
+        np.testing.assert_allclose(
+            float(log_likelihood(out, y, loss, 1.0)), -3.0, rtol=1e-6
+        )
+
+    def test_prior_matches_torch_normal(self):
+        torch = self.torch
+        w = np.linspace(-1, 1, 10).astype(np.float32)
+        tau = 2.0
+        ref = (
+            torch.distributions.Normal(torch.zeros(10), tau ** -0.5)
+            .log_prob(torch.tensor(w))
+            .sum()
+        )
+        ours = gaussian_prior_log_prob([jnp.asarray(w)], [tau])
+        np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+class TestModelLogProb:
+    def test_prior_only_when_x_none(self):
+        model = MLP(features=(4, 1))
+        x_ex = jnp.ones((3, 2))
+        lp_fn, flat, _ = define_model_log_prob(model, "regression", None, None, x_example=x_ex)
+        theta = jnp.zeros_like(flat)
+        d = flat.shape[0]
+        expected = -0.5 * d * np.log(2 * np.pi)  # N(0,1) at zero
+        np.testing.assert_allclose(float(lp_fn(theta)), expected, rtol=1e-5)
+
+    def test_prior_scale_divides(self):
+        model = MLP(features=(4, 1))
+        x_ex = jnp.ones((3, 2))
+        lp1, flat, _ = define_model_log_prob(model, "regression", None, None, x_example=x_ex)
+        lp5, _, _ = define_model_log_prob(
+            model, "regression", None, None, x_example=x_ex, prior_scale=5.0
+        )
+        theta = 0.3 * jnp.ones_like(flat)
+        np.testing.assert_allclose(float(lp5(theta)) * 5.0, float(lp1(theta)), rtol=1e-5)
+
+
+class TestSamplePredictFlow:
+    def test_regression_bnn_end_to_end(self, key):
+        x = jnp.linspace(-1, 1, 16)[:, None]
+        y = jnp.sin(3 * x)
+        model = MLP(features=(8, 1))
+        tau_list = [1.0] * 4  # 2 Dense layers x (kernel, bias)
+        samples = sample_model(
+            model, x, y, model_loss="regression", num_samples=200,
+            num_steps_per_sample=20, step_size=0.002, tau_out=100.0,
+            tau_list=tau_list, key=key, verbose=False,
+        )
+        assert samples.ndim == 2
+        preds, lps = predict_model(
+            model, samples[50:], x=x, y=y, model_loss="regression",
+            tau_out=100.0, tau_list=tau_list,
+        )
+        assert preds.shape == (samples.shape[0] - 50, 16, 1)
+        assert lps.shape == (samples.shape[0] - 50,)
+        assert bool(jnp.all(jnp.isfinite(preds)))
+        rmse = float(jnp.sqrt(jnp.mean((preds.mean(0) - y) ** 2)))
+        assert rmse < 0.5  # posterior mean fits the data
+
+    def test_classification_bnn(self, key):
+        # iris-like: 3 separable clusters
+        rng = np.random.RandomState(0)
+        centers = np.array([[2, 0], [-2, 0], [0, 2.5]])
+        x = np.concatenate([centers[i] + 0.3 * rng.randn(10, 2) for i in range(3)])
+        ylab = np.repeat(np.arange(3), 10)
+        model = MLP(features=(8, 3))
+        samples = sample_model(
+            model, jnp.asarray(x, jnp.float32), jnp.asarray(ylab),
+            model_loss="multi_class_linear_output", num_samples=300,
+            num_steps_per_sample=15, step_size=0.01, key=key, verbose=False,
+        )
+        preds, _ = predict_model(
+            model, samples[100:], x=jnp.asarray(x, jnp.float32), y=jnp.asarray(ylab),
+            model_loss="multi_class_linear_output",
+        )
+        acc = float(jnp.mean(preds.mean(0).argmax(-1) == jnp.asarray(ylab)))
+        assert acc > 0.9
+
+
+class TestTorchInterop:
+    def test_sequential_forward_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        torch.manual_seed(0)
+        net = torch.nn.Sequential(
+            torch.nn.Linear(4, 8), torch.nn.Tanh(), torch.nn.Linear(8, 3),
+            torch.nn.LogSoftmax(dim=-1),
+        )
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(0).randn(5, 4).astype(np.float32)
+        ref = net(torch.tensor(x)).detach().numpy()
+        ours = np.asarray(apply_fn(template, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_flat_layout_matches_torch_cat(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+        from hamiltorch_tpu.utils.pytree import ravel_pytree_fn
+
+        torch.manual_seed(1)
+        net = torch.nn.Sequential(torch.nn.Linear(3, 2), torch.nn.ReLU(), torch.nn.Linear(2, 1))
+        _, template = from_torch_module(net)
+        flat, _ = ravel_pytree_fn(template)
+        ref_flat = torch.cat([p.flatten() for p in net.parameters()]).detach().numpy()
+        np.testing.assert_allclose(np.asarray(flat), ref_flat, atol=1e-6)
+
+    def test_conv_forward_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        torch.manual_seed(2)
+        net = torch.nn.Sequential(
+            torch.nn.Conv2d(1, 3, 3, padding=1), torch.nn.ReLU(),
+            torch.nn.MaxPool2d(2), torch.nn.Flatten(), torch.nn.Linear(3 * 4 * 4, 2),
+        )
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(3).randn(2, 1, 8, 8).astype(np.float32)
+        ref = net(torch.tensor(x)).detach().numpy()
+        ours = np.asarray(apply_fn(template, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_sample_model_accepts_torch_module(self, key):
+        torch = pytest.importorskip("torch")
+        torch.manual_seed(0)
+        net = torch.nn.Sequential(torch.nn.Linear(2, 4), torch.nn.Tanh(), torch.nn.Linear(4, 1))
+        x = jnp.linspace(-1, 1, 8)[:, None] * jnp.ones((1, 2))
+        y = x[:, :1] ** 2
+        samples = sample_model(
+            net, x, y, model_loss="regression", num_samples=20,
+            num_steps_per_sample=5, step_size=0.005, key=key, verbose=False,
+        )
+        d = sum(p.numel() for p in net.parameters())
+        assert samples.shape[1] == d

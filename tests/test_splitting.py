@@ -1,0 +1,134 @@
+"""Symmetric-split HMC tests: reversibility, equivalence to full-batch HMC
+in distribution, the three splitting schemes, and the split-BNN flow."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flax.linen as nn
+
+import hamiltorch_tpu as ht
+from hamiltorch_tpu.enums import Integrator
+from hamiltorch_tpu.integrators.splitting import splitting_leapfrog
+from hamiltorch_tpu.ops.mass import IdentityMass
+from hamiltorch_tpu.samplers.driver import MCMCConfig
+from hamiltorch_tpu.samplers.splitting import run_split_hmc, terms_from_list
+
+
+def make_split_gaussian(num_terms=4):
+    """Std normal split into num_terms equal potential shares."""
+    def term(theta):
+        return -0.5 * jnp.dot(theta, theta) / num_terms
+
+    return [term] * num_terms
+
+
+class TestSplittingIntegrator:
+    @pytest.mark.parametrize(
+        "integ", [Integrator.SPLITTING, Integrator.SPLITTING_KMID]
+    )
+    def test_reversibility(self, integ):
+        fns = make_split_gaussian(3)
+        term_fn = terms_from_list(fns)
+        grad_term = jax.grad(term_fn, argnums=0)
+        mass = IdentityMass(dim=2)
+        theta0, p0 = jnp.array([1.0, -0.5]), jnp.array([0.3, 0.8])
+        th, p = splitting_leapfrog(grad_term, 3, mass, theta0, p0, 0.1, 50, integ)
+        th_b, p_b = splitting_leapfrog(grad_term, 3, mass, th, -p, 0.1, 50, integ)
+        np.testing.assert_allclose(np.asarray(th_b), np.asarray(theta0), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(-p_b), np.asarray(p0), atol=1e-4)
+
+    def test_kmid_matches_plain_leapfrog(self):
+        """KMID with terms summing to U is algebraically plain leapfrog."""
+        from hamiltorch_tpu.integrators.leapfrog import PhasePoint, leapfrog
+
+        fns = make_split_gaussian(2)
+        term_fn = terms_from_list(fns)
+        grad_term = jax.grad(term_fn, argnums=0)
+        mass = IdentityMass(dim=2)
+        theta0, p0 = jnp.array([1.0, -0.5]), jnp.array([0.3, 0.8])
+        th_s, p_s = splitting_leapfrog(
+            grad_term, 2, mass, theta0, p0, 0.1, 20, Integrator.SPLITTING_KMID
+        )
+        full = lambda t: -0.5 * jnp.dot(t, t)
+        vg = jax.value_and_grad(full)
+        lp0, g0 = vg(theta0)
+        end = leapfrog(vg, mass, PhasePoint(theta0, p0, lp0, g0), 0.1, 20)
+        np.testing.assert_allclose(np.asarray(th_s), np.asarray(end.theta), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(p_s), np.asarray(end.momentum), atol=1e-5)
+
+
+class TestSplitHMCStatistics:
+    @pytest.mark.parametrize(
+        "integ",
+        [Integrator.SPLITTING, Integrator.SPLITTING_RAND, Integrator.SPLITTING_KMID],
+    )
+    def test_gaussian_moments(self, key, integ):
+        fns = make_split_gaussian(4)
+        config = MCMCConfig(num_samples=1500, num_steps_per_sample=10, step_size=0.3)
+        result = run_split_hmc(key, fns, jnp.zeros(2), config, integrator=integ)
+        samples = np.asarray(result.samples[200:])
+        np.testing.assert_allclose(samples.mean(0), [0, 0], atol=0.15)
+        np.testing.assert_allclose(samples.std(0), [1, 1], atol=0.2)
+        assert float(result.acc_rate) > 0.6
+
+    def test_api_sample_with_list(self, key):
+        fns = make_split_gaussian(3)
+        samples = ht.sample(
+            fns, jnp.zeros(2), num_samples=100, num_steps_per_sample=5,
+            step_size=0.2, integrator=Integrator.SPLITTING, key=key, verbose=False,
+        )
+        assert samples.shape == (100, 2)
+
+    def test_api_rejects_non_list(self):
+        with pytest.raises(RuntimeError):
+            ht.sample(
+                lambda t: -jnp.dot(t, t), jnp.zeros(2), num_samples=10,
+                integrator=Integrator.SPLITTING,
+            )
+
+    def test_single_term_splitting_rejected(self, key):
+        fns = make_split_gaussian(1)
+        config = MCMCConfig(num_samples=10, num_steps_per_sample=5, step_size=0.2)
+        with pytest.raises(RuntimeError):
+            run_split_hmc(key, fns, jnp.zeros(2), config, integrator=Integrator.SPLITTING)
+
+
+class MLP(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        x = jnp.tanh(nn.Dense(8)(x))
+        return nn.Dense(1)(x)
+
+
+class TestSplitModelFlow:
+    def test_sample_split_model(self, key):
+        rng = np.random.RandomState(0)
+        x = np.linspace(-1, 1, 40)[:, None].astype(np.float32)
+        y = np.sin(2 * x) + 0.05 * rng.randn(40, 1).astype(np.float32)
+        batches = [(x[i::4], y[i::4]) for i in range(4)]  # 4 equal splits
+        samples = ht.sample_split_model(
+            MLP(), batches, num_splits=4, model_loss="regression",
+            num_samples=100, num_steps_per_sample=10, step_size=0.001,
+            tau_out=50.0, key=key, verbose=False,
+        )
+        assert samples.ndim == 2 and samples.shape[0] == 100
+        assert bool(jnp.all(jnp.isfinite(samples)))
+
+    def test_split_matches_fullbatch_distribution(self, key):
+        """Split-HMC on a quadratic target matches full-batch moments."""
+        def make_term(shift):
+            def term(theta):
+                return -0.25 * jnp.sum((theta - shift) ** 2)
+
+            return term
+
+        # two terms: -(1/4)|θ-1|² -(1/4)|θ+1|² = -(1/2)(θ²+1) → N(0, sqrt(2)... )
+        fns = [make_term(1.0), make_term(-1.0)]
+        config = MCMCConfig(num_samples=3000, num_steps_per_sample=10, step_size=0.4)
+        result = run_split_hmc(key, fns, jnp.zeros(2), config)
+        samples = np.asarray(result.samples[500:])
+        # precision = 1 → std 1·I, mean 0
+        np.testing.assert_allclose(samples.mean(0), [0, 0], atol=0.15)
+        np.testing.assert_allclose(samples.std(0), [1.0, 1.0], atol=0.2)
