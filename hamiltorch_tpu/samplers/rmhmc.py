@@ -1,0 +1,88 @@
+"""Riemannian-manifold HMC sampler (implicit, explicit, S3 integrators).
+
+Behavioural spec: the RMHMC paths through the reference's ``sample`` —
+momentum from N(0, G(theta)) (reference: hamiltorch/samplers.py:183-184),
+the non-separable Hamiltonian (samplers.py:677-736), and the explicit-RMHMC
+bias bookkeeping where the initial augmented energy 2H is halved before the
+accept test and the proposal energy is a fresh unaugmented H
+(samplers.py:822, 977, 989) — which is algebraically just H_old vs H_new of
+the plain Riemannian Hamiltonian, the form used here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..enums import Integrator, Metric
+from ..integrators.explicit import explicit_leapfrog
+from ..integrators.implicit import implicit_leapfrog
+from ..ops.metrics import RMOptions, make_rm_hamiltonian
+from .driver import ChainState, MCMCConfig, MCMCResult, run_mcmc
+
+
+@partial(
+    jax.jit,
+    static_argnames=("log_prob_fn", "config", "integrator", "opts", "ham_func"),
+)
+def _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts, ham_func):
+    semi = integrator == Integrator.S3
+    rm = make_rm_hamiltonian(log_prob_fn, opts, ham_func=ham_func, semi_separable=semi)
+    use_jitter = opts.jitter is not None
+    d = theta0.shape[0]
+
+    def transition(key, state: ChainState, step_size):
+        k_mom, k_jit = jax.random.split(key)
+        jitter_u = (
+            jax.random.uniform(k_jit, (d,), state.theta.dtype) if use_jitter else None
+        )
+        p = rm.sample_momentum(k_mom, state.theta, jitter_u)
+        h0 = rm.ham(state.theta, p, jitter_u)
+        if integrator == Integrator.EXPLICIT:
+            end = explicit_leapfrog(
+                rm, opts, state.theta, p, step_size,
+                config.num_steps_per_sample, jitter_u,
+            )
+            theta1, p1 = end.theta, end.p
+        else:  # IMPLICIT or S3 use the generalized leapfrog
+            theta1, p1 = implicit_leapfrog(
+                rm, opts, state.theta, p, step_size,
+                config.num_steps_per_sample, jitter_u,
+            )
+        h1, logp1 = rm.ham_and_logp(theta1, p1, jitter_u)
+        return ChainState(theta1, logp1, jnp.zeros_like(theta1)), h0, h1
+
+    state0 = ChainState(theta0, log_prob_fn(theta0), jnp.zeros_like(theta0))
+    return run_mcmc(key, state0, transition, config)
+
+
+def run_rmhmc(
+    key,
+    log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    theta0,
+    config: MCMCConfig,
+    integrator: Integrator = Integrator.IMPLICIT,
+    metric: Metric = Metric.HESSIAN,
+    jitter: Optional[float] = None,
+    softabs_const: Optional[float] = None,
+    explicit_binding_const: float = 100.0,
+    fixed_point_threshold: float = 1e-5,
+    fixed_point_max_iterations: int = 1000,
+    ham_func: Optional[Callable] = None,
+) -> MCMCResult:
+    """Sample with RMHMC; fully jitted (while_loop fixed points inside scan)."""
+    theta0 = jnp.asarray(theta0)
+    if integrator not in (Integrator.IMPLICIT, Integrator.EXPLICIT, Integrator.S3):
+        raise NotImplementedError(f"RMHMC integrator {integrator}")
+    opts = RMOptions(
+        metric=metric,
+        jitter=jitter,
+        softabs_const=softabs_const if softabs_const is not None else 1e6,
+        explicit_binding_const=explicit_binding_const,
+        fixed_point_threshold=fixed_point_threshold,
+        fixed_point_max_iterations=fixed_point_max_iterations,
+    )
+    return _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts, ham_func)

@@ -1,0 +1,215 @@
+"""RMHMC tests: metric pipeline, Riemannian Hamiltonian, generalized and
+explicit leapfrog, statistics on Gaussian and funnel targets."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hamiltorch_tpu as ht
+from hamiltorch_tpu.enums import Integrator, Metric
+from hamiltorch_tpu.integrators.implicit import implicit_leapfrog
+from hamiltorch_tpu.ops.metrics import (
+    RMOptions,
+    make_metric_fn,
+    make_rm_hamiltonian,
+    softabs_eigenvalues,
+)
+from hamiltorch_tpu.samplers.driver import MCMCConfig
+from hamiltorch_tpu.samplers.rmhmc import run_rmhmc
+
+PREC = jnp.array([[2.0, 0.6], [0.6, 1.0]])  # target precision
+
+
+def gaussian_logprob(theta):
+    return -0.5 * theta @ PREC @ theta
+
+
+def funnel_logprob(theta, dim=5):
+    """Neal's funnel: v ~ N(0,3), x_i ~ N(0, exp(v)) (notebook target)."""
+    v = theta[0]
+    x = theta[1:]
+    lp_v = -0.5 * v**2 / 9.0
+    lp_x = -0.5 * jnp.sum(x**2) * jnp.exp(-v) - 0.5 * (dim - 1) * v
+    return lp_v + lp_x
+
+
+class TestSoftabs:
+    def test_matches_coth_formula(self):
+        lam = jnp.array([-2.0, -0.5, 0.5, 3.0])
+        alpha = 1.5
+        expected = lam / np.tanh(alpha * np.asarray(lam))
+        np.testing.assert_allclose(
+            np.asarray(softabs_eigenvalues(lam, alpha)), expected, rtol=1e-6
+        )
+
+    def test_zero_guard(self):
+        alpha = 2.0
+        out = softabs_eigenvalues(jnp.array([0.0, 1e-12]), alpha)
+        np.testing.assert_allclose(np.asarray(out), [1 / alpha, 1 / alpha], rtol=1e-5)
+
+    def test_large_alpha_is_abs(self):
+        lam = jnp.array([-3.0, 2.0])
+        out = softabs_eigenvalues(lam, 1e6)
+        np.testing.assert_allclose(np.asarray(out), [3.0, 2.0], rtol=1e-5)
+
+
+class TestMetric:
+    def test_hessian_metric_of_gaussian_is_precision(self):
+        opts = RMOptions(metric=Metric.HESSIAN)
+        g, abs_eigs = make_metric_fn(gaussian_logprob, opts)(jnp.array([0.3, -0.7]), None)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(PREC), rtol=1e-5)
+        assert abs_eigs is None
+
+    def test_softabs_metric_spd(self):
+        # a log-prob with an indefinite Hessian away from the mode
+        lp = lambda t: -0.25 * jnp.sum(t**4)
+        opts = RMOptions(metric=Metric.SOFTABS, softabs_const=1e3)
+        g, abs_eigs = make_metric_fn(lp, opts)(jnp.array([0.1, 2.0]), None)
+        assert bool(jnp.all(abs_eigs > 0))
+        assert bool(jnp.all(jnp.isfinite(jnp.linalg.cholesky(g))))
+
+    def test_jacobian_diag_metric(self):
+        opts = RMOptions(metric=Metric.JACOBIAN_DIAG)
+        theta = jnp.array([0.5, -1.0])
+        g, _ = make_metric_fn(gaussian_logprob, opts)(theta, None)
+        grad = -PREC @ theta
+        np.testing.assert_allclose(np.asarray(g), np.diag(np.asarray(grad) ** 2), rtol=1e-5)
+
+    def test_jitter_adds_bounded_diagonal(self):
+        opts = RMOptions(metric=Metric.HESSIAN, jitter=0.1)
+        theta = jnp.array([0.0, 0.0])
+        u = jnp.array([0.5, 1.0])
+        g, _ = make_metric_fn(gaussian_logprob, opts)(theta, u)
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(PREC) + np.diag([0.05, 0.1]), rtol=1e-5
+        )
+
+
+class TestRMHamiltonian:
+    def test_value_matches_hand_formula(self):
+        opts = RMOptions(metric=Metric.HESSIAN)
+        rm = make_rm_hamiltonian(gaussian_logprob, opts)
+        theta = jnp.array([0.4, -0.2])
+        p = jnp.array([1.0, 0.5])
+        h = float(rm.ham(theta, p, None))
+        g = np.asarray(PREC)
+        expected = (
+            -float(gaussian_logprob(theta))
+            + 0.5 * 2 * math.log(2 * math.pi)
+            + 0.5 * math.log(np.linalg.det(g))
+            + 0.5 * float(np.asarray(p) @ np.linalg.inv(g) @ np.asarray(p))
+        )
+        np.testing.assert_allclose(h, expected, rtol=1e-5)
+
+    def test_grad_p_is_g_inverse_p(self):
+        opts = RMOptions(metric=Metric.HESSIAN)
+        rm = make_rm_hamiltonian(gaussian_logprob, opts)
+        theta, p = jnp.array([0.4, -0.2]), jnp.array([1.0, 0.5])
+        expected = np.linalg.solve(np.asarray(PREC), np.asarray(p))
+        np.testing.assert_allclose(np.asarray(rm.grad_p(theta, p, None)), expected, rtol=1e-5)
+        # autodiff of H wrt p must agree
+        auto = jax.grad(rm.ham, argnums=1)(theta, p, None)
+        np.testing.assert_allclose(np.asarray(auto), expected, rtol=1e-5)
+
+    def test_momentum_sample_covariance(self, key):
+        opts = RMOptions(metric=Metric.HESSIAN)
+        rm = make_rm_hamiltonian(gaussian_logprob, opts)
+        theta = jnp.zeros(2)
+        ps = jax.vmap(lambda k: rm.sample_momentum(k, theta, None))(
+            jax.random.split(key, 20000)
+        )
+        np.testing.assert_allclose(np.asarray(jnp.cov(ps.T)), np.asarray(PREC), atol=0.1)
+
+
+class TestImplicitLeapfrog:
+    def test_reversibility_on_funnel(self):
+        """Generalized leapfrog is time-reversible when fixed points converge."""
+        opts = RMOptions(
+            metric=Metric.SOFTABS, softabs_const=10.0,
+            fixed_point_threshold=1e-12, fixed_point_max_iterations=100,
+        )
+        rm = make_rm_hamiltonian(funnel_logprob, opts)
+        theta0 = jnp.array([0.5, 0.3, -0.2, 0.1, 0.4])
+        p0 = jnp.array([0.2, -0.1, 0.3, 0.0, -0.2])
+        th, p = implicit_leapfrog(rm, opts, theta0, p0, 0.1, 10, None)
+        th_b, p_b = implicit_leapfrog(rm, opts, th, -p, 0.1, 10, None)
+        np.testing.assert_allclose(np.asarray(th_b), np.asarray(theta0), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(-p_b), np.asarray(p0), atol=1e-4)
+
+    def test_energy_conservation_gaussian(self):
+        opts = RMOptions(metric=Metric.HESSIAN, fixed_point_threshold=1e-14,
+                         fixed_point_max_iterations=50)
+        rm = make_rm_hamiltonian(gaussian_logprob, opts)
+        theta0, p0 = jnp.array([1.0, -0.5]), jnp.array([0.7, 0.3])
+        h0 = float(rm.ham(theta0, p0, None))
+        th, p = implicit_leapfrog(rm, opts, theta0, p0, 0.05, 100, None)
+        h1 = float(rm.ham(th, p, None))
+        assert abs(h1 - h0) < 1e-2
+
+
+class TestRMHMCStatistics:
+    def test_implicit_gaussian_moments(self, key):
+        config = MCMCConfig(num_samples=600, num_steps_per_sample=8, step_size=0.3)
+        result = run_rmhmc(
+            key, gaussian_logprob, jnp.zeros(2), config,
+            integrator=Integrator.IMPLICIT,
+            fixed_point_threshold=1e-10, fixed_point_max_iterations=20,
+        )
+        samples = np.asarray(result.samples[100:])
+        cov_target = np.linalg.inv(np.asarray(PREC))
+        np.testing.assert_allclose(samples.mean(0), [0, 0], atol=0.15)
+        np.testing.assert_allclose(np.cov(samples.T), cov_target, atol=0.2)
+        assert float(result.acc_rate) > 0.8
+
+    def test_explicit_gaussian_moments(self, key):
+        config = MCMCConfig(num_samples=600, num_steps_per_sample=8, step_size=0.3)
+        result = run_rmhmc(
+            key, gaussian_logprob, jnp.zeros(2), config,
+            integrator=Integrator.EXPLICIT, explicit_binding_const=100.0,
+        )
+        samples = np.asarray(result.samples[100:])
+        cov_target = np.linalg.inv(np.asarray(PREC))
+        np.testing.assert_allclose(samples.mean(0), [0, 0], atol=0.15)
+        np.testing.assert_allclose(np.cov(samples.T), cov_target, atol=0.25)
+        assert float(result.acc_rate) > 0.7
+
+    def test_softabs_funnel_runs(self, key):
+        """Notebook config 28: implicit RMHMC + softabs on the funnel."""
+        config = MCMCConfig(num_samples=25, num_steps_per_sample=10, step_size=0.1)
+        result = run_rmhmc(
+            key, funnel_logprob, jnp.zeros(5) + 0.1, config,
+            integrator=Integrator.IMPLICIT, metric=Metric.SOFTABS,
+            softabs_const=10.0, fixed_point_threshold=1e-8,
+            fixed_point_max_iterations=10,
+        )
+        assert bool(jnp.all(jnp.isfinite(result.samples)))
+        assert float(result.acc_rate) > 0.2
+
+    def test_jacobian_diag_with_jitter(self, key):
+        config = MCMCConfig(num_samples=200, num_steps_per_sample=5, step_size=0.1)
+        result = run_rmhmc(
+            key, gaussian_logprob, jnp.ones(2), config,
+            integrator=Integrator.IMPLICIT, metric=Metric.JACOBIAN_DIAG,
+            jitter=0.5, fixed_point_max_iterations=10,
+        )
+        assert bool(jnp.all(jnp.isfinite(result.samples)))
+
+    def test_api_rmhmc(self, key):
+        samples = ht.sample(
+            gaussian_logprob, jnp.zeros(2), num_samples=50,
+            num_steps_per_sample=5, step_size=0.2,
+            sampler=ht.Sampler.RMHMC, integrator=Integrator.IMPLICIT,
+            fixed_point_max_iterations=10, fixed_point_threshold=1e-8,
+            key=key, verbose=False,
+        )
+        assert samples.shape == (50, 2)
+
+    def test_api_rmhmc_rejects_pass_grad(self):
+        with pytest.raises(RuntimeError):
+            ht.sample(
+                gaussian_logprob, jnp.zeros(2), num_samples=10,
+                sampler=ht.Sampler.RMHMC, pass_grad=lambda t: -t,
+            )
