@@ -1,0 +1,64 @@
+"""Headline benchmark: leapfrog gradient-steps/sec on the flagship BNN.
+
+BASELINE.json north star: >= 10,000 leapfrog grad-steps/sec on a
+100k-parameter BNN with 64 vmapped chains on one v5e chip.  The reference
+anchor is ~1.8k grad-steps/sec single-chain on a ~15-param model
+(BASELINE.md, derived from the Bayesian_NN notebook).
+
+Prints ONE JSON line; vs_baseline is measured value / 10,000 (the
+north-star target), so vs_baseline >= 1.0 means the target is met.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from hamiltorch_tpu.models.flagship import make_flagship_potential
+    from hamiltorch_tpu.samplers.driver import MCMCConfig
+    from hamiltorch_tpu.samplers.hmc import run_hmc_chains
+
+    num_chains = 64
+    num_samples = 100
+    num_steps = 50
+
+    log_prob_fn, theta0 = make_flagship_potential()
+    config = MCMCConfig(
+        num_samples=num_samples, num_steps_per_sample=num_steps, step_size=2e-4
+    )
+    key = jax.random.key(42)
+
+    def run():
+        result = run_hmc_chains(key, log_prob_fn, theta0, config, num_chains=num_chains)
+        jax.block_until_ready(result.samples)
+        return result
+
+    result = run()  # compile + warm up
+    t0 = time.perf_counter()
+    result = run()
+    dt = time.perf_counter() - t0
+
+    grad_steps = num_chains * num_samples * num_steps
+    rate = grad_steps / dt
+    acc = float(jnp.mean(result.stats.accepted))
+    print(
+        json.dumps(
+            {
+                "metric": "leapfrog_grad_steps_per_sec (100k-param BNN, 64 chains, 1 chip)",
+                "value": round(rate, 1),
+                "unit": "grad-steps/sec",
+                "vs_baseline": round(rate / 10000.0, 3),
+            }
+        )
+    )
+    print(f"# acc_rate={acc:.3f} wall={dt:.2f}s device={jax.devices()[0].device_kind}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

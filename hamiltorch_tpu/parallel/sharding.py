@@ -1,0 +1,163 @@
+"""Device-mesh sharding: chain-parallel and data-parallel sampling.
+
+The reference has no distributed backend at all (SURVEY.md §2/§5: no
+torch.distributed/NCCL/MPI anywhere).  This module is the TPU-native scale
+story designed in SURVEY.md §7: a 2-D ``jax.sharding.Mesh`` with a
+``chains`` axis (independent chains, zero communication — the DP analogue)
+and a ``data`` axis (likelihood sharded over the dataset, per-shard
+log-likelihoods and their gradients reduced with ``psum`` over ICI — the
+data/sequence-parallel analogue of the reference's minibatch Hamiltonian
+splitting, samplers.py:1203-1258, but exact rather than approximate).
+
+Everything is ``shard_map`` over the mesh: each device runs its local
+chains against its local data shard; the only collective in the hot loop is
+one scalar psum per potential evaluation (plus the psum of the gradient
+that AD inserts), riding ICI.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.mass import make_mass
+from ..samplers.driver import MCMCConfig, MCMCResult
+from ..samplers.hmc import _run_hmc_jit
+
+
+def make_mesh(chains: int = 1, data: int = 1, devices=None) -> Mesh:
+    """Build a (chains, data) mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    if chains * data != len(devices):
+        raise ValueError(
+            f"mesh {chains}x{data} needs {chains * data} devices, have {len(devices)}"
+        )
+    import numpy as np
+
+    return Mesh(np.asarray(devices).reshape(chains, data), ("chains", "data"))
+
+
+def sample_chains_sharded(
+    key,
+    loglik_shard_fn: Callable,
+    log_prior_fn: Callable,
+    x,
+    y,
+    theta0,
+    config: MCMCConfig,
+    mesh: Mesh,
+    num_chains: int,
+    inv_mass=None,
+) -> MCMCResult:
+    """HMC chains sharded over ``mesh``'s 'chains' axis with the likelihood
+    sharded over its 'data' axis.
+
+    ``loglik_shard_fn(theta, x_shard, y_shard)`` must return the summed
+    log-likelihood of its shard; the full potential is
+    ``log_prior_fn(theta) + psum_data(loglik_shard_fn(...))`` — exact
+    full-batch HMC on datasets larger than one device's memory.
+
+    ``theta0``: (D,) broadcast or (num_chains, D).  num_chains must divide
+    by the mesh 'chains' size.
+    """
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    keys = jax.random.split(key, num_chains)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+
+    n_chain_shards = mesh.shape["chains"]
+    if num_chains % n_chain_shards:
+        raise ValueError(f"num_chains={num_chains} not divisible by mesh chains={n_chain_shards}")
+
+    def local(keys_l, thetas_l, x_shard, y_shard):
+        # The naive `psum(loglik(theta, shard))` has the WRONG gradient under
+        # shard_map AD: psum's transpose re-psums the cotangent, yielding
+        # n_devices * local_grad instead of the replicated total gradient.
+        # Pair value and gradient explicitly: one fused local value_and_grad
+        # followed by one psum of each — the only collectives in the loop.
+        @jax.custom_vjp
+        def summed_ll(theta):
+            return jax.lax.psum(loglik_shard_fn(theta, x_shard, y_shard), "data")
+
+        def summed_ll_fwd(theta):
+            val, grad = jax.value_and_grad(
+                lambda t: loglik_shard_fn(t, x_shard, y_shard)
+            )(theta)
+            return jax.lax.psum(val, "data"), jax.lax.psum(grad, "data")
+
+        def summed_ll_bwd(grad_total, ct):
+            return (ct * grad_total,)
+
+        summed_ll.defvjp(summed_ll_fwd, summed_ll_bwd)
+
+        def log_prob(theta):
+            return log_prior_fn(theta) + summed_ll(theta)
+
+        return jax.vmap(
+            lambda k, t: _run_hmc_jit(k, t, log_prob, config, mass)
+        )(keys_l, thetas_l)
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("chains"), P("chains", None), P("data"), P("data")),
+        out_specs=MCMCResult(
+            samples=P("chains", None, None),
+            stats=jax.tree_util.tree_map(lambda _: P("chains", None), _stats_spec()),
+            final_step_size=P("chains"),
+            acc_rate=P("chains"),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(shard)(keys, theta0, x, y)
+
+
+def _stats_spec():
+    from ..samplers.driver import MCMCStats
+
+    return MCMCStats(*([0] * len(MCMCStats._fields)))
+
+
+def run_hmc_chains_sharded(
+    key,
+    log_prob_fn: Callable,
+    theta0,
+    config: MCMCConfig,
+    mesh: Mesh,
+    num_chains: int,
+    inv_mass=None,
+) -> MCMCResult:
+    """Chain-only sharding: replicate the potential, shard chains over the
+    whole mesh (both axes flattened).  Zero communication."""
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    keys = jax.random.split(key, num_chains)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+
+    axes = tuple(mesh.axis_names)
+
+    def local(keys_l, thetas_l):
+        return jax.vmap(
+            lambda k, t: _run_hmc_jit(k, t, log_prob_fn, config, mass)
+        )(keys_l, thetas_l)
+
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes), P(axes, None)),
+        out_specs=MCMCResult(
+            samples=P(axes, None, None),
+            stats=jax.tree_util.tree_map(lambda _: P(axes, None), _stats_spec()),
+            final_step_size=P(axes),
+            acc_rate=P(axes),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(shard)(keys, theta0)

@@ -1,0 +1,105 @@
+"""Mesh-sharding tests on the virtual 8-device CPU backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hamiltorch_tpu.parallel.sharding import (
+    make_mesh,
+    run_hmc_chains_sharded,
+    sample_chains_sharded,
+)
+from hamiltorch_tpu.samplers.driver import MCMCConfig
+from hamiltorch_tpu.samplers.hmc import run_hmc_chains
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def std_normal(theta):
+    return -0.5 * jnp.dot(theta, theta)
+
+
+class TestChainSharding:
+    def test_sharded_chains_match_vmap(self, key):
+        config = MCMCConfig(num_samples=20, num_steps_per_sample=5, step_size=0.2)
+        mesh = make_mesh(chains=8, data=1)
+        r_shard = run_hmc_chains_sharded(
+            key, std_normal, jnp.zeros(3), config, mesh, num_chains=16
+        )
+        r_vmap = run_hmc_chains(key, std_normal, jnp.zeros(3), config, num_chains=16)
+        np.testing.assert_allclose(
+            np.asarray(r_shard.samples), np.asarray(r_vmap.samples), atol=1e-5
+        )
+
+    def test_sharded_moments(self, key):
+        config = MCMCConfig(num_samples=400, num_steps_per_sample=10, step_size=0.3)
+        mesh = make_mesh(chains=4, data=2)
+        result = run_hmc_chains_sharded(
+            key, std_normal, jnp.zeros(2), config, mesh, num_chains=8
+        )
+        assert result.samples.shape == (8, 400, 2)
+        pooled = np.asarray(result.samples[:, 100:]).reshape(-1, 2)
+        np.testing.assert_allclose(pooled.mean(0), [0, 0], atol=0.15)
+        np.testing.assert_allclose(pooled.std(0), [1, 1], atol=0.2)
+
+
+class TestDataSharding:
+    def setup_method(self, _):
+        rng = np.random.RandomState(0)
+        self.x = rng.randn(64, 3).astype(np.float32)
+        self.w_true = np.array([1.0, -2.0, 0.5], np.float32)
+        self.y = (self.x @ self.w_true + 0.1 * rng.randn(64)).astype(np.float32)
+
+    def loglik_shard(self, theta, x_shard, y_shard, tau=100.0):
+        pred = x_shard @ theta
+        return -0.5 * tau * jnp.sum((pred - y_shard) ** 2)
+
+    def log_prior(self, theta):
+        return -0.5 * jnp.dot(theta, theta)
+
+    def full_log_prob(self, theta):
+        return self.log_prior(theta) + self.loglik_shard(theta, jnp.asarray(self.x), jnp.asarray(self.y))
+
+    def test_data_sharded_matches_fullbatch(self, key):
+        """Same keys -> same chains; a tame posterior (tau=1) keeps f32
+        summation-order noise from amplifying chaotically over steps."""
+        tame_ll = lambda t, xs, ys: self.loglik_shard(t, xs, ys, tau=1.0)
+        tame_full = lambda t: self.log_prior(t) + tame_ll(
+            t, jnp.asarray(self.x), jnp.asarray(self.y)
+        )
+        config = MCMCConfig(num_samples=5, num_steps_per_sample=3, step_size=0.01)
+        mesh = make_mesh(chains=2, data=4)
+        r_shard = sample_chains_sharded(
+            key, tame_ll, self.log_prior, self.x, self.y,
+            jnp.zeros(3), config, mesh, num_chains=4,
+        )
+        r_full = run_hmc_chains(key, tame_full, jnp.zeros(3), config, num_chains=4)
+        np.testing.assert_allclose(
+            np.asarray(r_shard.samples), np.asarray(r_full.samples), atol=1e-4
+        )
+
+    def test_data_sharded_posterior_concentrates(self, key):
+        config = MCMCConfig(num_samples=300, num_steps_per_sample=10, step_size=0.01)
+        mesh = make_mesh(chains=2, data=4)
+        result = sample_chains_sharded(
+            key, self.loglik_shard, self.log_prior, self.x, self.y,
+            jnp.zeros(3), config, mesh, num_chains=4,
+        )
+        post_mean = np.asarray(result.samples[:, 100:]).reshape(-1, 3).mean(0)
+        np.testing.assert_allclose(post_mean, self.w_true, atol=0.1)
+
+    def test_bad_mesh_shape_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(chains=3, data=2)
+
+    def test_chains_not_divisible_raises(self, key):
+        config = MCMCConfig(num_samples=5)
+        mesh = make_mesh(chains=4, data=2)
+        with pytest.raises(ValueError):
+            sample_chains_sharded(
+                key, self.loglik_shard, self.log_prior, self.x, self.y,
+                jnp.zeros(3), config, mesh, num_chains=6,
+            )
