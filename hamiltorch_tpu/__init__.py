@@ -19,6 +19,8 @@ from .api import sample
 from .enums import Integrator, Metric, Sampler
 from .samplers.driver import MCMCConfig, MCMCResult, MCMCStats
 from .samplers.hmc import run_hmc, run_hmc_chains
+from .samplers.nuts import NUTSConfig, run_nuts, run_nuts_chains
+from .samplers.rmhmc import run_rmhmc
 from .utils.rng import next_key, set_random_seed
 
 __all__ = [
@@ -33,6 +35,10 @@ __all__ = [
     "next_key",
     "run_hmc",
     "run_hmc_chains",
+    "run_nuts",
+    "run_nuts_chains",
+    "run_rmhmc",
+    "NUTSConfig",
     "MCMCConfig",
     "MCMCResult",
     "MCMCStats",

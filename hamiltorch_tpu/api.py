@@ -72,9 +72,9 @@ def sample(
     if key is None:
         key = next_key()
 
-    adapt = sampler == Sampler.HMC_NUTS
-    if adapt and burn == 0:
+    if sampler == Sampler.HMC_NUTS and burn == 0:
         raise RuntimeError("burn must be greater than 0 for NUTS.")
+    adapt = sampler == Sampler.HMC_NUTS or (sampler == Sampler.NUTS and burn > 0)
 
     config = MCMCConfig(
         num_samples=num_samples,
@@ -85,7 +85,21 @@ def sample(
         desired_accept_rate=desired_accept_rate,
     )
 
-    if sampler in (Sampler.HMC, Sampler.HMC_NUTS) and integrator not in _SPLITTING:
+    if sampler == Sampler.NUTS:
+        from .samplers.nuts import NUTSConfig, run_nuts
+
+        nuts_config = NUTSConfig(
+            num_samples=num_samples,
+            step_size=step_size,
+            burn=max(burn, 0),
+            adapt_step_size=burn > 0,
+            desired_accept_rate=desired_accept_rate,
+        )
+        result, _ = run_nuts(
+            key, log_prob_func, params_init, nuts_config,
+            inv_mass=inv_mass, pass_grad=pass_grad,
+        )
+    elif sampler in (Sampler.HMC, Sampler.HMC_NUTS) and integrator not in _SPLITTING:
         result = run_hmc(
             key, log_prob_func, params_init, config,
             inv_mass=inv_mass, pass_grad=pass_grad,

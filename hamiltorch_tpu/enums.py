@@ -13,7 +13,8 @@ from enum import Enum
 class Sampler(Enum):
     HMC = 1
     RMHMC = 2
-    HMC_NUTS = 3
+    HMC_NUTS = 3  # reference semantics: HMC + dual-averaging step size only
+    NUTS = 4  # extension: true tree-doubling NUTS (samplers/nuts.py)
 
 
 class Integrator(Enum):

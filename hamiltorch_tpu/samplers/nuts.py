@@ -1,0 +1,419 @@
+"""True tree-doubling NUTS (multinomial, iterative).
+
+The reference's "HMC_NUTS" adapts only the step size — README.md:9
+"currently adapts step-size only"; there is no U-turn criterion or tree
+building anywhere in the reference.  This module is the BASELINE.json
+north-star extension: dynamic trajectory lengths via the No-U-Turn
+criterion (Hoffman & Gelman 2014) with multinomial state selection and
+biased progressive sampling (Betancourt 2017, app. A), compiled entirely
+to ``lax.while_loop``s so the whole sampler remains one XLA program.
+
+Recursion-free subtree construction: leaves are added left-to-right and
+U-turn checks run over every complete dyadic interval.  A start position
+``a`` is stored in checkpoint slot ``popcount(a)`` — among starts alive at
+the same time the popcounts are strictly increasing (any live ``a2 > a1``
+lies inside ``a1``'s longest interval, so its binary extends ``a1``'s), so
+``max_tree_depth + 1`` slots suffice and no live entry is overwritten.
+This is the iterative scheme of Phan & Pradhan (NumPyro's NUTS); the
+implementation here is written from the dyadic-interval invariant above.
+
+Directionality: a backward expansion integrates with step ``-eps``; all
+U-turn checks use ``dir * p`` so the criterion is evaluated in physical
+time order, and the mass matrix enters through velocities
+(theta+ - theta-) . M^{-1} p as in Stan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.mass import MassOperator, make_mass
+from ..ops.potential import make_log_prob
+from .adaptation import DualAveragingState, da_init, da_update
+from .driver import MCMCResult, MCMCStats
+
+DIVERGENCE_THRESHOLD = 1000.0
+
+
+@dataclasses.dataclass(frozen=True)
+class NUTSConfig:
+    num_samples: int
+    step_size: float = 0.1
+    burn: int = 0
+    max_tree_depth: int = 10
+    adapt_step_size: bool = True
+    desired_accept_rate: float = 0.8
+    adapt_mass: bool = False  # diagonal mass from warmup samples (see run_nuts)
+
+
+class _End(NamedTuple):
+    """One trajectory end: position, momentum, cached potential eval."""
+
+    theta: jnp.ndarray
+    p: jnp.ndarray
+    logp: jnp.ndarray
+    grad: jnp.ndarray
+
+
+def _popcount(x: jnp.ndarray) -> jnp.ndarray:
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
+
+
+def _single_step(vg, mass, end: _End, eps) -> _End:
+    p_half = end.p + 0.5 * eps * end.grad
+    theta = end.theta + eps * mass.velocity(p_half)
+    logp, grad = vg(theta)
+    p = p_half + 0.5 * eps * grad
+    return _End(theta, p, logp, grad)
+
+
+def _is_uturn(mass, theta_minus, p_minus, theta_plus, p_plus):
+    """True when either end's velocity points back across the span."""
+    dtheta = theta_plus - theta_minus
+    return (jnp.dot(dtheta, mass.velocity(p_minus)) < 0) | (
+        jnp.dot(dtheta, mass.velocity(p_plus)) < 0
+    )
+
+
+class _Subtree(NamedTuple):
+    end: _End  # outgoing edge of the subtree (integration order)
+    theta_prop: jnp.ndarray
+    logp_prop: jnp.ndarray
+    grad_prop: jnp.ndarray
+    log_weight: jnp.ndarray  # logsumexp of H0 - H over leaves
+    sum_alpha: jnp.ndarray
+    num_alpha: jnp.ndarray
+    turning: jnp.ndarray
+    diverging: jnp.ndarray
+    num_steps: jnp.ndarray
+
+
+def _build_subtree(
+    key, vg, mass, start: _End, depth, direction, eps, h0, max_depth: int
+):
+    """Integrate 2^depth leaves from ``start`` in ``direction``.
+
+    ``depth`` is traced; the loop is a while_loop bounded by 2^depth with
+    early exit on U-turn/divergence.
+    """
+    d_model = start.theta.shape[0]
+    signed_eps = eps * direction
+    n_leaves = jnp.int32(1) << depth
+
+    ck_theta = jnp.zeros((max_depth + 1, d_model), start.theta.dtype)
+    ck_p = jnp.zeros((max_depth + 1, d_model), start.theta.dtype)
+
+    init = _Subtree(
+        end=start,
+        theta_prop=start.theta,
+        logp_prop=start.logp,
+        grad_prop=start.grad,
+        log_weight=-jnp.inf,
+        sum_alpha=jnp.zeros(()),
+        num_alpha=jnp.zeros((), jnp.int32),
+        turning=jnp.asarray(False),
+        diverging=jnp.asarray(False),
+        num_steps=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(carry):
+        s, tree, _, _, _ = carry
+        return (s < n_leaves) & ~tree.turning & ~tree.diverging
+
+    def body(carry):
+        s, tree, ck_theta, ck_p, key = carry
+        key, k_sel = jax.random.split(key)
+        leaf = _single_step(vg, mass, tree.end, signed_eps)
+        h = -leaf.logp + mass.kinetic(leaf.p)
+        delta = h0 - h  # log leaf weight
+        diverging = ~jnp.isfinite(delta) | (delta < -DIVERGENCE_THRESHOLD)
+        delta_safe = jnp.where(diverging, -jnp.inf, delta)
+
+        # progressive multinomial proposal within the subtree
+        new_log_w = jnp.logaddexp(tree.log_weight, delta_safe)
+        p_take = jnp.exp(delta_safe - new_log_w)  # w_leaf / w_subtree
+        take = jax.random.uniform(k_sel, ()) < p_take
+        theta_prop = jnp.where(take, leaf.theta, tree.theta_prop)
+        logp_prop = jnp.where(take, leaf.logp, tree.logp_prop)
+        grad_prop = jnp.where(take, leaf.grad, tree.grad_prop)
+
+        alpha = jnp.minimum(1.0, jnp.exp(jnp.where(jnp.isfinite(delta), delta, -jnp.inf)))
+
+        # checkpoint even positions; slot = popcount(s) is collision-free
+        slot = _popcount(s)
+        is_even = (s & 1) == 0
+        ck_theta = jnp.where(is_even, ck_theta.at[slot].set(leaf.theta), ck_theta)
+        ck_p = jnp.where(is_even, ck_p.at[slot].set(leaf.p), ck_p)
+
+        # U-turn over every dyadic interval ending at s: [a, s] with
+        # a = s - 2^k + 1 whenever 2^k divides s+1.
+        def check_k(k, turning):
+            size = jnp.int32(1) << k
+            applies = ((s + 1) % size == 0) & (size <= s + 1)
+            a = s - size + 1
+            th_a = ck_theta[_popcount(a)]
+            p_a = ck_p[_popcount(a)]
+            turn = _is_uturn(
+                mass, th_a, direction * p_a, leaf.theta, direction * leaf.p
+            )
+            return turning | (applies & turn)
+
+        turning = jax.lax.fori_loop(1, max_depth + 1, check_k, tree.turning)
+
+        tree = _Subtree(
+            end=leaf,
+            theta_prop=theta_prop,
+            logp_prop=logp_prop,
+            grad_prop=grad_prop,
+            log_weight=new_log_w,
+            sum_alpha=tree.sum_alpha + alpha,
+            num_alpha=tree.num_alpha + 1,
+            turning=turning,
+            diverging=diverging,
+            num_steps=tree.num_steps + 1,
+        )
+        return (s + 1, tree, ck_theta, ck_p, key)
+
+    _, tree, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), init, ck_theta, ck_p, key)
+    )
+    return tree
+
+
+class NUTSInfo(NamedTuple):
+    accept_prob: jnp.ndarray  # mean leaf acceptance statistic (for adaptation)
+    divergent: jnp.ndarray
+    tree_depth: jnp.ndarray
+    num_leapfrogs: jnp.ndarray
+    energy: jnp.ndarray
+    step_size: jnp.ndarray
+
+
+def nuts_transition(vg, mass: MassOperator, max_depth: int):
+    """One NUTS draw: (key, (theta, logp, grad), step_size) -> next state."""
+
+    def transition(key, theta, logp, grad, step_size):
+        key, k_mom = jax.random.split(key)
+        p0 = mass.sample(k_mom, dtype=theta.dtype)
+        h0 = -logp + mass.kinetic(p0)
+
+        left = _End(theta, p0, logp, grad)
+        right = left
+
+        class Carry(NamedTuple):
+            depth: jnp.ndarray
+            left: _End
+            right: _End
+            theta_prop: jnp.ndarray
+            logp_prop: jnp.ndarray
+            grad_prop: jnp.ndarray
+            log_weight: jnp.ndarray
+            sum_alpha: jnp.ndarray
+            num_alpha: jnp.ndarray
+            num_steps: jnp.ndarray
+            turning: jnp.ndarray
+            diverging: jnp.ndarray
+            key: jax.Array
+
+        init = Carry(
+            depth=jnp.zeros((), jnp.int32),
+            left=left,
+            right=right,
+            theta_prop=theta,
+            logp_prop=logp,
+            grad_prop=grad,
+            log_weight=jnp.zeros(()),  # the initial state has weight exp(0)
+            sum_alpha=jnp.zeros(()),
+            num_alpha=jnp.zeros((), jnp.int32),
+            num_steps=jnp.zeros((), jnp.int32),
+            turning=jnp.asarray(False),
+            diverging=jnp.asarray(False),
+            key=key,
+        )
+
+        def cond(c: Carry):
+            return (c.depth < max_depth) & ~c.turning & ~c.diverging
+
+        def body(c: Carry):
+            key, k_dir, k_sub, k_merge = jax.random.split(c.key, 4)
+            go_right = jax.random.bernoulli(k_dir)
+            direction = jnp.where(go_right, 1.0, -1.0).astype(theta.dtype)
+            start = jax.tree_util.tree_map(
+                lambda r, l: jnp.where(go_right, r, l), c.right, c.left
+            )
+            sub = _build_subtree(
+                k_sub, vg, mass, start, c.depth, direction, step_size, h0, max_depth
+            )
+
+            invalid = sub.turning | sub.diverging
+            # biased progressive merge: take the new subtree's proposal with
+            # prob min(1, W_new / W_old) when the subtree is valid
+            log_ratio = sub.log_weight - c.log_weight
+            take = (~invalid) & (
+                jnp.log(jax.random.uniform(k_merge, ())) < log_ratio
+            )
+            theta_prop = jnp.where(take, sub.theta_prop, c.theta_prop)
+            logp_prop = jnp.where(take, sub.logp_prop, c.logp_prop)
+            grad_prop = jnp.where(take, sub.grad_prop, c.grad_prop)
+            log_weight = jnp.where(
+                invalid, c.log_weight, jnp.logaddexp(c.log_weight, sub.log_weight)
+            )
+
+            # advance the chosen end only when the subtree is valid
+            def pick(new, old):
+                return jnp.where(invalid, old, new)
+
+            new_right = jax.tree_util.tree_map(
+                lambda s_, r_: jnp.where(go_right, pick(s_, r_), r_), sub.end, c.right
+            )
+            new_left = jax.tree_util.tree_map(
+                lambda s_, l_: jnp.where(go_right, l_, pick(s_, l_)), sub.end, c.left
+            )
+
+            # top-level U-turn across the full trajectory
+            top_turn = _is_uturn(
+                mass, new_left.theta, new_left.p, new_right.theta, new_right.p
+            )
+
+            return Carry(
+                depth=c.depth + 1,
+                left=new_left,
+                right=new_right,
+                theta_prop=theta_prop,
+                logp_prop=logp_prop,
+                grad_prop=grad_prop,
+                log_weight=log_weight,
+                sum_alpha=c.sum_alpha + sub.sum_alpha,
+                num_alpha=c.num_alpha + sub.num_alpha,
+                num_steps=c.num_steps + sub.num_steps,
+                turning=sub.turning | top_turn,
+                diverging=sub.diverging,
+                key=key,
+            )
+
+        final = jax.lax.while_loop(cond, body, init)
+
+        info = NUTSInfo(
+            accept_prob=final.sum_alpha / jnp.maximum(final.num_alpha, 1),
+            divergent=final.diverging,
+            tree_depth=final.depth,
+            num_leapfrogs=final.num_steps,
+            energy=h0,
+            step_size=step_size,
+        )
+        return final.theta_prop, final.logp_prop, final.grad_prop, info
+
+    return transition
+
+
+@partial(jax.jit, static_argnames=("log_prob_fn", "config"))
+def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass):
+    vg = jax.value_and_grad(log_prob_fn)
+    transition = nuts_transition(vg, mass, config.max_tree_depth)
+    logp0, grad0 = vg(theta0)
+    da0 = da_init(config.step_size, dtype=theta0.dtype)
+
+    def step(carry, n):
+        theta, logp, grad, da, key = carry
+        key, sub = jax.random.split(key)
+        theta, logp, grad, info = transition(sub, theta, logp, grad, da.step_size)
+
+        if config.adapt_step_size:
+            # dual averaging on the mean leaf acceptance statistic
+            da_upd = da_update(
+                da,
+                jnp.log(jnp.maximum(info.accept_prob, 1e-10)),
+                n,
+                desired_accept_rate=config.desired_accept_rate,
+            )
+            adapting = n < config.burn
+            da = DualAveragingState(
+                step_size=jnp.where(
+                    adapting,
+                    da_upd.step_size,
+                    jnp.where(n == config.burn, jnp.exp(da.log_eps_bar), da.step_size),
+                ),
+                log_eps_bar=jnp.where(adapting, da_upd.log_eps_bar, da.log_eps_bar),
+                h_t=jnp.where(adapting, da_upd.h_t, da.h_t),
+                mu=da.mu,
+            )
+
+        return (theta, logp, grad, da, key), (theta, info)
+
+    (_, _, _, da_f, _), (thetas, infos) = jax.lax.scan(
+        step,
+        (theta0, logp0, grad0, da0, key),
+        jnp.arange(config.num_samples),
+    )
+    stats = MCMCStats(
+        accept_prob=infos.accept_prob,
+        accepted=infos.accept_prob > 0.5,  # no MH reject in NUTS; heuristic flag
+        divergent=infos.divergent,
+        energy_old=infos.energy,
+        energy_new=infos.energy,
+        step_size=infos.step_size,
+    )
+    return (
+        MCMCResult(
+            samples=thetas,
+            stats=stats,
+            final_step_size=da_f.step_size,
+            acc_rate=jnp.mean(infos.accept_prob),
+        ),
+        infos,
+    )
+
+
+def run_nuts(
+    key,
+    log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    theta0,
+    config: NUTSConfig,
+    inv_mass=None,
+    pass_grad=None,
+):
+    """Sample with tree-doubling NUTS.  Returns (MCMCResult, NUTSInfo).
+
+    With ``config.adapt_mass`` a second pass reruns sampling with a
+    diagonal inverse mass estimated from the warmup draws (a lightweight
+    windowed-adaptation stand-in; the two-pass structure keeps each pass a
+    single compiled scan).
+    """
+    theta0 = jnp.asarray(theta0)
+    lp = make_log_prob(log_prob_fn, pass_grad)
+    mass = make_mass(inv_mass, theta0.shape[0])
+    result, info = _run_nuts_jit(key, theta0, lp, config, mass)
+    if config.adapt_mass and config.burn > 0:
+        warm = result.samples[config.burn // 2 : config.burn]
+        est_var = jnp.clip(jnp.var(warm, axis=0), 1e-6, 1e6)
+        mass2 = make_mass(est_var, theta0.shape[0])  # inv_mass = posterior var
+        key2 = jax.random.fold_in(key, 1)
+        theta_warm = result.samples[config.burn]
+        result, info = _run_nuts_jit(key2, theta_warm, lp, config, mass2)
+    return result, info
+
+
+def run_nuts_chains(
+    key,
+    log_prob_fn,
+    theta0,
+    config: NUTSConfig,
+    num_chains: int,
+    inv_mass=None,
+):
+    """Vectorised independent NUTS chains via vmap."""
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    keys = jax.random.split(key, num_chains)
+    lp = make_log_prob(log_prob_fn, None)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+    return jax.vmap(lambda k, t: _run_nuts_jit(k, t, lp, config, mass))(keys, theta0)

@@ -1,0 +1,121 @@
+"""Tree-doubling NUTS tests: dyadic machinery, statistics, adaptation,
+tree-termination behaviour."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hamiltorch_tpu.samplers.nuts import (
+    NUTSConfig,
+    _popcount,
+    run_nuts,
+    run_nuts_chains,
+)
+
+COV = np.array([[1.0, 0.9], [0.9, 1.0]])
+PREC = np.linalg.inv(COV)
+
+
+def corr_gaussian(theta):
+    return -0.5 * theta @ jnp.asarray(PREC, jnp.float32) @ theta
+
+
+def funnel(theta):
+    v, x = theta[0], theta[1:]
+    return -0.5 * v**2 / 9.0 - 0.5 * jnp.sum(x**2) * jnp.exp(-v) - 0.5 * (theta.shape[0] - 1) * v
+
+
+class TestPopcount:
+    def test_matches_python(self):
+        vals = jnp.arange(0, 1024, dtype=jnp.int32)
+        expected = np.array([bin(int(v)).count("1") for v in np.asarray(vals)])
+        np.testing.assert_array_equal(np.asarray(jax.vmap(_popcount)(vals)), expected)
+
+
+class TestNUTSStatistics:
+    def test_correlated_gaussian_moments(self, key):
+        config = NUTSConfig(num_samples=2000, step_size=0.5, burn=500)
+        result, info = run_nuts_chains(key, corr_gaussian, jnp.zeros(2), config, num_chains=4)
+        samples = np.asarray(result.samples[:, 500:]).reshape(-1, 2)
+        np.testing.assert_allclose(samples.mean(0), [0, 0], atol=0.1)
+        np.testing.assert_allclose(np.cov(samples.T), COV, atol=0.12)
+
+    def test_tree_depth_dynamic(self, key):
+        """Trees must actually terminate via U-turns, not the depth cap."""
+        config = NUTSConfig(num_samples=300, step_size=0.25, burn=100, max_tree_depth=10)
+        result, info = run_nuts(key, corr_gaussian, jnp.zeros(2), config)
+        depths = np.asarray(info.tree_depth[100:])
+        assert depths.mean() > 1.0  # trajectories longer than plain 1-step
+        assert depths.max() < 10  # U-turn fires before the cap
+        assert np.asarray(info.num_leapfrogs[100:]).max() <= 2**10
+
+    def test_adaptation_targets_accept_rate(self, key):
+        config = NUTSConfig(num_samples=1200, step_size=2.0, burn=600,
+                            desired_accept_rate=0.8)
+        result, info = run_nuts(key, corr_gaussian, jnp.zeros(2), config)
+        post_alpha = float(np.asarray(info.accept_prob[600:]).mean())
+        assert 0.6 < post_alpha < 0.95
+        # step size frozen after burn
+        ss = np.asarray(info.step_size)
+        assert np.allclose(ss[602:], ss[602])
+
+    def test_funnel_explores_neck(self, key):
+        """Dynamic trajectories reach the funnel's wide mouth (v > 2) and
+        the neck (v < -2); fixed-L HMC at one step size typically cannot."""
+        config = NUTSConfig(num_samples=2500, step_size=0.2, burn=500, max_tree_depth=10)
+        result, info = run_nuts(key, funnel, jnp.zeros(6), config)
+        v = np.asarray(result.samples[500:, 0])
+        assert v.max() > 2.0 and v.min() < -2.0
+        assert abs(v.mean()) < 1.0
+        assert v.std() > 1.5  # true std is 3
+
+    def test_divergences_flagged_on_huge_step(self, key):
+        config = NUTSConfig(num_samples=100, step_size=100.0, burn=0,
+                            adapt_step_size=False)
+        result, info = run_nuts(key, funnel, 0.1 * jnp.ones(4), config)
+        assert int(np.asarray(info.divergent).sum()) > 0
+        assert bool(jnp.all(jnp.isfinite(result.samples)))
+
+    def test_deterministic_given_key(self, key):
+        config = NUTSConfig(num_samples=50, step_size=0.5, burn=10)
+        r1, _ = run_nuts(key, corr_gaussian, jnp.zeros(2), config)
+        r2, _ = run_nuts(key, corr_gaussian, jnp.zeros(2), config)
+        np.testing.assert_array_equal(np.asarray(r1.samples), np.asarray(r2.samples))
+
+    def test_mass_matrix_adaptation_improves_scale(self, key):
+        """With adapt_mass the second pass uses warmup variances; on a badly
+        scaled Gaussian the adapted run should mix in the narrow direction."""
+        scales = jnp.array([0.1, 10.0])
+
+        def lp(theta):
+            return -0.5 * jnp.sum((theta / scales) ** 2)
+
+        config = NUTSConfig(num_samples=1200, step_size=0.5, burn=600, adapt_mass=True)
+        result, _ = run_nuts(key, lp, jnp.zeros(2), config)
+        s = np.asarray(result.samples[700:])
+        np.testing.assert_allclose(s.std(0), [0.1, 10.0], rtol=0.35)
+
+
+class TestNUTSChains:
+    def test_vmapped_chains(self, key):
+        config = NUTSConfig(num_samples=400, step_size=0.5, burn=100)
+        result, info = run_nuts_chains(
+            key, corr_gaussian, jnp.zeros(2), config, num_chains=4
+        )
+        assert result.samples.shape == (4, 400, 2)
+        pooled = np.asarray(result.samples[:, 100:]).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(pooled.T), COV, atol=0.25)
+
+
+class TestNUTSViaAPI:
+    def test_sample_with_nuts_sampler(self, key):
+        import hamiltorch_tpu as ht
+
+        samples, ss = ht.sample(
+            corr_gaussian, jnp.zeros(2), num_samples=300, burn=100,
+            step_size=0.5, sampler=ht.Sampler.NUTS, debug=2, key=key,
+            verbose=False,
+        )
+        assert samples.shape == (1 + 300 - 100 - 1, 2)
+        assert ss > 0.0
