@@ -1,0 +1,97 @@
+"""Convergence diagnostics: effective sample size, split-R-hat, summaries.
+
+The reference has no diagnostics at all (its only observability is a
+progress bar and an acceptance-rate print — reference: hamiltorch/util.py:
+25-89, samplers.py:1085).  These are the SURVEY.md §7 extensions: ESS via
+FFT autocovariance with Geyer's initial-monotone-sequence truncation, and
+split-R-hat (Gelman et al., BDA3 / Vehtari et al. 2021), all jittable.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def _autocovariance(x: jnp.ndarray) -> jnp.ndarray:
+    """Biased autocovariance of a 1-d series via FFT, lags 0..N-1."""
+    n = x.shape[0]
+    xc = x - jnp.mean(x)
+    nfft = 2 * n  # zero-padding to avoid circular wrap
+    f = jnp.fft.rfft(xc, nfft)
+    acov = jnp.fft.irfft(f * jnp.conj(f), nfft)[:n]
+    return acov / n
+
+
+def effective_sample_size(samples: jnp.ndarray) -> jnp.ndarray:
+    """ESS per dimension.
+
+    ``samples``: (num_chains, num_draws, D) or (num_draws, D).  Uses the
+    multi-chain estimator: mean of within-chain autocovariances combined
+    with between-chain variance, Geyer initial positive/monotone sequence.
+    """
+    if samples.ndim == 2:
+        samples = samples[None]
+    c, n, d = samples.shape
+
+    acov = jax.vmap(jax.vmap(_autocovariance, in_axes=1, out_axes=1))(samples)  # (C,N,D)
+    chain_var = acov[:, 0, :] * n / (n - 1.0)  # unbiased within-chain variance
+    w = jnp.mean(chain_var, axis=0)  # (D,)
+    mean_acov = jnp.mean(acov, axis=0)  # (N, D)
+
+    if c > 1:
+        chain_means = jnp.mean(samples, axis=1)  # (C, D)
+        b_over_n = jnp.var(chain_means, axis=0, ddof=1)
+        var_plus = w * (n - 1.0) / n + b_over_n
+    else:
+        var_plus = w * (n - 1.0) / n
+
+    # rho_t = 1 - (W - mean_acov_t) / var_plus
+    rho = 1.0 - (w[None, :] - mean_acov) / var_plus[None, :]  # (N, D)
+
+    # Geyer: sum consecutive pairs; keep while positive, enforce monotone.
+    n_pairs = n // 2
+    pairs = rho[: 2 * n_pairs].reshape(n_pairs, 2, d).sum(axis=1)  # (P, D)
+    positive = pairs > 0.0
+    # first non-positive pair truncates the sum
+    keep = jnp.cumprod(positive, axis=0).astype(bool)
+    # monotone decreasing envelope
+    mono = jax.lax.associative_scan(jnp.minimum, jnp.where(keep, pairs, jnp.inf), axis=0)
+    mono = jnp.where(keep, jnp.minimum(pairs, mono), 0.0)
+    # tau = -1 + 2 * sum of kept pair sums (pair 0 contains rho_0 + rho_1)
+    tau = -1.0 + 2.0 * jnp.sum(mono, axis=0)
+    tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(n, jnp.float32) + 1.0))
+    return (c * n) / tau
+
+
+def potential_scale_reduction(samples: jnp.ndarray) -> jnp.ndarray:
+    """Split-R-hat per dimension; ``samples``: (num_chains, num_draws, D)."""
+    if samples.ndim == 2:
+        samples = samples[None]
+    c, n, d = samples.shape
+    half = n // 2
+    split = jnp.concatenate(
+        [samples[:, :half, :], samples[:, half : 2 * half, :]], axis=0
+    )  # (2C, half, D)
+    m, n2 = split.shape[0], split.shape[1]
+    chain_means = jnp.mean(split, axis=1)
+    chain_vars = jnp.var(split, axis=1, ddof=1)
+    w = jnp.mean(chain_vars, axis=0)
+    b = n2 * jnp.var(chain_means, axis=0, ddof=1)
+    var_plus = (n2 - 1.0) / n2 * w + b / n2
+    return jnp.sqrt(var_plus / w)
+
+
+def summary(samples: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Per-dimension posterior summary: mean, std, ESS, split-R-hat."""
+    if samples.ndim == 2:
+        samples = samples[None]
+    flat = samples.reshape(-1, samples.shape[-1])
+    return {
+        "mean": jnp.mean(flat, axis=0),
+        "std": jnp.std(flat, axis=0),
+        "ess": effective_sample_size(samples),
+        "r_hat": potential_scale_reduction(samples),
+    }

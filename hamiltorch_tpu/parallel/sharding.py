@@ -103,25 +103,35 @@ def sample_chains_sharded(
             lambda k, t: _run_hmc_jit(k, t, log_prob, config, mass)
         )(keys_l, thetas_l)
 
+    # Output structure for out_specs: shapes don't depend on the potential,
+    # so eval_shape a collective-free stand-in (psum can't run outside the
+    # mesh context that shard_map provides).
+    local_chains = num_chains // n_chain_shards
+    out_specs = _leading_axis_specs(
+        jax.eval_shape(
+            lambda k, t: jax.vmap(
+                lambda kk, tt: _run_hmc_jit(kk, tt, log_prior_fn, config, mass)
+            )(k, t),
+            keys[:local_chains],
+            theta0[:local_chains],
+        ),
+        "chains",
+    )
     shard = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P("chains"), P("chains", None), P("data"), P("data")),
-        out_specs=MCMCResult(
-            samples=P("chains", None, None),
-            stats=jax.tree_util.tree_map(lambda _: P("chains", None), _stats_spec()),
-            final_step_size=P("chains"),
-            acc_rate=P("chains"),
-        ),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(shard)(keys, theta0, x, y)
 
 
-def _stats_spec():
-    from ..samplers.driver import MCMCStats
-
-    return MCMCStats(*([0] * len(MCMCStats._fields)))
+def _leading_axis_specs(shape_tree, axes):
+    """Every output leaf is vmapped over chains: shard its leading axis."""
+    return jax.tree_util.tree_map(
+        lambda s: P(*((axes,) + (None,) * (len(s.shape) - 1))), shape_tree
+    )
 
 
 def run_hmc_chains_sharded(
@@ -148,16 +158,16 @@ def run_hmc_chains_sharded(
             lambda k, t: _run_hmc_jit(k, t, log_prob_fn, config, mass)
         )(keys_l, thetas_l)
 
+    local_chains = num_chains // len(mesh.devices.flatten())
+    out_specs = _leading_axis_specs(
+        jax.eval_shape(local, keys[:local_chains], theta0[:local_chains]),
+        axes,
+    )
     shard = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(axes), P(axes, None)),
-        out_specs=MCMCResult(
-            samples=P(axes, None, None),
-            stats=jax.tree_util.tree_map(lambda _: P(axes, None), _stats_spec()),
-            final_step_size=P(axes),
-            acc_rate=P(axes),
-        ),
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(shard)(keys, theta0)

@@ -63,6 +63,8 @@ class MCMCResult(NamedTuple):
     stats: MCMCStats
     final_step_size: jnp.ndarray
     acc_rate: jnp.ndarray
+    final_state: "ChainState"  # carry for chunked/resumable sampling
+    final_da: DualAveragingState
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,14 +96,18 @@ def run_mcmc(
     init_state: ChainState,
     transition: TransitionFn,
     config: MCMCConfig,
+    init_da: DualAveragingState | None = None,
+    start_iter: int = 0,
 ) -> MCMCResult:
     """Run ``config.num_samples`` draws of ``transition`` from ``init_state``.
 
     Pure and jittable (jit with ``transition``/``config`` static); vmap over
-    ``(key, init_state)`` for multiple chains.
+    ``(key, init_state)`` for multiple chains.  ``init_da``/``start_iter``
+    let chunked (checkpoint/resume) sampling continue the adaptation
+    schedule exactly where a previous chunk stopped.
     """
     dtype = init_state.theta.dtype
-    da0 = da_init(config.step_size, dtype=dtype)
+    da0 = init_da if init_da is not None else da_init(config.step_size, dtype=dtype)
 
     def step(carry, n):
         state, da, key = carry
@@ -150,7 +156,9 @@ def run_mcmc(
         return (state, da, key), (state.theta, stats)
 
     (final_state, final_da, _), (thetas, stats) = jax.lax.scan(
-        step, (init_state, da0, key), jnp.arange(config.num_samples)
+        step,
+        (init_state, da0, key),
+        start_iter + jnp.arange(config.num_samples),
     )
     acc_rate = jnp.mean(stats.accepted.astype(dtype))
     return MCMCResult(
@@ -158,4 +166,6 @@ def run_mcmc(
         stats=stats,
         final_step_size=final_da.step_size,
         acc_rate=acc_rate,
+        final_state=final_state,
+        final_da=final_da,
     )

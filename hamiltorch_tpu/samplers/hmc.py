@@ -49,11 +49,12 @@ def init_chain_state(log_prob_fn, theta0: jnp.ndarray) -> ChainState:
 
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "config"))
-def _run_hmc_jit(key, theta0, log_prob_fn, config, mass):
+def _run_hmc_jit(key, theta0, log_prob_fn, config, mass, init_state=None,
+                 init_da=None, start_iter=0):
     vg = jax.value_and_grad(log_prob_fn)
-    state = init_chain_state(log_prob_fn, theta0)
+    state = init_state if init_state is not None else init_chain_state(log_prob_fn, theta0)
     transition = hmc_transition(vg, mass, config.num_steps_per_sample)
-    return run_mcmc(key, state, transition, config)
+    return run_mcmc(key, state, transition, config, init_da=init_da, start_iter=start_iter)
 
 
 def run_hmc(

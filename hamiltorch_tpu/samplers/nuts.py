@@ -348,7 +348,7 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass):
 
         return (theta, logp, grad, da, key), (theta, info)
 
-    (_, _, _, da_f, _), (thetas, infos) = jax.lax.scan(
+    (theta_f, logp_f, grad_f, da_f, _), (thetas, infos) = jax.lax.scan(
         step,
         (theta0, logp0, grad0, da0, key),
         jnp.arange(config.num_samples),
@@ -361,12 +361,16 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass):
         energy_new=infos.energy,
         step_size=infos.step_size,
     )
+    from .driver import ChainState
+
     return (
         MCMCResult(
             samples=thetas,
             stats=stats,
             final_step_size=da_f.step_size,
             acc_rate=jnp.mean(infos.accept_prob),
+            final_state=ChainState(theta_f, logp_f, grad_f),
+            final_da=da_f,
         ),
         infos,
     )

@@ -1,0 +1,115 @@
+"""Diagnostics and checkpoint/resume tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hamiltorch_tpu.diagnostics import (
+    effective_sample_size,
+    potential_scale_reduction,
+    summary,
+)
+from hamiltorch_tpu.samplers.driver import MCMCConfig
+
+
+class TestESS:
+    def test_iid_samples(self, key):
+        x = jax.random.normal(key, (4, 1000, 3))
+        ess = np.asarray(effective_sample_size(x))
+        # iid: ESS should be near the total draw count
+        assert np.all(ess > 2000) and np.all(ess < 8000)
+
+    def test_ar1_autocorrelation(self, key):
+        """AR(1) with coefficient phi has ESS ~ N (1-phi)/(1+phi)."""
+        phi = 0.9
+        n, c = 4000, 4
+        eps = np.asarray(jax.random.normal(key, (c, n)))
+        x = np.zeros((c, n))
+        for t in range(1, n):
+            x[:, t] = phi * x[:, t - 1] + np.sqrt(1 - phi**2) * eps[:, t]
+        ess = float(effective_sample_size(jnp.asarray(x)[..., None])[0])
+        expected = c * n * (1 - phi) / (1 + phi)
+        assert 0.4 * expected < ess < 2.5 * expected
+
+    def test_anticorrelated_exceeds_n(self, key):
+        n = 2000
+        eps = np.asarray(jax.random.normal(key, (n,)))
+        x = np.zeros(n)
+        for t in range(1, n):
+            x[t] = -0.5 * x[t - 1] + eps[t]
+        ess = float(effective_sample_size(jnp.asarray(x)[None, :, None])[0])
+        assert ess > n  # antithetic chains super-efficient
+
+
+class TestRhat:
+    def test_converged_chains(self, key):
+        x = jax.random.normal(key, (4, 500, 2))
+        rhat = np.asarray(potential_scale_reduction(x))
+        assert np.all(rhat < 1.05)
+
+    def test_diverged_chains(self, key):
+        x = np.asarray(jax.random.normal(key, (4, 500, 1)))
+        x = x + np.arange(4)[:, None, None] * 5.0  # chains at different means
+        rhat = float(potential_scale_reduction(jnp.asarray(x))[0])
+        assert rhat > 2.0
+
+    def test_summary_keys(self, key):
+        x = jax.random.normal(key, (2, 300, 3))
+        s = summary(x)
+        assert set(s) == {"mean", "std", "ess", "r_hat"}
+        assert s["mean"].shape == (3,)
+
+
+class TestCheckpoint:
+    def lp(self, theta):
+        return -0.5 * jnp.dot(theta, theta)
+
+    def test_chunked_matches_single_run(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_hmc_checkpointed
+        from hamiltorch_tpu.samplers.hmc import run_hmc
+
+        config = MCMCConfig(num_samples=60, num_steps_per_sample=5, step_size=0.2)
+        r_chunked = run_hmc_checkpointed(
+            key, self.lp, jnp.zeros(2), config, str(tmp_path / "ck"), chunk_size=25
+        )
+        assert r_chunked.samples.shape == (60, 2)
+        assert bool(jnp.all(jnp.isfinite(r_chunked.samples)))
+
+    def test_resume_continues_exactly(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_hmc_checkpointed
+
+        ck = str(tmp_path / "ck")
+        config_full = MCMCConfig(num_samples=50, num_steps_per_sample=5, step_size=0.2)
+        config_half = MCMCConfig(num_samples=20, num_steps_per_sample=5, step_size=0.2)
+        # run the first 20 draws, "crash", then resume to 50
+        run_hmc_checkpointed(key, self.lp, jnp.zeros(2), config_half, ck, chunk_size=10)
+        r_resumed = run_hmc_checkpointed(key, self.lp, jnp.zeros(2), config_full, ck, chunk_size=10)
+        # compare against an uninterrupted chunked run
+        r_direct = run_hmc_checkpointed(
+            key, self.lp, jnp.zeros(2), config_full, str(tmp_path / "ck2"), chunk_size=10
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_resumed.samples), np.asarray(r_direct.samples), atol=1e-6
+        )
+
+    def test_adaptation_survives_resume(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_hmc_checkpointed
+
+        config = MCMCConfig(
+            num_samples=80, num_steps_per_sample=5, step_size=1.0, burn=40,
+            adapt_step_size=True,
+        )
+        half = MCMCConfig(
+            num_samples=30, num_steps_per_sample=5, step_size=1.0, burn=40,
+            adapt_step_size=True,
+        )
+        ck = str(tmp_path / "ck")
+        run_hmc_checkpointed(key, self.lp, jnp.zeros(2), half, ck, chunk_size=15)
+        r_resumed = run_hmc_checkpointed(key, self.lp, jnp.zeros(2), config, ck, chunk_size=15)
+        r_direct = run_hmc_checkpointed(
+            key, self.lp, jnp.zeros(2), config, str(tmp_path / "ck2"), chunk_size=15
+        )
+        np.testing.assert_allclose(
+            float(r_resumed.final_step_size), float(r_direct.final_step_size), rtol=1e-5
+        )
