@@ -77,6 +77,7 @@ class MCMCConfig:
     burn: int = 0
     adapt_step_size: bool = False  # the reference's "HMC_NUTS" mode
     desired_accept_rate: float = 0.8
+    progress_every: int = 0  # >0: host progress line every N draws
 
 
 # A transition proposes a new state and returns the two Hamiltonians the
@@ -109,8 +110,16 @@ def run_mcmc(
     dtype = init_state.theta.dtype
     da0 = init_da if init_da is not None else da_init(config.step_size, dtype=dtype)
 
+    progress_hook = None
+    if config.progress_every > 0:
+        from ..utils.progress import scan_progress
+
+        progress_hook = scan_progress(config.num_samples, config.progress_every)
+
     def step(carry, n):
         state, da, key = carry
+        if progress_hook is not None:
+            progress_hook(n)
         key, k_prop, k_mh = jax.random.split(key, 3)
 
         proposal, h0, h1 = transition(k_prop, state, da.step_size)

@@ -1,0 +1,99 @@
+"""Reference-parity utility tests (mirrors tests/test_util.py of the
+reference: flatten/unflatten round-trip, functionalisation equivalence)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hamiltorch_tpu.utils import (
+    LogProbError,
+    flatten,
+    gradient,
+    has_nan_or_inf,
+    hessian,
+    jacobian,
+    make_functional,
+    unflatten,
+)
+
+
+class TestFlattenUnflatten:
+    def test_pytree_round_trip(self):
+        params = [jnp.arange(6.0).reshape(2, 3), jnp.ones(4)]
+        flat = flatten(params)
+        assert flat.shape == (10,)
+        back = unflatten(params, flat)
+        for a, b in zip(back, params):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_torch_module_round_trip(self):
+        torch = pytest.importorskip("torch")
+        net = torch.nn.Linear(3, 2)
+        flat = flatten(net)
+        ref = torch.cat([p.flatten() for p in net.parameters()]).detach().numpy()
+        np.testing.assert_allclose(np.asarray(flat), ref, atol=1e-6)
+        parts = unflatten(net, flat)
+        assert parts[0].shape == (2, 3) and parts[1].shape == (2,)
+
+    def test_unflatten_rejects_2d(self):
+        with pytest.raises(ValueError):
+            unflatten([jnp.ones(2)], jnp.ones((2, 1)))
+
+
+class TestFunctional:
+    def test_torch_linear_functional_matches(self):
+        torch = pytest.importorskip("torch")
+        torch.manual_seed(0)
+        net = torch.nn.Linear(4, 2)
+        fmodel = make_functional(net)
+        x = np.random.RandomState(0).randn(5, 4).astype(np.float32)
+        params = unflatten(net, flatten(net))
+        out = fmodel(jnp.asarray(x), params)
+        ref = net(torch.tensor(x)).detach().numpy()
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_jax_model_passthrough(self):
+        f = lambda params, x: x * params[0]
+        assert make_functional(f) is f
+
+
+class TestAutodiffHelpers:
+    def test_gradient(self):
+        f = lambda t: jnp.sum(t**2)
+        np.testing.assert_allclose(
+            np.asarray(gradient(f, jnp.array([1.0, 2.0]))), [2.0, 4.0]
+        )
+
+    def test_hessian(self):
+        f = lambda t: t[0] ** 2 * t[1]
+        h = np.asarray(hessian(f, jnp.array([1.0, 3.0])))
+        np.testing.assert_allclose(h, [[6.0, 2.0], [2.0, 0.0]])
+
+    def test_jacobian(self):
+        f = lambda t: jnp.array([t[0] * t[1], t[0] + t[1]])
+        j = np.asarray(jacobian(f, jnp.array([2.0, 3.0])))
+        np.testing.assert_allclose(j, [[3.0, 2.0], [1.0, 1.0]])
+
+
+class TestNumericsGuards:
+    def test_has_nan_or_inf(self):
+        assert has_nan_or_inf(jnp.array([1.0, jnp.nan]))
+        assert has_nan_or_inf(jnp.inf)
+        assert not has_nan_or_inf(jnp.ones(3))
+
+    def test_log_prob_error_exists(self):
+        with pytest.raises(LogProbError):
+            raise LogProbError()
+
+
+class TestProgressBar:
+    def test_runs_and_formats(self, capsys):
+        from hamiltorch_tpu.utils import ProgressBar
+
+        bar = ProgressBar("Sampling", 10)
+        for i in range(10):
+            bar.update(i)
+        bar.end("done")
+        out = capsys.readouterr().out
+        assert "Sampling" in out and "done" in out and "/sec" in out
