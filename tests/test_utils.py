@@ -97,3 +97,27 @@ class TestProgressBar:
         bar.end("done")
         out = capsys.readouterr().out
         assert "Sampling" in out and "done" in out and "/sec" in out
+
+
+class TestProfiling:
+    def test_throughput_counters(self, key):
+        import hamiltorch_tpu as ht
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        from hamiltorch_tpu.utils.profiling import throughput, timed
+
+        lp = lambda t: -0.5 * jnp.dot(t, t)
+        cfg = MCMCConfig(num_samples=50, num_steps_per_sample=5, step_size=0.2)
+        with timed() as t:
+            result = ht.run_hmc_chains(key, lp, jnp.zeros(2), cfg, num_chains=4)
+            jax.block_until_ready(result.samples)
+        out = throughput(result, t["seconds"], num_steps_per_sample=5)
+        assert out["chains"] == 4 and out["draws_per_chain"] == 50
+        assert out["samples_per_sec"] > 0
+        assert out["grad_steps_per_sec"] == out["samples_per_sec"] * 5
+
+    def test_multihost_noop_single_process(self):
+        from hamiltorch_tpu.parallel.multihost import initialize_multihost
+
+        info = initialize_multihost()
+        assert info["process_count"] == 1
+        assert info["global_devices"] == 8
