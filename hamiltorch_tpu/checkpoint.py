@@ -81,11 +81,53 @@ def run_hmc_checkpointed(
     Interrupt at any point; calling again with ``resume=True`` (default)
     continues from the last completed chunk and returns the full result.
     """
+    lp = make_log_prob(log_prob_fn, pass_grad)
+
+    def chunk_runner(k, state, da, n_done, cfg):
+        mass = make_mass(inv_mass, state.theta.shape[0])
+        return _run_hmc_jit(
+            k, state.theta, lp, cfg, mass,
+            init_state=state, init_da=da, start_iter=n_done,
+        )
+
+    return _checkpoint_loop(chunk_runner, key, theta0, lp, config, ckpt_dir,
+                            chunk_size, resume)
+
+
+def run_nuts_checkpointed(
+    key,
+    log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    theta0,
+    config,  # NUTSConfig
+    ckpt_dir: str,
+    chunk_size: int = 100,
+    inv_mass=None,
+    resume: bool = True,
+) -> MCMCResult:
+    """Tree-doubling NUTS with per-chunk checkpointing (stats only; the
+    per-draw NUTSInfo beyond MCMCStats is not persisted)."""
+    from .samplers.nuts import _run_nuts_jit
+
+    lp = make_log_prob(log_prob_fn, None)
+
+    def chunk_runner(k, state, da, n_done, cfg):
+        mass = make_mass(inv_mass, state.theta.shape[0])
+        result, _ = _run_nuts_jit(
+            k, state.theta, lp, cfg, mass,
+            init_state=state, init_da=da, start_iter=n_done,
+        )
+        return result
+
+    return _checkpoint_loop(chunk_runner, key, theta0, lp, config, ckpt_dir,
+                            chunk_size, resume)
+
+
+def _checkpoint_loop(
+    chunk_runner, key, theta0, lp, config, ckpt_dir, chunk_size, resume
+) -> MCMCResult:
     os.makedirs(ckpt_dir, exist_ok=True)
     state_path = os.path.join(ckpt_dir, _STATE_FILE)
     theta0 = jnp.asarray(theta0)
-    lp = make_log_prob(log_prob_fn, pass_grad)
-    mass = make_mass(inv_mass, theta0.shape[0])
 
     if resume and os.path.exists(state_path):
         state, da, base_key, n_done = _load_state(state_path)
@@ -98,24 +140,21 @@ def run_hmc_checkpointed(
         da = da_init(config.step_size, dtype=theta0.dtype)
         base_key, n_done = key, 0
 
-    chunk_idx = n_done // chunk_size
     while n_done < config.num_samples:
         this_chunk = min(chunk_size, config.num_samples - n_done)
         cfg = dataclasses.replace(config, num_samples=this_chunk)
-        k_chunk = jax.random.fold_in(base_key, chunk_idx)
-        result = _run_hmc_jit(
-            k_chunk, state.theta, lp, cfg, mass,
-            init_state=state, init_da=da, start_iter=n_done,
-        )
+        # the per-draw RNG folds the global draw index into the base key, so
+        # every chunk uses the same base key and any chunking reproduces the
+        # identical stream; files are named by draw offset.
+        result = chunk_runner(base_key, state, da, n_done, cfg)
         jax.block_until_ready(result.samples)
         np.savez(
-            os.path.join(ckpt_dir, f"chunk_{chunk_idx:06d}.npz"),
+            os.path.join(ckpt_dir, f"chunk_{n_done:08d}.npz"),
             samples=np.asarray(result.samples),
             **{f: np.asarray(getattr(result.stats, f)) for f in MCMCStats._fields},
         )
         state, da = result.final_state, result.final_da
         n_done += this_chunk
-        chunk_idx += 1
         _save_state(state_path, state, da, base_key, n_done)
 
     # assemble the full run from chunk files

@@ -86,9 +86,32 @@ def _elementwise(op):
     return build
 
 
+def _batchnorm(mod):
+    """Batch-statistics normalisation, matching the reference's batch-norm
+    patch which forces running_mean/var = None (reference:
+    hamiltorch/util.py:370-376): always normalise with the batch moments."""
+    eps = mod.eps
+    affine = mod.affine
+
+    def fn(params, off, x):
+        axes = (0,) + tuple(range(2, x.ndim))  # all but the channel axis
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        if affine:
+            shape = (1, -1) + (1,) * (x.ndim - 2)
+            y = y * params[off].reshape(shape) + params[off + 1].reshape(shape)
+            return y, off + 2
+        return y, off
+
+    return fn
+
+
 _LEAF_HANDLERS = {
     "Linear": _linear,
     "Conv2d": _conv2d,
+    "BatchNorm1d": _batchnorm,
+    "BatchNorm2d": _batchnorm,
     "ReLU": _elementwise(lambda m, x: jax.nn.relu(x)),
     "Tanh": _elementwise(lambda m, x: jnp.tanh(x)),
     "Sigmoid": _elementwise(lambda m, x: jax.nn.sigmoid(x)),

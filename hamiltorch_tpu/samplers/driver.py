@@ -117,10 +117,12 @@ def run_mcmc(
         progress_hook = scan_progress(config.num_samples, config.progress_every)
 
     def step(carry, n):
-        state, da, key = carry
+        state, da = carry
         if progress_hook is not None:
             progress_hook(n)
-        key, k_prop, k_mh = jax.random.split(key, 3)
+        # per-draw keys derive from (base key, global draw index): the random
+        # stream is identical no matter how the run is chunked for resume
+        k_prop, k_mh = jax.random.split(jax.random.fold_in(key, n))
 
         proposal, h0, h1 = transition(k_prop, state, da.step_size)
         log_ratio = h0 - h1
@@ -162,11 +164,11 @@ def run_mcmc(
                 mu=da.mu,
             )
 
-        return (state, da, key), (state.theta, stats)
+        return (state, da), (state.theta, stats)
 
-    (final_state, final_da, _), (thetas, stats) = jax.lax.scan(
+    (final_state, final_da), (thetas, stats) = jax.lax.scan(
         step,
-        (init_state, da0, key),
+        (init_state, da0),
         start_iter + jnp.arange(config.num_samples),
     )
     acc_rate = jnp.mean(stats.accepted.astype(dtype))

@@ -315,15 +315,20 @@ def nuts_transition(vg, mass: MassOperator, max_depth: int):
 
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "config"))
-def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass):
+def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
+                  init_state=None, init_da=None, start_iter=0):
     vg = jax.value_and_grad(log_prob_fn)
     transition = nuts_transition(vg, mass, config.max_tree_depth)
-    logp0, grad0 = vg(theta0)
-    da0 = da_init(config.step_size, dtype=theta0.dtype)
+    if init_state is not None:
+        theta0, logp0, grad0 = init_state
+    else:
+        logp0, grad0 = vg(theta0)
+    da0 = init_da if init_da is not None else da_init(config.step_size, dtype=theta0.dtype)
 
     def step(carry, n):
-        theta, logp, grad, da, key = carry
-        key, sub = jax.random.split(key)
+        theta, logp, grad, da = carry
+        # per-draw key from (base key, global index): chunk-transparent
+        sub = jax.random.fold_in(key, n)
         theta, logp, grad, info = transition(sub, theta, logp, grad, da.step_size)
 
         if config.adapt_step_size:
@@ -346,12 +351,12 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass):
                 mu=da.mu,
             )
 
-        return (theta, logp, grad, da, key), (theta, info)
+        return (theta, logp, grad, da), (theta, info)
 
-    (theta_f, logp_f, grad_f, da_f, _), (thetas, infos) = jax.lax.scan(
+    (theta_f, logp_f, grad_f, da_f), (thetas, infos) = jax.lax.scan(
         step,
-        (theta0, logp0, grad0, da0, key),
-        jnp.arange(config.num_samples),
+        (theta0, logp0, grad0, da0),
+        start_iter + jnp.arange(config.num_samples),
     )
     stats = MCMCStats(
         accept_prob=infos.accept_prob,

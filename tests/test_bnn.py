@@ -216,3 +216,39 @@ class TestTorchInterop:
         )
         d = sum(p.numel() for p in net.parameters())
         assert samples.shape[1] == d
+
+
+class TestBatchNormInterop:
+    def test_batchnorm2d_matches_torch_training_stats(self):
+        """Reference bn patch forces batch statistics (util.py:370-376);
+        torch training-mode BatchNorm matches that behaviour."""
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        torch.manual_seed(0)
+        net = torch.nn.Sequential(
+            torch.nn.Conv2d(1, 4, 3, padding=1), torch.nn.BatchNorm2d(4),
+            torch.nn.ReLU(), torch.nn.Flatten(), torch.nn.Linear(4 * 6 * 6, 2),
+        )
+        net.train()  # batch statistics
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(0).randn(4, 1, 6, 6).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        ours = np.asarray(apply_fn(template, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_batchnorm1d(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        torch.manual_seed(1)
+        net = torch.nn.Sequential(torch.nn.Linear(3, 5), torch.nn.BatchNorm1d(5))
+        net.train()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(1).randn(8, 3).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-4
+        )

@@ -113,3 +113,22 @@ class TestCheckpoint:
         np.testing.assert_allclose(
             float(r_resumed.final_step_size), float(r_direct.final_step_size), rtol=1e-5
         )
+
+
+class TestNUTSCheckpoint:
+    def test_nuts_resume_matches_direct(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_nuts_checkpointed
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig
+
+        lp = lambda t: -0.5 * jnp.dot(t, t)
+        full = NUTSConfig(num_samples=40, step_size=0.5, burn=20)
+        half = NUTSConfig(num_samples=15, step_size=0.5, burn=20)
+        ck = str(tmp_path / "nuts_ck")
+        run_nuts_checkpointed(key, lp, jnp.zeros(2), half, ck, chunk_size=10)
+        r_resumed = run_nuts_checkpointed(key, lp, jnp.zeros(2), full, ck, chunk_size=10)
+        r_direct = run_nuts_checkpointed(
+            key, lp, jnp.zeros(2), full, str(tmp_path / "nuts_ck2"), chunk_size=10
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_resumed.samples), np.asarray(r_direct.samples), atol=1e-6
+        )

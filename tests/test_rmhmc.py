@@ -213,3 +213,19 @@ class TestRMHMCStatistics:
                 gaussian_logprob, jnp.zeros(2), num_samples=10,
                 sampler=ht.Sampler.RMHMC, pass_grad=lambda t: -t,
             )
+
+
+class TestS3Integrator:
+    def test_semi_separable_with_ham_func(self, key):
+        """S3: H = -logp + 0.5 p^T G^-1 p + ham_func(theta)
+        (reference: samplers.py:830-842)."""
+        ham_func = lambda t: 0.5 * jnp.dot(t, t)
+        config = MCMCConfig(num_samples=100, num_steps_per_sample=5, step_size=0.1)
+        result = run_rmhmc(
+            key, gaussian_logprob, jnp.zeros(2), config,
+            integrator=Integrator.S3, jitter=0.1,
+            fixed_point_max_iterations=10, fixed_point_threshold=1e-8,
+            ham_func=ham_func,
+        )
+        assert bool(jnp.all(jnp.isfinite(result.samples)))
+        assert float(result.acc_rate) > 0.3

@@ -121,3 +121,11 @@ class TestProfiling:
         info = initialize_multihost()
         assert info["process_count"] == 1
         assert info["global_devices"] == 8
+
+
+class TestUtilAliasModule:
+    def test_util_namespace(self):
+        from hamiltorch_tpu import util
+
+        assert callable(util.flatten) and callable(util.setup_chain)
+        assert callable(util.multi_chain) and callable(util.eval_print)
