@@ -166,15 +166,18 @@ class TestRMHMCStatistics:
 
     def test_explicit_gaussian_moments(self, key):
         config = MCMCConfig(num_samples=600, num_steps_per_sample=8, step_size=0.3)
-        result = run_rmhmc(
-            key, gaussian_logprob, jnp.zeros(2), config,
-            integrator=Integrator.EXPLICIT, explicit_binding_const=100.0,
-        )
-        samples = np.asarray(result.samples[100:])
+        pooled = []
+        for k in jax.random.split(key, 3):
+            result = run_rmhmc(
+                k, gaussian_logprob, jnp.zeros(2), config,
+                integrator=Integrator.EXPLICIT, explicit_binding_const=100.0,
+            )
+            pooled.append(np.asarray(result.samples[100:]))
+            assert float(result.acc_rate) > 0.7
+        samples = np.concatenate(pooled)
         cov_target = np.linalg.inv(np.asarray(PREC))
-        np.testing.assert_allclose(samples.mean(0), [0, 0], atol=0.15)
-        np.testing.assert_allclose(np.cov(samples.T), cov_target, atol=0.25)
-        assert float(result.acc_rate) > 0.7
+        np.testing.assert_allclose(samples.mean(0), [0, 0], atol=0.12)
+        np.testing.assert_allclose(np.cov(samples.T), cov_target, atol=0.22)
 
     def test_softabs_funnel_runs(self, key):
         """Notebook config 28: implicit RMHMC + softabs on the funnel."""

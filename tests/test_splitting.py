@@ -67,11 +67,16 @@ class TestSplitHMCStatistics:
     def test_gaussian_moments(self, key, integ):
         fns = make_split_gaussian(4)
         config = MCMCConfig(num_samples=1500, num_steps_per_sample=10, step_size=0.3)
-        result = run_split_hmc(key, fns, jnp.zeros(2), config, integrator=integ)
-        samples = np.asarray(result.samples[200:])
-        np.testing.assert_allclose(samples.mean(0), [0, 0], atol=0.15)
-        np.testing.assert_allclose(samples.std(0), [1, 1], atol=0.2)
-        assert float(result.acc_rate) > 0.6
+        # pool several independent chains: single short chains have large
+        # moment noise from HMC autocorrelation
+        pooled = []
+        for k in jax.random.split(key, 4):
+            result = run_split_hmc(k, fns, jnp.zeros(2), config, integrator=integ)
+            pooled.append(np.asarray(result.samples[200:]))
+            assert float(result.acc_rate) > 0.6
+        samples = np.concatenate(pooled)
+        np.testing.assert_allclose(samples.mean(0), [0, 0], atol=0.12)
+        np.testing.assert_allclose(samples.std(0), [1, 1], atol=0.15)
 
     def test_api_sample_with_list(self, key):
         fns = make_split_gaussian(3)
