@@ -166,16 +166,28 @@ def define_model_log_prob(
     x = None if x is None else jnp.asarray(x)
     y = None if y is None else jnp.asarray(y)
 
-    def log_prob_func(theta):
+    def raw_fn(theta, data):
         params = unravel(theta)
         l_prior = gaussian_prior_log_prob(params, tau_list) / prior_scale
-        if x is None:
+        if data is None:
             return l_prior
-        output = apply_fn(params, x)
-        ll = log_likelihood(output, y, model_loss, tau_out)
+        x_, y_ = data
+        output = apply_fn(params, x_)
+        ll = log_likelihood(output, y_, model_loss, tau_out)
         if predict:
             return ll + l_prior, output
         return ll + l_prior
+
+    data = None if x is None else (x, y)
+
+    def log_prob_func(theta):
+        return raw_fn(theta, data)
+
+    # The samplers detect these and pass the dataset as a jit operand
+    # instead of a baked-in program constant (large datasets overflow the
+    # constant budget on TPU backends).
+    log_prob_func._raw_fn = raw_fn
+    log_prob_func._data = data
 
     return log_prob_func, flat_init, unravel
 
@@ -234,16 +246,18 @@ def define_split_model_log_prob(
     if verbose:
         print(f"Number of splits: {m_terms} , each of batch size {xs.shape[1]}\n")
 
-    def term_fn(theta, m):
+    def term_fn(theta, m, data):
+        # data = (xs, ys) stacked (M, B, ...) arrays, passed as jit operands
+        xs_, ys_ = data
         params = unravel(theta)
         l_prior = gaussian_prior_log_prob(params, tau_list) / m_terms
-        output = apply_fn(params, xs[m])
-        ll = log_likelihood(output, ys[m], model_loss, tau_out)
+        output = apply_fn(params, xs_[m])
+        ll = log_likelihood(output, ys_[m], model_loss, tau_out)
         if predict:
             return ll + l_prior, output
         return ll + l_prior
 
-    return term_fn, m_terms, flat_init, unravel
+    return term_fn, m_terms, flat_init, unravel, (xs, ys)
 
 
 # ---------------------------------------------------------------------------
@@ -333,7 +347,7 @@ def sample_split_model(
     params_template=None,
 ):
     """Symmetric-split minibatch HMC on a BNN (reference: samplers.py:1364-1466)."""
-    term_fn, m_terms, flat_init, _ = define_split_model_log_prob(
+    term_fn, m_terms, flat_init, _, data = define_split_model_log_prob(
         model, model_loss, train_loader, num_splits,
         tau_list=tau_list, tau_out=tau_out, verbose=verbose,
         params_template=params_template,
@@ -360,7 +374,7 @@ def sample_split_model(
     )
     result = run_split_hmc_stacked(
         key, term_fn, m_terms, params_init, config,
-        integrator=integrator, inv_mass=inv_mass,
+        integrator=integrator, inv_mass=inv_mass, data=data,
     )
     samples = _kept_samples(params_init, result, burn)
     if verbose:

@@ -50,9 +50,12 @@ def init_chain_state(log_prob_fn, theta0: jnp.ndarray) -> ChainState:
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "config"))
 def _run_hmc_jit(key, theta0, log_prob_fn, config, mass, init_state=None,
-                 init_da=None, start_iter=0):
-    vg = jax.value_and_grad(log_prob_fn)
-    state = init_state if init_state is not None else init_chain_state(log_prob_fn, theta0)
+                 init_da=None, start_iter=0, data=None):
+    # ``data`` (when given) reaches the potential as a jit operand; closures
+    # over large arrays would be embedded as program constants instead.
+    lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
+    vg = jax.value_and_grad(lp)
+    state = init_state if init_state is not None else init_chain_state(lp, theta0)
     transition = hmc_transition(vg, mass, config.num_steps_per_sample)
     return run_mcmc(key, state, transition, config, init_da=init_da, start_iter=start_iter)
 
@@ -72,6 +75,11 @@ def run_hmc(
     """
     theta0 = jnp.asarray(theta0)
     mass = make_mass(inv_mass, theta0.shape[0])
+    raw = getattr(log_prob_fn, "_raw_fn", None)
+    if raw is not None and pass_grad is None:
+        return _run_hmc_jit(
+            key, theta0, raw, config, mass, data=log_prob_fn._data
+        )
     lp = make_log_prob(log_prob_fn, pass_grad)
     return _run_hmc_jit(key, theta0, lp, config, mass)
 

@@ -31,8 +31,14 @@ def terms_from_list(log_prob_funcs: Sequence[Callable]) -> Callable:
     return term_fn
 
 
-@partial(jax.jit, static_argnames=("term_fn", "num_terms", "config", "integrator"))
-def _run_split_jit(key, theta0, term_fn, num_terms, config, integrator, mass):
+@partial(jax.jit, static_argnames=("raw_term_fn", "num_terms", "config", "integrator"))
+def _run_split_jit(key, theta0, raw_term_fn, num_terms, config, integrator, mass, data):
+    # ``data`` rides through jit as an operand so stacked minibatch arrays
+    # are device buffers, not constants baked into the program.
+    if data is None:
+        term_fn = raw_term_fn
+    else:
+        term_fn = lambda theta, m: raw_term_fn(theta, m, data)
     grad_term = jax.grad(term_fn, argnums=0)
 
     def total_logp(theta):
@@ -71,11 +77,20 @@ def run_split_hmc_stacked(
     config: MCMCConfig,
     integrator: Integrator = Integrator.SPLITTING,
     inv_mass=None,
+    data=None,
 ) -> MCMCResult:
-    """Split HMC over a stacked term function ``term_fn(theta, m)``."""
+    """Split HMC over a stacked term function.
+
+    ``term_fn(theta, m)`` when ``data is None``, else ``term_fn(theta, m,
+    data)`` with ``data`` (e.g. stacked (M, B, ...) minibatch arrays)
+    passed as a jit operand — large datasets must go through ``data``
+    rather than a closure, or they are embedded as program constants.
+    """
     theta0 = jnp.asarray(theta0)
     mass = make_mass(inv_mass, theta0.shape[0])
-    return _run_split_jit(key, theta0, term_fn, num_terms, config, integrator, mass)
+    return _run_split_jit(
+        key, theta0, term_fn, num_terms, config, integrator, mass, data
+    )
 
 
 def run_split_hmc(

@@ -232,3 +232,30 @@ class TestS3Integrator:
         )
         assert bool(jnp.all(jnp.isfinite(result.samples)))
         assert float(result.acc_rate) > 0.3
+
+
+def banana_logprob(theta, b=0.1):
+    """Banana posterior (BASELINE.json config 3): curved ridge via the
+    Rosenbrock-style warp of a Gaussian."""
+    x, y = theta[0], theta[1]
+    return -0.5 * (x**2 / 4.0) - 0.5 * ((y - b * (x**2 - 4.0)) ** 2) / 0.5
+
+
+class TestBananaRMHMC:
+    @pytest.mark.parametrize("integ", [Integrator.IMPLICIT, Integrator.EXPLICIT])
+    def test_softabs_banana(self, key, integ):
+        """Explicit + implicit RMHMC with softabs metric on the banana
+        (the Hessian is indefinite along the ridge, so softabs is required)."""
+        config = MCMCConfig(num_samples=150, num_steps_per_sample=6, step_size=0.15)
+        result = run_rmhmc(
+            key, banana_logprob, jnp.array([0.0, 0.0]), config,
+            integrator=integ, metric=Metric.SOFTABS, softabs_const=1e2,
+            fixed_point_max_iterations=8, fixed_point_threshold=1e-8,
+        )
+        assert bool(jnp.all(jnp.isfinite(result.samples)))
+        assert float(result.acc_rate) > 0.5
+        samples = np.asarray(result.samples[30:])
+        # the ridge: y should track b*(x^2 - 4)
+        assert abs(samples[:, 0].mean()) < 1.0
+        resid = samples[:, 1] - 0.1 * (samples[:, 0] ** 2 - 4.0)
+        assert resid.std() < 1.5
