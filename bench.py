@@ -47,6 +47,13 @@ def main():
     grad_steps = num_chains * num_samples * num_steps
     rate = grad_steps / dt
     acc = float(jnp.mean(result.stats.accepted))
+
+    from hamiltorch_tpu.diagnostics import effective_sample_size
+
+    # ESS/sec on a 64-dim slice of the posterior (full-D ESS is O(N*D) fft
+    # work for a side statistic); min over dims = conservative bulk ESS.
+    ess = effective_sample_size(result.samples[:, :, :64])
+    ess_per_sec = float(jnp.min(ess)) / dt
     print(
         json.dumps(
             {
@@ -54,6 +61,8 @@ def main():
                 "value": round(rate, 1),
                 "unit": "grad-steps/sec",
                 "vs_baseline": round(rate / 10000.0, 3),
+                "min_ess_per_sec": round(ess_per_sec, 1),
+                "acc_rate": round(acc, 3),
             }
         )
     )
