@@ -108,6 +108,13 @@ def run_nuts_checkpointed(
     per-draw NUTSInfo beyond MCMCStats is not persisted)."""
     from .samplers.nuts import _run_nuts_jit
 
+    if getattr(config, "adapt_mass", False):
+        raise NotImplementedError(
+            "adapt_mass windowed warmup is not yet resumable: the Welford/"
+            "mass carry is not persisted across chunks. Run warmup "
+            "unchunked, then checkpoint the post-warmup phase."
+        )
+
     lp = make_log_prob(log_prob_fn, None)
 
     def chunk_runner(k, state, da, n_done, cfg):

@@ -48,7 +48,9 @@ class NUTSConfig:
     max_tree_depth: int = 10
     adapt_step_size: bool = True
     desired_accept_rate: float = 0.8
-    adapt_mass: bool = False  # diagonal mass from warmup samples (see run_nuts)
+    # Stan-style windowed warmup: diagonal inverse mass from in-scan Welford
+    # variance estimates over doubling slow windows (samplers/warmup.py).
+    adapt_mass: bool = False
 
 
 class _End(NamedTuple):
@@ -318,17 +320,48 @@ def nuts_transition(vg, mass: MassOperator, max_depth: int):
 def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
                   init_state=None, init_da=None, start_iter=0):
     vg = jax.value_and_grad(log_prob_fn)
-    transition = nuts_transition(vg, mass, config.max_tree_depth)
     if init_state is not None:
         theta0, logp0, grad0 = init_state
     else:
         logp0, grad0 = vg(theta0)
     da0 = init_da if init_da is not None else da_init(config.step_size, dtype=theta0.dtype)
 
-    def step(carry, n):
-        theta, logp, grad, da = carry
+    from ..ops.mass import DiagMass
+    from .warmup import (
+        WelfordState,
+        build_schedule,
+        welford_init,
+        welford_update,
+        welford_variance,
+    )
+
+    d = theta0.shape[0]
+    windowed = config.adapt_mass and config.burn > 0
+    if windowed:
+        import numpy as np
+
+        collect_np, end_np = build_schedule(config.burn)
+        pad = config.num_samples - min(config.burn, config.num_samples)
+        collect_flags = jnp.asarray(
+            np.concatenate([collect_np[: config.num_samples], np.zeros(pad, bool)])
+        )
+        end_flags = jnp.asarray(
+            np.concatenate([end_np[: config.num_samples], np.zeros(pad, bool)])
+        )
+    else:
+        collect_flags = jnp.zeros(config.num_samples, bool)
+        end_flags = jnp.zeros(config.num_samples, bool)
+
+    def step(carry, xs):
+        n, collect, window_end = xs
+        theta, logp, grad, da, wf, inv_diag = carry
         # per-draw key from (base key, global index): chunk-transparent
         sub = jax.random.fold_in(key, n)
+        transition = nuts_transition(
+            vg,
+            DiagMass(inv_diag=inv_diag) if windowed else mass,
+            config.max_tree_depth,
+        )
         theta, logp, grad, info = transition(sub, theta, logp, grad, da.step_size)
 
         if config.adapt_step_size:
@@ -351,12 +384,35 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
                 mu=da.mu,
             )
 
-        return (theta, logp, grad, da), (theta, info)
+        if windowed:
+            wf_upd = welford_update(wf, theta)
+            wf = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(collect, a, b), wf_upd, wf
+            )
+            # at a slow-window boundary: adopt the variance estimate, reset
+            # the accumulator, restart dual averaging around the current eps
+            inv_diag = jnp.where(window_end, welford_variance(wf), inv_diag)
+            wf = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(window_end, a, b),
+                welford_init(d, theta.dtype), wf,
+            )
+            da_reset = DualAveragingState(
+                step_size=da.step_size,
+                log_eps_bar=jnp.zeros_like(da.log_eps_bar),
+                h_t=jnp.zeros_like(da.h_t),
+                mu=jnp.log(10.0 * da.step_size),
+            )
+            da = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(window_end, a, b), da_reset, da
+            )
 
-    (theta_f, logp_f, grad_f, da_f), (thetas, infos) = jax.lax.scan(
+        return (theta, logp, grad, da, wf, inv_diag), (theta, info)
+
+    inv_diag0 = jnp.ones((d,), theta0.dtype)
+    (theta_f, logp_f, grad_f, da_f, _, _), (thetas, infos) = jax.lax.scan(
         step,
-        (theta0, logp0, grad0, da0),
-        start_iter + jnp.arange(config.num_samples),
+        (theta0, logp0, grad0, da0, welford_init(d, theta0.dtype), inv_diag0),
+        (start_iter + jnp.arange(config.num_samples), collect_flags, end_flags),
     )
     stats = MCMCStats(
         accept_prob=infos.accept_prob,
@@ -391,23 +447,15 @@ def run_nuts(
 ):
     """Sample with tree-doubling NUTS.  Returns (MCMCResult, NUTSInfo).
 
-    With ``config.adapt_mass`` a second pass reruns sampling with a
-    diagonal inverse mass estimated from the warmup draws (a lightweight
-    windowed-adaptation stand-in; the two-pass structure keeps each pass a
-    single compiled scan).
+    ``config.adapt_mass`` enables Stan-style windowed warmup: the diagonal
+    inverse mass is estimated in-scan from Welford variance statistics over
+    doubling slow windows, with dual averaging restarted at each window
+    boundary (samplers/warmup.py).
     """
     theta0 = jnp.asarray(theta0)
     lp = make_log_prob(log_prob_fn, pass_grad)
     mass = make_mass(inv_mass, theta0.shape[0])
-    result, info = _run_nuts_jit(key, theta0, lp, config, mass)
-    if config.adapt_mass and config.burn > 0:
-        warm = result.samples[config.burn // 2 : config.burn]
-        est_var = jnp.clip(jnp.var(warm, axis=0), 1e-6, 1e6)
-        mass2 = make_mass(est_var, theta0.shape[0])  # inv_mass = posterior var
-        key2 = jax.random.fold_in(key, 1)
-        theta_warm = result.samples[config.burn]
-        result, info = _run_nuts_jit(key2, theta_warm, lp, config, mass2)
-    return result, info
+    return _run_nuts_jit(key, theta0, lp, config, mass)
 
 
 def run_nuts_chains(

@@ -1,0 +1,79 @@
+"""Stan-style windowed warmup: in-scan diagonal mass-matrix estimation.
+
+Nothing like this exists in the reference (its only adaptation is step-size
+dual averaging).  Schedule (Stan defaults): an initial fast interval
+(step-size only), doubling slow windows that accumulate posterior variance
+via Welford statistics, a terminal fast interval.  At every slow-window
+boundary the inverse mass becomes the regularised variance estimate,
+Welford resets, and dual averaging restarts recentred on the current step
+size.
+
+Everything runs inside the sampling scan: the schedule is precomputed as
+static per-draw flags (an xs input), the Welford state and the diagonal
+inverse mass are carried arrays, and window switches are `jnp.where` masks.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class WelfordState(NamedTuple):
+    count: jnp.ndarray  # scalar
+    mean: jnp.ndarray  # (D,)
+    m2: jnp.ndarray  # (D,)
+
+
+def welford_init(dim: int, dtype=jnp.float32) -> WelfordState:
+    return WelfordState(
+        count=jnp.zeros((), dtype),
+        mean=jnp.zeros((dim,), dtype),
+        m2=jnp.zeros((dim,), dtype),
+    )
+
+
+def welford_update(state: WelfordState, x: jnp.ndarray) -> WelfordState:
+    count = state.count + 1.0
+    delta = x - state.mean
+    mean = state.mean + delta / count
+    m2 = state.m2 + delta * (x - mean)
+    return WelfordState(count, mean, m2)
+
+
+def welford_variance(state: WelfordState) -> jnp.ndarray:
+    """Regularised variance: (n/(n+5))*var + 1e-3*(5/(n+5)) (Stan)."""
+    n = jnp.maximum(state.count, 2.0)
+    var = state.m2 / (n - 1.0)
+    return (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
+
+
+def build_schedule(
+    burn: int,
+    init_buffer: int = 75,
+    term_buffer: int = 50,
+    base_window: int = 25,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-draw static flags: (collect[n], window_end[n]) over burn draws.
+
+    Mirrors Stan's warmup windowing; degenerates gracefully for short burn
+    (no windows when burn < init+term+base).
+    """
+    collect = np.zeros(max(burn, 0), dtype=bool)
+    window_end = np.zeros(max(burn, 0), dtype=bool)
+    if burn >= init_buffer + term_buffer + base_window:
+        pos = init_buffer
+        window = base_window
+        last_slow = burn - term_buffer
+        while pos < last_slow:
+            end = pos + window
+            if end + 2 * window > last_slow:
+                end = last_slow  # final window absorbs the remainder
+            collect[pos:end] = True
+            window_end[end - 1] = True
+            pos = end
+            window *= 2
+    return collect, window_end

@@ -119,3 +119,43 @@ class TestNUTSViaAPI:
         )
         assert samples.shape == (1 + 300 - 100 - 1, 2)
         assert ss > 0.0
+
+
+class TestWindowedWarmup:
+    def test_schedule_structure(self):
+        from hamiltorch_tpu.samplers.warmup import build_schedule
+
+        collect, end = build_schedule(600)
+        assert not collect[:75].any()  # initial fast interval
+        assert not collect[550:].any()  # terminal fast interval
+        assert collect[75:550].all()  # slow windows cover the middle
+        ends = list(end.nonzero()[0])
+        assert ends[0] == 75 + 25 - 1  # first base window
+        assert ends[-1] == 549  # last slow draw closes the final window
+        # doubling: window lengths 25, 50, 100, then remainder
+        assert not build_schedule(100)[0].any()  # too short -> no windows
+
+    def test_welford_matches_numpy(self, key):
+        from hamiltorch_tpu.samplers.warmup import (
+            welford_init, welford_update, welford_variance,
+        )
+
+        xs = np.asarray(jax.random.normal(key, (200, 3))) * np.array([0.5, 1, 2])
+        st = welford_init(3)
+        for x in xs:
+            st = welford_update(st, jnp.asarray(x))
+        var_np = xs.var(0, ddof=1)
+        reg = (200 / 205) * var_np + 1e-3 * (5 / 205)
+        np.testing.assert_allclose(np.asarray(welford_variance(st)), reg, rtol=1e-4)
+
+    def test_mass_adaptation_fixes_bad_scaling(self, key):
+        """On a badly scaled Gaussian, windowed warmup should recover both
+        scales; without it the narrow direction dominates the step size."""
+        scales = jnp.array([0.05, 20.0])
+        lp = lambda t: -0.5 * jnp.sum((t / scales) ** 2)
+        config = NUTSConfig(num_samples=1500, step_size=0.5, burn=700, adapt_mass=True)
+        result, info = run_nuts(key, lp, jnp.zeros(2), config)
+        s = np.asarray(result.samples[800:])
+        np.testing.assert_allclose(s.std(0), [0.05, 20.0], rtol=0.3)
+        # adapted trees should be shallow (good preconditioning)
+        assert float(np.asarray(info.tree_depth[800:]).mean()) < 6
