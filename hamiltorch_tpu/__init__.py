@@ -19,6 +19,7 @@ from .api import sample
 from .enums import Integrator, Metric, Sampler
 from .samplers.driver import MCMCConfig, MCMCResult, MCMCStats
 from .samplers.hmc import run_hmc, run_hmc_chains
+from .samplers.chees import ChEESConfig, run_chees
 from .samplers.nuts import NUTSConfig, run_nuts, run_nuts_chains
 from .samplers.rmhmc import run_rmhmc
 from .utils.rng import next_key, set_random_seed
@@ -39,6 +40,8 @@ __all__ = [
     "run_nuts_chains",
     "run_rmhmc",
     "NUTSConfig",
+    "ChEESConfig",
+    "run_chees",
     "MCMCConfig",
     "MCMCResult",
     "MCMCStats",

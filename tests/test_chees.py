@@ -1,0 +1,58 @@
+"""ChEES-HMC tests: adaptation behaviour and statistics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
+
+COV = np.array([[1.0, 0.7], [0.7, 1.0]])
+PREC = np.linalg.inv(COV)
+
+
+def corr_gaussian(theta):
+    return -0.5 * theta @ jnp.asarray(PREC, jnp.float32) @ theta
+
+
+class TestChEES:
+    def test_gaussian_moments(self, key):
+        config = ChEESConfig(num_samples=1200, step_size=0.3, burn=500)
+        result = run_chees(key, corr_gaussian, jnp.zeros(2), config, num_chains=16)
+        assert result.samples.shape == (16, 1200, 2)
+        pooled = np.asarray(result.samples[:, 600:]).reshape(-1, 2)
+        np.testing.assert_allclose(pooled.mean(0), [0, 0], atol=0.1)
+        np.testing.assert_allclose(np.cov(pooled.T), COV, atol=0.12)
+
+    def test_trajectory_length_adapts_to_scale(self, key):
+        """On a wide Gaussian (std 10) the optimal trajectory is O(10);
+        starting from T=0.5 the ChEES gradient must grow it substantially."""
+        lp = lambda t: -0.5 * jnp.sum((t / 10.0) ** 2)
+        config = ChEESConfig(
+            num_samples=800, step_size=0.5, burn=600, init_trajectory_length=0.5,
+        )
+        result = run_chees(key, lp, jnp.zeros(2), config, num_chains=16)
+        final_t = float(result.final_trajectory_length)
+        assert final_t > 3.0
+        pooled = np.asarray(result.samples[:, 650:]).reshape(-1, 2)
+        np.testing.assert_allclose(pooled.std(0), [10.0, 10.0], rtol=0.25)
+
+    def test_acceptance_targets_0651(self, key):
+        config = ChEESConfig(num_samples=1000, step_size=1.5, burn=600)
+        result = run_chees(key, corr_gaussian, jnp.zeros(2), config, num_chains=16)
+        post = float(np.asarray(result.info.accept_prob[700:]).mean())
+        assert 0.45 < post < 0.9
+
+    def test_frozen_after_burn(self, key):
+        config = ChEESConfig(num_samples=400, step_size=0.5, burn=200)
+        result = run_chees(key, corr_gaussian, jnp.zeros(2), config, num_chains=8)
+        tl = np.asarray(result.info.trajectory_length)
+        ss = np.asarray(result.info.step_size)
+        assert np.allclose(tl[210:], tl[210]) and np.allclose(ss[210:], ss[210])
+
+    def test_shared_leapfrog_count(self, key):
+        """All chains share each draw's L (the whole point vs NUTS)."""
+        config = ChEESConfig(num_samples=50, step_size=0.3, burn=20)
+        result = run_chees(key, corr_gaussian, jnp.zeros(2), config, num_chains=8)
+        assert result.info.num_leapfrog.shape == (50,)  # one L per draw
+        assert int(result.info.num_leapfrog.max()) <= 1000
