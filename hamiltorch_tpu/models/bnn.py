@@ -151,17 +151,24 @@ def define_model_log_prob(
     prior_scale: float = 1.0,
     x_example=None,
     params_template=None,
+    remat: bool = False,
 ):
     """Build ``log_prob_func(flat_theta)`` for a model + dataset.
 
     Equivalent of reference samplers.py:1093-1201; the functionalisation,
     unflattening and device moves all collapse into one ``unravel`` plus a
     pure apply.  Returns (log_prob_func, flat_init, unravel).
+
+    ``remat=True`` wraps the forward in ``jax.checkpoint`` so the leapfrog
+    gradient recomputes activations instead of storing them — trades FLOPs
+    for HBM on models whose activation footprint dominates.
     """
     apply_fn, template = build_model(
         model, x_example=x_example if x_example is not None else x,
         params_template=params_template,
     )
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
     flat_init, unravel = ravel_pytree_fn(template)
     x = None if x is None else jnp.asarray(x)
     y = None if y is None else jnp.asarray(y)

@@ -78,6 +78,10 @@ class MCMCConfig:
     adapt_step_size: bool = False  # the reference's "HMC_NUTS" mode
     desired_accept_rate: float = 0.8
     progress_every: int = 0  # >0: host progress line every N draws
+    # thin > 1: keep every thin-th draw; num_samples counts TOTAL transitions
+    # (must be divisible by thin). Stats are aggregated per kept draw: bools
+    # become any-within-window, energies/step size are the kept draw's.
+    thin: int = 1
 
 
 # A transition proposes a new state and returns the two Hamiltonians the
@@ -116,8 +120,7 @@ def run_mcmc(
 
         progress_hook = scan_progress(config.num_samples, config.progress_every)
 
-    def step(carry, n):
-        state, da = carry
+    def one_transition(state, da, n):
         if progress_hook is not None:
             progress_hook(n)
         # per-draw keys derive from (base key, global draw index): the random
@@ -164,14 +167,58 @@ def run_mcmc(
                 mu=da.mu,
             )
 
-        return (state, da), (state.theta, stats)
+        return state, da, stats
 
-    (final_state, final_da), (thetas, stats) = jax.lax.scan(
-        step,
-        (init_state, da0),
-        start_iter + jnp.arange(config.num_samples),
-    )
-    acc_rate = jnp.mean(stats.accepted.astype(dtype))
+    if config.thin <= 1:
+        def step(carry, n):
+            state, da = carry
+            state, da, stats = one_transition(state, da, n)
+            return (state, da), (state.theta, stats)
+
+        (final_state, final_da), (thetas, stats) = jax.lax.scan(
+            step,
+            (init_state, da0),
+            start_iter + jnp.arange(config.num_samples),
+        )
+        acc_rate = jnp.mean(stats.accepted.astype(dtype))
+    else:
+        if config.num_samples % config.thin:
+            raise ValueError("num_samples must be divisible by thin")
+        kept = config.num_samples // config.thin
+
+        def outer(carry, k):
+            def inner(c, j):
+                state, da, div_any, alpha_sum, acc_cnt = c
+                n = start_iter + k * config.thin + j
+                state, da, stats = one_transition(state, da, n)
+                return (
+                    state, da,
+                    div_any | stats.divergent,
+                    alpha_sum + stats.accept_prob,
+                    acc_cnt + stats.accepted.astype(dtype),
+                ), stats
+
+            state, da = carry
+            (state, da, div_any, alpha_sum, acc_cnt), window = jax.lax.scan(
+                inner,
+                (state, da, jnp.asarray(False), jnp.zeros((), dtype), jnp.zeros((), dtype)),
+                jnp.arange(config.thin),
+            )
+            last = jax.tree_util.tree_map(lambda s: s[-1], window)
+            kept_stats = MCMCStats(
+                accept_prob=alpha_sum / config.thin,
+                accepted=last.accepted,
+                divergent=div_any,
+                energy_old=last.energy_old,
+                energy_new=last.energy_new,
+                step_size=last.step_size,
+            )
+            return (state, da), (state.theta, kept_stats, acc_cnt / config.thin)
+
+        (final_state, final_da), (thetas, stats, acc_fracs) = jax.lax.scan(
+            outer, (init_state, da0), jnp.arange(kept)
+        )
+        acc_rate = jnp.mean(acc_fracs)
     return MCMCResult(
         samples=thetas,
         stats=stats,

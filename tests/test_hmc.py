@@ -232,3 +232,64 @@ class TestAPIParity:
                 std_normal_logprob, jnp.zeros(2), num_samples=10, burn=0,
                 sampler=ht.Sampler.HMC_NUTS,
             )
+
+
+class TestThinning:
+    def test_thinned_matches_unthinned_positions(self, key):
+        """thin=k keeps exactly every k-th chain state of the same stream
+        (per-draw keys make the transition sequence identical)."""
+        cfg_full = MCMCConfig(num_samples=60, num_steps_per_sample=5, step_size=0.2)
+        cfg_thin = MCMCConfig(num_samples=60, num_steps_per_sample=5, step_size=0.2, thin=3)
+        r_full = run_hmc(key, std_normal_logprob, jnp.zeros(2), cfg_full)
+        r_thin = run_hmc(key, std_normal_logprob, jnp.zeros(2), cfg_thin)
+        assert r_thin.samples.shape == (20, 2)
+        np.testing.assert_allclose(
+            np.asarray(r_thin.samples), np.asarray(r_full.samples[2::3]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            float(r_thin.acc_rate), float(r_full.acc_rate), atol=1e-6
+        )
+
+    def test_thin_divergent_any_within_window(self, key):
+        def cliff(theta):
+            r2 = jnp.dot(theta, theta)
+            return jnp.where(r2 < 1.0, -0.5 * r2, jnp.nan)
+
+        cfg = MCMCConfig(num_samples=100, num_steps_per_sample=10, step_size=0.5, thin=5)
+        r = run_hmc(key, cliff, jnp.zeros(2), cfg)
+        assert r.samples.shape == (20, 2)
+        assert int(r.stats.divergent.sum()) > 0
+
+    def test_indivisible_thin_raises(self, key):
+        cfg = MCMCConfig(num_samples=10, thin=3)
+        with pytest.raises(ValueError):
+            run_hmc(key, std_normal_logprob, jnp.zeros(2), cfg)
+
+
+class TestX64Mode:
+    def test_float64_end_to_end(self):
+        """The samplers are dtype-agnostic; exercise f64 in a subprocess
+        (x64 is a global flag that must be set before tracing)."""
+        import subprocess, sys, os
+
+        code = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from hamiltorch_tpu.samplers.driver import MCMCConfig
+from hamiltorch_tpu.samplers.hmc import run_hmc
+lp = lambda t: -0.5 * jnp.dot(t, t)
+r = run_hmc(jax.random.key(0), lp, jnp.zeros(3, jnp.float64),
+            MCMCConfig(num_samples=100, num_steps_per_sample=5, step_size=0.2))
+assert r.samples.dtype == jnp.float64, r.samples.dtype
+assert abs(float(r.samples[20:].std()) - 1.0) < 0.3
+print("OK")
+"""
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        )
+        assert "OK" in out.stdout, out.stderr[-2000:]
