@@ -134,6 +134,53 @@ def _leading_axis_specs(shape_tree, axes):
     )
 
 
+def run_nuts_chains_sharded(
+    key,
+    log_prob_fn: Callable,
+    theta0,
+    config,  # NUTSConfig
+    mesh: Mesh,
+    num_chains: int,
+    inv_mass=None,
+):
+    """Tree-NUTS chains sharded over the whole mesh (no communication).
+
+    Returns (MCMCResult, NUTSInfo) with a leading chain axis.  NOTE: within
+    each device's lane batch, chains wait for the deepest tree per draw —
+    for large ensembles prefer run_chees, whose trajectory length is shared
+    by construction.
+    """
+    from ..samplers.nuts import _run_nuts_jit
+
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    keys = jax.random.split(key, num_chains)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+    n_dev = len(mesh.devices.flatten())
+    if num_chains % n_dev:
+        raise ValueError(f"num_chains={num_chains} not divisible by {n_dev} devices")
+    axes = tuple(mesh.axis_names)
+
+    def local(keys_l, thetas_l):
+        return jax.vmap(
+            lambda k, t: _run_nuts_jit(k, t, log_prob_fn, config, mass)
+        )(keys_l, thetas_l)
+
+    local_chains = num_chains // n_dev
+    out_specs = _leading_axis_specs(
+        jax.eval_shape(local, keys[:local_chains], theta0[:local_chains]), axes
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes), P(axes, None)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(shard)(keys, theta0)
+
+
 def run_hmc_chains_sharded(
     key,
     log_prob_fn: Callable,

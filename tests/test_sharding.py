@@ -103,3 +103,24 @@ class TestDataSharding:
                 key, self.loglik_shard, self.log_prior, self.x, self.y,
                 jnp.zeros(3), config, mesh, num_chains=6,
             )
+
+
+class TestNUTSSharding:
+    def test_sharded_nuts_matches_vmap(self, key):
+        from hamiltorch_tpu.parallel.sharding import run_nuts_chains_sharded
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_chains
+
+        config = NUTSConfig(num_samples=30, step_size=0.4, burn=10)
+        mesh = make_mesh(chains=4, data=2)
+        r_shard, i_shard = run_nuts_chains_sharded(
+            key, std_normal, jnp.zeros(2), config, mesh, num_chains=8
+        )
+        r_vmap, i_vmap = run_nuts_chains(key, std_normal, jnp.zeros(2), config, num_chains=8)
+        # sharded vs unsharded compilations reorder f32 ops slightly
+        np.testing.assert_allclose(
+            np.asarray(r_shard.samples), np.asarray(r_vmap.samples), atol=1e-3
+        )
+        depths_equal = np.mean(
+            np.asarray(i_shard.tree_depth) == np.asarray(i_vmap.tree_depth)
+        )
+        assert depths_equal > 0.9
