@@ -85,6 +85,14 @@ def sample(
         desired_accept_rate=desired_accept_rate,
     )
 
+    if isinstance(log_prob_func, (list, tuple)) and not (
+        sampler in (Sampler.HMC, Sampler.HMC_NUTS) and integrator in _SPLITTING
+    ):
+        raise RuntimeError(
+            "A list of log_prob functions requires Sampler.HMC with a "
+            "SPLITTING integrator (reference: samplers.py:466-467)."
+        )
+
     if sampler == Sampler.NUTS:
         from .samplers.nuts import NUTSConfig, run_nuts
 

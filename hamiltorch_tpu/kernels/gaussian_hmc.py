@@ -52,11 +52,12 @@ def _uniforms(shape):
     return jnp.where(u >= 1.0, u - 1.0, u)
 
 
-def _kernel(seed_ref, theta_ref, prec_ref, out_ref, acc_ref, *,
+def _kernel(seed_ref, theta_ref, prec_ref, mean_ref, out_ref, acc_ref, *,
             num_samples, num_steps, step_size, dense, d_real):
     pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     theta0 = theta_ref[:]  # (C_tile, Dp)
+    mu = mean_ref[0, :][None, :]  # (1, Dp)
     c_tile, dp = theta0.shape
     # zero the padding lanes of refreshed momenta so they carry no kinetic
     # energy and padded theta lanes never drift
@@ -65,13 +66,14 @@ def _kernel(seed_ref, theta_ref, prec_ref, out_ref, acc_ref, *,
     ).astype(jnp.float32)
 
     def grad(th):
+        delta = th - mu
         if dense:
-            return -jnp.dot(th, prec_ref[:], preferred_element_type=jnp.float32)
-        return -th * prec_ref[0, :]
+            return -jnp.dot(delta, prec_ref[:], preferred_element_type=jnp.float32)
+        return -delta * prec_ref[0, :]
 
     def potential(th):
-        # -logp = 0.5 theta^T P theta; padded lanes of P are zero.
-        return -0.5 * jnp.sum(th * grad(th), axis=1)
+        # -logp = 0.5 (theta-mu)^T P (theta-mu); padded lanes of P are zero.
+        return -0.5 * jnp.sum((th - mu) * grad(th), axis=1)
 
     def draw(n, carry):
         theta, acc = carry
@@ -118,8 +120,9 @@ def gaussian_hmc(
     step_size: float = 0.1,
     chain_tile: int = 8,
     interpret: bool = False,
+    mean: jnp.ndarray | None = None,
 ):
-    """Sample C chains from N(0, P^{-1}); returns (samples (C, N, D), acc (C,)).
+    """Sample C chains from N(mean, P^{-1}); returns (samples (C, N, D), acc (C,)).
 
     One fused kernel per ``chain_tile`` chains; VMEM must hold
     chain_tile * num_samples * D_padded floats (~4 MB at the defaults for
@@ -129,6 +132,9 @@ def gaussian_hmc(
     dp = _round_up(d, LANES)
     dense = precision.ndim == 2
 
+    mean_pad = jnp.zeros((SUBLANES, dp), jnp.float32)
+    if mean is not None:
+        mean_pad = mean_pad.at[0, :d].set(jnp.asarray(mean, jnp.float32))
     theta_pad = jnp.zeros((c, dp), jnp.float32).at[:, :d].set(theta0)
     if dense:
         prec_pad = jnp.zeros((dp, dp), jnp.float32).at[:d, :d].set(precision)
@@ -149,6 +155,9 @@ def gaussian_hmc(
             pl.BlockSpec(
                 prec_pad.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(
+                mean_pad.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
         ],
         out_specs=[
             pl.BlockSpec(
@@ -163,5 +172,5 @@ def gaussian_hmc(
         ],
         # TPU interpret mode runs the kernel (incl. pltpu.prng_*) on CPU
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(jnp.asarray(seed, jnp.int32).reshape(1), theta_pad, prec_pad)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), theta_pad, prec_pad, mean_pad)
     return samples[:, :, :d], acc[:, 0]

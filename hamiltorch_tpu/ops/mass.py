@@ -182,8 +182,13 @@ def make_mass(inv_mass, dim: int) -> MassOperator:
     if inv_mass is None:
         return IdentityMass(dim=dim)
     if isinstance(inv_mass, (list, tuple)):
-        return BlockDiagMass.from_inv_blocks([jnp.asarray(b) for b in inv_mass])
+        op = BlockDiagMass.from_inv_blocks([jnp.asarray(b) for b in inv_mass])
+        if op.dim != dim:
+            raise ValueError(f"inv_mass blocks cover {op.dim} dims, params have {dim}")
+        return op
     inv_mass = jnp.asarray(inv_mass)
+    if inv_mass.shape[0] != dim:
+        raise ValueError(f"inv_mass has dim {inv_mass.shape[0]}, params have {dim}")
     if inv_mass.ndim == 1:
         return DiagMass(inv_diag=inv_mass)
     if inv_mass.ndim == 2:

@@ -293,3 +293,20 @@ print("OK")
             [sys.executable, "-c", code], capture_output=True, text=True, env=env,
         )
         assert "OK" in out.stdout, out.stderr[-2000:]
+
+
+class TestValidation:
+    def test_inv_mass_dim_mismatch(self, key):
+        cfg = MCMCConfig(num_samples=5)
+        with pytest.raises(ValueError):
+            run_hmc(key, std_normal_logprob, jnp.zeros(3), cfg, inv_mass=jnp.ones(2))
+        with pytest.raises(ValueError):
+            run_hmc(key, std_normal_logprob, jnp.zeros(3), cfg,
+                    inv_mass=[jnp.eye(2), jnp.eye(2)])
+
+    def test_list_logprob_requires_splitting(self):
+        fns = [std_normal_logprob, std_normal_logprob]
+        with pytest.raises(RuntimeError):
+            ht.sample(fns, jnp.zeros(2), num_samples=10, sampler=ht.Sampler.NUTS)
+        with pytest.raises(RuntimeError):
+            ht.sample(fns, jnp.zeros(2), num_samples=10, sampler=ht.Sampler.RMHMC)

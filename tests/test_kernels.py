@@ -68,3 +68,28 @@ class TestKernelStatistics:
         s2, _ = gaussian_hmc(7, jnp.zeros((16, 3)), prec, 50, 5, 0.3)
         np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
         assert not np.allclose(np.asarray(s1[0]), np.asarray(s1[1]))
+
+
+class TestKernelMean:
+    def test_nonzero_mean_lowering(self):
+        prec = jnp.array([1.0, 4.0])
+        mean = jnp.array([3.0, -2.0])
+        samples, _ = gaussian_hmc(
+            0, jnp.zeros((8, 2)) + mean, prec, num_samples=20, num_steps=5,
+            step_size=0.3, interpret=INTERPRET, mean=mean,
+        )
+        assert samples.shape == (8, 20, 2)
+        assert bool(jnp.all(jnp.isfinite(samples)))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="on-core PRNG requires real TPU")
+class TestKernelMeanStatistics:
+    def test_mean_recovery(self):
+        prec = jnp.array([1.0, 4.0])
+        mean = jnp.array([3.0, -2.0])
+        samples, acc = gaussian_hmc(
+            0, jnp.zeros((64, 2)) + mean, prec, num_samples=400,
+            num_steps=5, step_size=0.3, mean=mean,
+        )
+        s = np.asarray(samples[:, 100:]).reshape(-1, 2)
+        np.testing.assert_allclose(s.mean(0), np.asarray(mean), atol=0.1)
