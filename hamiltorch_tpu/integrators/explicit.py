@@ -17,7 +17,7 @@ an exact rotation (volume-preserving, reversible).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -25,8 +25,7 @@ forward — on TPU the sample axis feeds the MXU.
 from __future__ import annotations
 
 import math
-from functools import partial
-from typing import Any, Callable, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

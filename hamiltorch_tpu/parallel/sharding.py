@@ -17,12 +17,11 @@ that AD inserts), riding ICI.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.mass import make_mass
 from ..samplers.driver import MCMCConfig, MCMCResult

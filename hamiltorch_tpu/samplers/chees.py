@@ -35,8 +35,6 @@ import jax.numpy as jnp
 from ..ops.mass import make_mass
 from ..ops.potential import make_log_prob
 from .adaptation import DualAveragingState, da_init, da_update
-from .driver import MCMCStats
-
 
 @dataclasses.dataclass(frozen=True)
 class ChEESConfig:

@@ -9,13 +9,13 @@ Behavioural spec: the HMC paths of the reference's ``sample`` /
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
 from ..integrators.leapfrog import PhasePoint, leapfrog
-from ..ops.mass import IdentityMass, MassOperator, make_mass
+from ..ops.mass import MassOperator, make_mass
 from ..ops.potential import make_log_prob
 from .driver import ChainState, MCMCConfig, MCMCResult, TransitionFn, run_mcmc
 

@@ -328,7 +328,6 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
 
     from ..ops.mass import DiagMass
     from .warmup import (
-        WelfordState,
         build_schedule,
         welford_init,
         welford_update,

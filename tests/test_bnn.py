@@ -252,3 +252,58 @@ class TestBatchNormInterop:
         np.testing.assert_allclose(
             np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-4
         )
+
+
+class TestSamplerCombinations:
+    """Model layer x sampler matrix: every sampler family on a BNN potential."""
+
+    def _data(self):
+        x = jnp.linspace(-1, 1, 12)[:, None]
+        return x, jnp.sin(2 * x)
+
+    def test_sample_model_with_tree_nuts(self, key):
+        x, y = self._data()
+        samples = sample_model(
+            MLP(features=(4, 1)), x, y, model_loss="regression",
+            num_samples=60, burn=20, step_size=0.01, tau_out=10.0,
+            sampler=ht.Sampler.NUTS, key=key, verbose=False,
+        )
+        assert samples.shape[0] == 1 + 60 - 20 - 1
+        assert bool(jnp.all(jnp.isfinite(samples)))
+
+    def test_chees_on_bnn_potential(self, key):
+        from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
+
+        x, y = self._data()
+        lp_fn, flat0, _ = define_model_log_prob(
+            MLP(features=(4, 1)), "regression", x, y, tau_out=10.0
+        )
+        config = ChEESConfig(num_samples=100, step_size=0.01, burn=50,
+                             init_trajectory_length=0.1)
+        result = run_chees(key, lp_fn, flat0, config, num_chains=8)
+        assert result.samples.shape[0] == 8
+        assert bool(jnp.all(jnp.isfinite(result.samples)))
+
+    def test_checkpointed_bnn(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_hmc_checkpointed
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+
+        x, y = self._data()
+        lp_fn, flat0, _ = define_model_log_prob(
+            MLP(features=(4, 1)), "regression", x, y, tau_out=10.0
+        )
+        cfg = MCMCConfig(num_samples=30, num_steps_per_sample=5, step_size=0.01)
+        r = run_hmc_checkpointed(key, lp_fn, flat0, cfg, str(tmp_path / "ck"), chunk_size=10)
+        assert r.samples.shape == (30, flat0.shape[0])
+
+    def test_remat_matches_plain(self, key):
+        x, y = self._data()
+        lp_plain, flat0, _ = define_model_log_prob(
+            MLP(features=(4, 1)), "regression", x, y, tau_out=10.0
+        )
+        lp_remat, _, _ = define_model_log_prob(
+            MLP(features=(4, 1)), "regression", x, y, tau_out=10.0, remat=True
+        )
+        g1 = jax.grad(lp_plain)(flat0)
+        g2 = jax.grad(lp_remat)(flat0)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
