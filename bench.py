@@ -48,6 +48,32 @@ def main():
     rate = grad_steps / dt
     acc = float(jnp.mean(result.stats.accepted))
 
+    # secondary: the fully-fused Pallas sampler on the same model shape
+    import numpy as np
+
+    from hamiltorch_tpu.kernels.bnn_hmc import bnn_hmc
+
+    rngk = jax.random.key(7)
+    xb = jax.random.normal(rngk, (1024, 784))
+    yb = jnp.tanh(xb @ (jax.random.normal(jax.random.key(8), (784,)) / 28.0))[:, None]
+    w1 = 0.01 * jax.random.normal(jax.random.key(9), (num_chains, 784, 128))
+    b1 = jnp.zeros((num_chains, 128))
+    w2 = 0.01 * jax.random.normal(jax.random.key(10), (num_chains, 128))
+    b2 = jnp.zeros((num_chains,))
+
+    def run_fused(seed):
+        out = bnn_hmc(seed, xb, yb, w1, b1, w2, b2, num_samples=50,
+                      num_steps=num_steps, step_size=2e-4, tau=10.0)
+        jax.block_until_ready(out)
+
+    run_fused(0)
+    times = []
+    for rep in range(3):
+        t1 = time.perf_counter()
+        run_fused(rep + 1)
+        times.append(time.perf_counter() - t1)
+    fused_rate = num_chains * 50 * num_steps / float(np.median(times))
+
     from hamiltorch_tpu.diagnostics import effective_sample_size
 
     # ESS/sec on a 64-dim slice of the posterior (full-D ESS is O(N*D) fft
@@ -63,6 +89,7 @@ def main():
                 "vs_baseline": round(rate / 10000.0, 3),
                 "min_ess_per_sec": round(ess_per_sec, 1),
                 "acc_rate": round(acc, 3),
+                "fused_kernel_grad_steps_per_sec": round(fused_rate, 1),
             }
         )
     )
