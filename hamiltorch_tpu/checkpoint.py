@@ -169,10 +169,13 @@ def _checkpoint_loop(
         f for f in os.listdir(ckpt_dir) if f.startswith("chunk_") and f.endswith(".npz")
     )
     zs = [np.load(os.path.join(ckpt_dir, f)) for f in chunks]
-    samples = jnp.asarray(np.concatenate([z["samples"] for z in zs]))
+    # a directory from a previous LONGER run may hold more chunks than this
+    # call requested; return exactly num_samples draws
+    kept = config.num_samples // max(getattr(config, "thin", 1), 1)
+    samples = jnp.asarray(np.concatenate([z["samples"] for z in zs])[:kept])
     stats = MCMCStats(
         **{
-            f: jnp.asarray(np.concatenate([z[f] for z in zs]))
+            f: jnp.asarray(np.concatenate([z[f] for z in zs])[:kept])
             for f in MCMCStats._fields
         }
     )

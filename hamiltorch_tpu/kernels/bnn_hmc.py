@@ -29,21 +29,13 @@ kernel therefore takes a separate pre-transposed copy of x.
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .gaussian_hmc import _normals, _uniforms
-
-LANES = 128
-SUBLANES = 8
-
-
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
+from .gaussian_hmc import LANES, SUBLANES, _normals, _round_up, _uniforms
 
 
 def _kernel(seed_ref, x_ref, xt_ref, y_ref, w1_ref, b1_ref, w2_ref, b2_ref,

@@ -126,8 +126,11 @@ def log_likelihood(output, y, model_loss, tau_out=1.0):
         labels = y.reshape(-1).astype(jnp.int32)
         return -tau_out * (-jnp.sum(jnp.take_along_axis(logits, labels[:, None], axis=-1)))
     if model_loss == "multi_class_log_softmax_output":
+        # The reference uses F.nll_loss with its default reduction='mean'
+        # (samplers.py:1180) — inconsistent with its own sum-reduced
+        # CrossEntropyLoss branch two lines above, but parity means parity.
         labels = y.reshape(-1).astype(jnp.int32)
-        return -tau_out * (-jnp.sum(jnp.take_along_axis(output, labels[:, None], axis=-1)))
+        return -tau_out * (-jnp.mean(jnp.take_along_axis(output, labels[:, None], axis=-1)))
     if model_loss == "regression":
         return -0.5 * tau_out * jnp.sum((output - y) ** 2)
     if callable(model_loss):
@@ -365,6 +368,8 @@ def sample_split_model(
         raise RuntimeError("params_init must be a 1d array.")
     if burn >= num_samples:
         raise RuntimeError("burn must be less than num_samples.")
+    if sampler == Sampler.HMC_NUTS and burn <= 0:
+        raise RuntimeError("burn must be greater than 0 for NUTS.")
     if key is None:
         key = next_key()
 

@@ -65,3 +65,18 @@ def make_log_prob(
 def value_and_grad(log_prob_fn: LogProbFn) -> Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """(theta) -> (logp, dlogp/dtheta), one fused forward+backward."""
     return jax.value_and_grad(log_prob_fn)
+
+
+def resolve_potential(log_prob_fn, pass_grad=None):
+    """Honour the ``_raw_fn``/``_data`` jit-operand protocol.
+
+    Potentials built by models/bnn.py attach their dataset so samplers can
+    pass it as a jit operand instead of baking it into the program as a
+    constant (large datasets overflow TPU constant budgets).  Returns
+    (fn, data): call ``fn(theta, data)`` when data is not None, else
+    ``fn(theta)``.
+    """
+    raw = getattr(log_prob_fn, "_raw_fn", None)
+    if raw is not None and pass_grad is None:
+        return raw, getattr(log_prob_fn, "_data")
+    return make_log_prob(log_prob_fn, pass_grad), None

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.mass import make_mass
-from ..ops.potential import make_log_prob
+from ..ops.potential import resolve_potential
 from .adaptation import DualAveragingState, da_init, da_update
 
 @dataclasses.dataclass(frozen=True)
@@ -86,8 +86,9 @@ def _batched_leapfrog(vg_batch, velocity, thetas, ps, logps, grads, eps, num_ste
 
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "config"))
-def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass):
-    vg_batch = jax.vmap(jax.value_and_grad(log_prob_fn))
+def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=None):
+    lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
+    vg_batch = jax.vmap(jax.value_and_grad(lp))
     velocity = jax.vmap(mass.velocity)
     kinetic = jax.vmap(mass.kinetic)
     c, d = theta0s.shape
@@ -132,7 +133,14 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass):
         logps_out = jnp.where(accept, logp_new, logps)
         grads_out = jnp.where(sel, grad_new, grads)
 
-        if config.adapt:
+        # record the values actually used for THIS draw (pre-update), matching
+        # the driver's convention
+        info_step_size = eps
+        info_traj_len = jnp.exp(log_t)
+
+        # adaptation needs a warmup phase; with burn <= 0 the freeze at
+        # n==burn would clobber step_size with exp(log_eps_bar)=1
+        if config.adapt and config.burn > 0:
             # --- ChEES gradient wrt trajectory time ------------------------
             mu = jnp.mean(thetas_out, axis=0)  # ensemble centre
             dsq_new = jnp.sum((th_new - mu) ** 2, axis=1)
@@ -181,9 +189,9 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass):
 
         info = ChEESInfo(
             accept_prob=alpha,
-            trajectory_length=jnp.exp(log_t),
+            trajectory_length=info_traj_len,
             num_leapfrog=num_steps,
-            step_size=da.step_size,
+            step_size=info_step_size,
             divergent=~finite,
         )
         return (thetas_out, logps_out, grads_out, da, log_t, adam), (thetas_out, info)
@@ -218,6 +226,6 @@ def run_chees(
         theta0 = theta0[None, :] + 0.01 * jax.random.normal(
             k_init, (num_chains, theta0.shape[0]), theta0.dtype
         )
-    lp = make_log_prob(log_prob_fn, None)
+    lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
-    return _run_chees_jit(key, theta0, lp, config, mass)
+    return _run_chees_jit(key, theta0, lp, config, mass, data=data)

@@ -122,7 +122,7 @@ def run_mcmc(
 
     def one_transition(state, da, n):
         if progress_hook is not None:
-            progress_hook(n)
+            progress_hook(n - start_iter)  # bar is sized per-run, not global
         # per-draw keys derive from (base key, global draw index): the random
         # stream is identical no matter how the run is chunked for resume
         k_prop, k_mh = jax.random.split(jax.random.fold_in(key, n))
@@ -146,7 +146,9 @@ def run_mcmc(
             step_size=da.step_size,
         )
 
-        if config.adapt_step_size:
+        # adaptation needs a warmup phase: with burn <= 0 the freeze branch
+        # would fire at draw 0 and clobber step_size with exp(log_eps_bar)=1
+        if config.adapt_step_size and config.burn > 0:
             # Adapt while n < burn; at n == burn freeze to the averaged
             # step size; afterwards hold (reference: samplers.py:1030-1035).
             da_upd = da_update(

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..integrators.leapfrog import PhasePoint, leapfrog
 from ..ops.mass import MassOperator, make_mass
-from ..ops.potential import make_log_prob
+from ..ops.potential import resolve_potential
 from .driver import ChainState, MCMCConfig, MCMCResult, TransitionFn, run_mcmc
 
 
@@ -75,13 +75,8 @@ def run_hmc(
     """
     theta0 = jnp.asarray(theta0)
     mass = make_mass(inv_mass, theta0.shape[0])
-    raw = getattr(log_prob_fn, "_raw_fn", None)
-    if raw is not None and pass_grad is None:
-        return _run_hmc_jit(
-            key, theta0, raw, config, mass, data=log_prob_fn._data
-        )
-    lp = make_log_prob(log_prob_fn, pass_grad)
-    return _run_hmc_jit(key, theta0, lp, config, mass)
+    lp, data = resolve_potential(log_prob_fn, pass_grad)
+    return _run_hmc_jit(key, theta0, lp, config, mass, data=data)
 
 
 def run_hmc_chains(
@@ -106,9 +101,10 @@ def run_hmc_chains(
         theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
     keys = jax.random.split(key, num_chains)
     mass = make_mass(inv_mass, theta0.shape[-1])
-    lp = make_log_prob(log_prob_fn, pass_grad)
+    lp, data = resolve_potential(log_prob_fn, pass_grad)
 
     run = jax.vmap(
-        lambda k, t: _run_hmc_jit(k, t, lp, config, mass), in_axes=(0, 0)
+        lambda k, t: _run_hmc_jit(k, t, lp, config, mass, data=data),
+        in_axes=(0, 0),
     )
     return run(keys, theta0)

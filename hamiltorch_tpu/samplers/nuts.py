@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.mass import MassOperator, make_mass
-from ..ops.potential import make_log_prob
+from ..ops.potential import make_log_prob, resolve_potential
 from .adaptation import DualAveragingState, da_init, da_update
 from .driver import MCMCResult, MCMCStats
 
@@ -318,8 +318,11 @@ def nuts_transition(vg, mass: MassOperator, max_depth: int):
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "config"))
 def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
-                  init_state=None, init_da=None, start_iter=0):
-    vg = jax.value_and_grad(log_prob_fn)
+                  init_state=None, init_da=None, start_iter=0, data=None):
+    # data (when given) reaches the potential as a jit operand, not a baked
+    # program constant (the _raw_fn protocol of models/bnn.py)
+    lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
+    vg = jax.value_and_grad(lp)
     if init_state is not None:
         theta0, logp0, grad0 = init_state
     else:
@@ -363,7 +366,9 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
         )
         theta, logp, grad, info = transition(sub, theta, logp, grad, da.step_size)
 
-        if config.adapt_step_size:
+        # requires a warmup phase; with burn <= 0 the freeze at n==burn would
+        # clobber step_size with exp(log_eps_bar)=1 on the first draw
+        if config.adapt_step_size and config.burn > 0:
             # dual averaging on the mean leaf acceptance statistic
             da_upd = da_update(
                 da,
@@ -407,7 +412,13 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
 
         return (theta, logp, grad, da, wf, inv_diag), (theta, info)
 
-    inv_diag0 = jnp.ones((d,), theta0.dtype)
+    # seed the adaptive diagonal from the user's mass (identity -> ones)
+    from ..ops.mass import DiagMass as _DiagMass
+
+    if isinstance(mass, _DiagMass):
+        inv_diag0 = jnp.asarray(mass.inv_diag, theta0.dtype)
+    else:
+        inv_diag0 = jnp.ones((d,), theta0.dtype)
     (theta_f, logp_f, grad_f, da_f, _, _), (thetas, infos) = jax.lax.scan(
         step,
         (theta0, logp0, grad0, da0, welford_init(d, theta0.dtype), inv_diag0),
@@ -452,9 +463,17 @@ def run_nuts(
     boundary (samplers/warmup.py).
     """
     theta0 = jnp.asarray(theta0)
-    lp = make_log_prob(log_prob_fn, pass_grad)
+    lp, data = resolve_potential(log_prob_fn, pass_grad)
     mass = make_mass(inv_mass, theta0.shape[0])
-    return _run_nuts_jit(key, theta0, lp, config, mass)
+    from ..ops.mass import DiagMass, IdentityMass
+
+    if config.adapt_mass and not isinstance(mass, (DiagMass, IdentityMass)):
+        raise ValueError(
+            "adapt_mass estimates a DIAGONAL inverse mass; combining it with "
+            "a dense or block inv_mass is not supported — pass a diagonal "
+            "inv_mass (used to seed the adaptation) or none."
+        )
+    return _run_nuts_jit(key, theta0, lp, config, mass, data=data)
 
 
 def run_nuts_chains(
@@ -470,6 +489,8 @@ def run_nuts_chains(
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
     keys = jax.random.split(key, num_chains)
-    lp = make_log_prob(log_prob_fn, None)
+    lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
-    return jax.vmap(lambda k, t: _run_nuts_jit(k, t, lp, config, mass))(keys, theta0)
+    return jax.vmap(
+        lambda k, t: _run_nuts_jit(k, t, lp, config, mass, data=data)
+    )(keys, theta0)

@@ -39,10 +39,14 @@ def has_nan_or_inf(value) -> bool:
 
 def _params_of(model):
     if hasattr(model, "named_parameters") and hasattr(model, "forward"):
-        from ..models.interop import from_torch_module
+        # flatten/unflatten only need the parameters, not a translated
+        # forward — works for ARBITRARY torch modules like the reference's
+        # flatten (util.py:121-122)
+        import jax.numpy as _jnp
 
-        _, template = from_torch_module(model)
-        return template
+        return [
+            _jnp.asarray(p.detach().cpu().numpy()) for p in model.parameters()
+        ]
     return model  # a pytree (list/dict/flax variables)
 
 

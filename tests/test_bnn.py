@@ -64,9 +64,8 @@ class TestLikelihoodParityVsTorch:
         z = rng.randn(5, 3).astype(np.float32)
         logz = np.asarray(jax.nn.log_softmax(jnp.asarray(z), axis=-1))
         y = rng.randint(0, 3, size=(5,))
-        ref = -torch.nn.functional.nll_loss(
-            torch.tensor(logz), torch.tensor(y), reduction="sum"
-        )
+        # the reference's nll_loss uses the DEFAULT reduction ('mean')
+        ref = -torch.nn.functional.nll_loss(torch.tensor(logz), torch.tensor(y))
         ours = log_likelihood(jnp.asarray(logz), jnp.asarray(y), "multi_class_log_softmax_output", 1.0)
         np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
 

@@ -132,3 +132,17 @@ class TestNUTSCheckpoint:
         np.testing.assert_allclose(
             np.asarray(r_resumed.samples), np.asarray(r_direct.samples), atol=1e-6
         )
+
+
+class TestCheckpointReviewRegressions:
+    def test_resume_with_smaller_num_samples_returns_requested(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_hmc_checkpointed
+
+        lp = lambda t: -0.5 * jnp.dot(t, t)
+        ck = str(tmp_path / "ck")
+        big = MCMCConfig(num_samples=50, num_steps_per_sample=5, step_size=0.2)
+        small = MCMCConfig(num_samples=20, num_steps_per_sample=5, step_size=0.2)
+        run_hmc_checkpointed(key, lp, jnp.zeros(2), big, ck, chunk_size=10)
+        r = run_hmc_checkpointed(key, lp, jnp.zeros(2), small, ck, chunk_size=10)
+        assert r.samples.shape == (20, 2)
+        assert r.stats.accepted.shape == (20,)

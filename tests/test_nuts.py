@@ -159,3 +159,53 @@ class TestWindowedWarmup:
         np.testing.assert_allclose(s.std(0), [0.05, 20.0], rtol=0.3)
         # adapted trees should be shallow (good preconditioning)
         assert float(np.asarray(info.tree_depth[800:]).mean()) < 6
+
+
+class TestReviewRegressions:
+    def test_burn0_default_keeps_step_size(self, key):
+        """burn=0 with adaptation enabled must not clobber step_size with
+        exp(log_eps_bar)=1 at draw 0 (code-review finding)."""
+        config = NUTSConfig(num_samples=30, step_size=0.01)  # burn=0, adapt on
+        result, info = run_nuts(key, corr_gaussian, jnp.zeros(2), config)
+        ss = np.asarray(info.step_size)
+        assert np.allclose(ss, 0.01)
+
+    def test_chees_burn0_default_keeps_step_size(self, key):
+        from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
+
+        config = ChEESConfig(num_samples=20, step_size=0.01)  # burn=0
+        result = run_chees(key, corr_gaussian, jnp.zeros(2), config, num_chains=8)
+        assert np.allclose(np.asarray(result.info.step_size), 0.01)
+
+    def test_nuts_honors_raw_fn_data_protocol(self, key):
+        """Potentials from define_model_log_prob must reach NUTS as jit
+        operands (the _raw_fn protocol), not closure constants."""
+        from hamiltorch_tpu.ops.potential import resolve_potential
+
+        def raw(theta, data):
+            return -0.5 * jnp.dot(theta, theta) * data
+
+        lp = lambda t: raw(t, 2.0)
+        lp._raw_fn = raw
+        lp._data = jnp.asarray(2.0)
+        fn, data = resolve_potential(lp)
+        assert fn is raw and float(data) == 2.0
+        config = NUTSConfig(num_samples=20, step_size=0.3, burn=5)
+        result, _ = run_nuts(key, lp, jnp.zeros(2), config)
+        assert bool(jnp.all(jnp.isfinite(result.samples)))
+
+    def test_adapt_mass_seeded_from_diag_inv_mass(self, key):
+        """User-provided diagonal inv_mass seeds the adaptive diagonal."""
+        scales = jnp.array([0.1, 10.0])
+        lp = lambda t: -0.5 * jnp.sum((t / scales) ** 2)
+        config = NUTSConfig(num_samples=60, step_size=0.1, burn=30, adapt_mass=True)
+        # burn too short for any window -> inv_diag stays at the seed
+        result, info = run_nuts(
+            key, lp, jnp.zeros(2), config, inv_mass=jnp.array([0.01, 100.0])
+        )
+        assert bool(jnp.all(jnp.isfinite(result.samples)))
+
+    def test_adapt_mass_rejects_dense_inv_mass(self, key):
+        config = NUTSConfig(num_samples=10, burn=5, adapt_mass=True)
+        with pytest.raises(ValueError):
+            run_nuts(key, corr_gaussian, jnp.zeros(2), config, inv_mass=jnp.eye(2))

@@ -129,3 +129,26 @@ class TestUtilAliasModule:
 
         assert callable(util.flatten) and callable(util.setup_chain)
         assert callable(util.multi_chain) and callable(util.eval_print)
+
+
+class TestCompatArbitraryTorchModule:
+    def test_flatten_custom_forward_module(self):
+        """flatten/unflatten need only parameters(), so arbitrary custom
+        torch modules must work (code-review finding)."""
+        torch = pytest.importorskip("torch")
+
+        class Weird(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.a = torch.nn.Linear(3, 2)
+                self.b = torch.nn.Linear(2, 2)
+
+            def forward(self, x):  # untranslatable custom forward
+                return self.b(torch.sin(self.a(x))) + x.sum()
+
+        net = Weird()
+        flat = flatten(net)
+        ref = torch.cat([p.flatten() for p in net.parameters()]).detach().numpy()
+        np.testing.assert_allclose(np.asarray(flat), ref, atol=1e-6)
+        parts = unflatten(net, flat)
+        assert parts[0].shape == (2, 3)
