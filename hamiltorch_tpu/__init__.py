@@ -22,6 +22,7 @@ from .samplers.hmc import run_hmc, run_hmc_chains
 from .samplers.chees import ChEESConfig, run_chees
 from .samplers.nuts import NUTSConfig, run_nuts, run_nuts_chains
 from .samplers.rmhmc import run_rmhmc
+from .samplers.tempering import PTConfig, run_parallel_tempering
 from .utils.rng import next_key, set_random_seed
 
 __all__ = [
@@ -42,6 +43,8 @@ __all__ = [
     "NUTSConfig",
     "ChEESConfig",
     "run_chees",
+    "PTConfig",
+    "run_parallel_tempering",
     "MCMCConfig",
     "MCMCResult",
     "MCMCStats",

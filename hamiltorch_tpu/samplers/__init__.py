@@ -5,6 +5,7 @@ from .hmc import hmc_transition, run_hmc, run_hmc_chains
 from .nuts import NUTSConfig, NUTSInfo, run_nuts, run_nuts_chains
 from .rmhmc import run_rmhmc
 from .splitting import run_split_hmc, run_split_hmc_stacked
+from .tempering import PTConfig, PTResult, run_parallel_tempering
 
 __all__ = [
     "ChainState",
@@ -25,6 +26,9 @@ __all__ = [
     "run_rmhmc",
     "run_split_hmc",
     "run_split_hmc_stacked",
+    "PTConfig",
+    "PTResult",
+    "run_parallel_tempering",
     "DualAveragingState",
     "da_init",
     "da_update",

@@ -1,0 +1,162 @@
+"""Parallel tempering (replica exchange) HMC for multimodal posteriors.
+
+No counterpart in the reference — plain HMC cannot cross deep energy
+barriers, so mixtures and other multimodal targets are out of its reach.
+The algorithm is multi-chain by construction and maps perfectly onto TPU:
+the temperature ladder is just a batch axis (every replica's leapfrog is
+the same fused program at a different inverse temperature), and the
+replica-exchange phase is a handful of gathers and wheres.
+
+Scheme: K replicas at inverse temperatures beta_k (geometric ladder from 1
+down to 1/max_temp) each take one HMC step on the tempered potential
+beta_k * logp with step size eps / sqrt(beta_k); then adjacent pairs swap
+states with probability min(1, exp((beta_a - beta_b)(logp_b - logp_a))),
+alternating even/odd pairings per draw (the deterministic-even-odd scheme,
+which mixes the ladder faster than random pair choice).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.mass import make_mass
+from ..ops.potential import resolve_potential
+
+
+@dataclasses.dataclass(frozen=True)
+class PTConfig:
+    num_samples: int
+    num_steps_per_sample: int = 10
+    step_size: float = 0.1
+    num_temps: int = 8
+    max_temp: float = 30.0
+    burn: int = 0
+
+
+class PTInfo(NamedTuple):
+    accept_prob: jnp.ndarray  # (N, K) per-replica HMC acceptance
+    swap_accept: jnp.ndarray  # (N, K-1) adjacent-pair swap outcomes (bool)
+    betas: jnp.ndarray  # (K,)
+
+
+class PTResult(NamedTuple):
+    samples: jnp.ndarray  # (N, D) — the cold (beta=1) chain
+    replica_samples: jnp.ndarray  # (N, K, D) — full ladder
+    info: PTInfo
+
+
+@partial(jax.jit, static_argnames=("log_prob_fn", "config"))
+def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None):
+    lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
+    vg = jax.vmap(jax.value_and_grad(lp))
+    k_temps, d = theta0s.shape
+    dtype = theta0s.dtype
+
+    betas = jnp.exp(
+        jnp.linspace(0.0, -jnp.log(config.max_temp), k_temps)
+    ).astype(dtype)  # (K,) from 1 down to 1/max_temp
+    eps_k = config.step_size / jnp.sqrt(betas)  # wider steps when hotter
+
+    velocity = jax.vmap(mass.velocity)
+    kinetic = jax.vmap(mass.kinetic)
+
+    logps0, grads0 = vg(theta0s)
+
+    # even pairs (0,1),(2,3)... and odd pairs (1,2),(3,4)... as partner maps
+    idx = jnp.arange(k_temps)
+    partner_even = jnp.where(idx % 2 == 0, idx + 1, idx - 1)
+    partner_even = jnp.clip(partner_even, 0, k_temps - 1)
+    partner_odd = jnp.where(idx % 2 == 1, idx + 1, idx - 1)
+    partner_odd = partner_odd.at[0].set(0).at[-1].set(
+        k_temps - 1 if k_temps % 2 == 0 else partner_odd[-1]
+    )
+    partner_odd = jnp.clip(partner_odd, 0, k_temps - 1)
+
+    def step(carry, n):
+        thetas, logps, grads = carry
+        kn = jax.random.fold_in(key, n)
+        k_mom, k_mh, k_swap = jax.random.split(kn, 3)
+
+        # --- one tempered HMC transition per replica (batched) ------------
+        ps = jax.vmap(lambda kk: mass.sample(kk, dtype=dtype))(
+            jax.random.split(k_mom, k_temps)
+        )
+        h0 = -betas * logps + kinetic(ps)
+
+        eps = eps_k[:, None]
+        p = ps + 0.5 * eps * betas[:, None] * grads
+        th, lgp, g = thetas, logps, grads
+
+        def leap(i, c):
+            th, p, lgp, g = c
+            th = th + eps * velocity(p)
+            lgp, g = vg(th)
+            p = p + eps * betas[:, None] * g
+            return (th, p, lgp, g)
+
+        th, p, lgp, g = jax.lax.fori_loop(
+            0, config.num_steps_per_sample, leap, (th, p, lgp, g)
+        )
+        p = p - 0.5 * eps * betas[:, None] * g
+
+        h1 = -betas * lgp + kinetic(p)
+        log_ratio = h0 - h1
+        finite = jnp.isfinite(log_ratio)
+        alpha = jnp.where(finite, jnp.exp(jnp.minimum(0.0, log_ratio)), 0.0)
+        accept = finite & (
+            jnp.log(jax.random.uniform(k_mh, (k_temps,), dtype)) < log_ratio
+        )
+        thetas = jnp.where(accept[:, None], th, thetas)
+        logps = jnp.where(accept, lgp, logps)
+        grads = jnp.where(accept[:, None], g, grads)
+
+        # --- replica exchange: alternate even/odd adjacent pairings -------
+        partner = jnp.where(n % 2 == 0, partner_even, partner_odd)
+        lp_p = logps[partner]
+        beta_p = betas[partner]
+        log_swap = (betas - beta_p) * (lp_p - logps)
+        u = jax.random.uniform(k_swap, (k_temps,), dtype)
+        # one uniform per PAIR: both members must use the same draw — take
+        # the lower index's
+        pair_lo = jnp.minimum(idx, partner)
+        u_pair = u[pair_lo]
+        do_swap = (partner != idx) & (jnp.log(u_pair) < log_swap)
+
+        src = jnp.where(do_swap, partner, idx)
+        thetas = thetas[src]
+        logps = logps[src]
+        grads = grads[src]
+
+        swap_mask = do_swap[:-1] & (partner[:-1] == idx[:-1] + 1)
+        info_row = (alpha, swap_mask)
+        return (thetas, logps, grads), (thetas, info_row)
+
+    (thetas_f, _, _), (traj, (alphas, swaps)) = jax.lax.scan(
+        step, (theta0s, logps0, grads0), jnp.arange(config.num_samples)
+    )
+    return PTResult(
+        samples=traj[:, 0, :],
+        replica_samples=traj,
+        info=PTInfo(accept_prob=alphas, swap_accept=swaps, betas=betas),
+    )
+
+
+def run_parallel_tempering(
+    key,
+    log_prob_fn,
+    theta0,
+    config: PTConfig,
+    inv_mass=None,
+) -> PTResult:
+    """Replica-exchange HMC; returns the cold chain plus the full ladder."""
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (config.num_temps,) + theta0.shape)
+    lp, data = resolve_potential(log_prob_fn, None)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+    return _run_pt_jit(key, theta0, lp, config, mass, data=data)
