@@ -164,13 +164,24 @@ def make_rm_hamiltonian(
     opts: RMOptions,
     ham_func: Optional[Callable] = None,
     semi_separable: bool = False,
+    custom_metric: Optional[Callable] = None,
 ) -> RMHamiltonian:
     """Assemble the RMHMC operation set for ``log_prob_fn``.
 
     ``semi_separable`` selects the reference's S3 Hamiltonian
     H = -logp + 1/2 p^T G^-1 p + ham_func(theta) (samplers.py:830-842).
+
+    ``custom_metric``: user-supplied analytic ``theta -> (D, D)`` SPD metric.
+    Skips the Hessian/eigh pipeline entirely — dH/dtheta then needs only
+    first-order AD through the closed form, which compiles and runs far
+    faster than third-order AD through jax.hessian.  softabs/jitter options
+    do not apply to a custom metric.
     """
-    metric_fn = make_metric_fn(log_prob_fn, opts)
+    if custom_metric is not None:
+        def metric_fn(theta, jitter_u):
+            return MetricResult(custom_metric(theta), None)
+    else:
+        metric_fn = make_metric_fn(log_prob_fn, opts)
 
     def ham_and_logp(theta, p, jitter_u):
         logp = log_prob_fn(theta)

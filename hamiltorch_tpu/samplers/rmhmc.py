@@ -26,11 +26,14 @@ from .driver import ChainState, MCMCConfig, MCMCResult, run_mcmc
 
 @partial(
     jax.jit,
-    static_argnames=("log_prob_fn", "config", "integrator", "opts", "ham_func"),
+    static_argnames=("log_prob_fn", "config", "integrator", "opts", "ham_func",
+                     "custom_metric"),
 )
-def _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts, ham_func):
+def _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts, ham_func,
+                   custom_metric=None):
     semi = integrator == Integrator.S3
-    rm = make_rm_hamiltonian(log_prob_fn, opts, ham_func=ham_func, semi_separable=semi)
+    rm = make_rm_hamiltonian(log_prob_fn, opts, ham_func=ham_func,
+                             semi_separable=semi, custom_metric=custom_metric)
     use_jitter = opts.jitter is not None
     d = theta0.shape[0]
 
@@ -72,8 +75,13 @@ def run_rmhmc(
     fixed_point_threshold: float = 1e-5,
     fixed_point_max_iterations: int = 1000,
     ham_func: Optional[Callable] = None,
+    custom_metric: Optional[Callable] = None,
 ) -> MCMCResult:
-    """Sample with RMHMC; fully jitted (while_loop fixed points inside scan)."""
+    """Sample with RMHMC; fully jitted (while_loop fixed points inside scan).
+
+    ``custom_metric``: analytic ``theta -> (D, D)`` SPD metric G(theta);
+    replaces the Hessian/softabs pipeline (see ops/metrics.py).
+    """
     theta0 = jnp.asarray(theta0)
     if integrator not in (Integrator.IMPLICIT, Integrator.EXPLICIT, Integrator.S3):
         raise NotImplementedError(f"RMHMC integrator {integrator}")
@@ -85,4 +93,5 @@ def run_rmhmc(
         fixed_point_threshold=fixed_point_threshold,
         fixed_point_max_iterations=fixed_point_max_iterations,
     )
-    return _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts, ham_func)
+    return _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts,
+                          ham_func, custom_metric)

@@ -259,3 +259,44 @@ class TestBananaRMHMC:
         assert abs(samples[:, 0].mean()) < 1.0
         resid = samples[:, 1] - 0.1 * (samples[:, 0] ** 2 - 4.0)
         assert resid.std() < 1.5
+
+
+class TestCustomMetric:
+    def test_analytic_metric_matches_hessian_pipeline(self, key):
+        """For a Gaussian, G(theta) = P analytically; a custom metric must
+        reproduce the Hessian pipeline's chains exactly."""
+        config = MCMCConfig(num_samples=80, num_steps_per_sample=5, step_size=0.3)
+        kwargs = dict(integrator=Integrator.IMPLICIT,
+                      fixed_point_threshold=1e-10, fixed_point_max_iterations=20)
+        r_auto = run_rmhmc(key, gaussian_logprob, jnp.zeros(2), config, **kwargs)
+        r_custom = run_rmhmc(
+            key, gaussian_logprob, jnp.zeros(2), config,
+            custom_metric=lambda t: PREC, **kwargs,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_custom.samples), np.asarray(r_auto.samples), atol=1e-4
+        )
+
+    def test_funnel_analytic_metric(self, key):
+        """Position-dependent analytic metric on the funnel (the classic
+        RMHMC use case) — no third-order AD anywhere."""
+        def funnel_metric(theta):
+            # diag approximation of the funnel's Fisher-style metric
+            v = theta[0]
+            d = theta.shape[0]
+            diag = jnp.concatenate([
+                jnp.array([1.0 / 9.0 + (d - 1) / 2.0]),
+                jnp.full((d - 1,), jnp.exp(-v)),
+            ])
+            return jnp.diag(diag)
+
+        config = MCMCConfig(num_samples=150, num_steps_per_sample=8, step_size=0.2)
+        result = run_rmhmc(
+            key, funnel_logprob, jnp.zeros(5), config,
+            integrator=Integrator.IMPLICIT, custom_metric=funnel_metric,
+            fixed_point_threshold=1e-8, fixed_point_max_iterations=10,
+        )
+        assert bool(jnp.all(jnp.isfinite(result.samples)))
+        assert float(result.acc_rate) > 0.5
+        v = np.asarray(result.samples[30:, 0])
+        assert v.std() > 1.0  # explores the funnel's v axis
