@@ -46,6 +46,10 @@ class ChEESConfig:
     adam_lr: float = 0.025
     max_leapfrog_steps: int = 1000
     adapt: bool = True
+    # cross-chain windowed warmup: the diagonal inverse mass is estimated
+    # from Welford statistics over ALL chains (C observations per draw, so
+    # the estimate converges C-fold faster than single-chain Stan warmup)
+    adapt_mass: bool = False
 
 
 class ChEESInfo(NamedTuple):
@@ -89,18 +93,56 @@ def _batched_leapfrog(vg_batch, velocity, thetas, ps, logps, grads, eps, num_ste
 def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=None):
     lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
     vg_batch = jax.vmap(jax.value_and_grad(lp))
-    velocity = jax.vmap(mass.velocity)
-    kinetic = jax.vmap(mass.kinetic)
     c, d = theta0s.shape
     dtype = theta0s.dtype
+
+    from ..ops.mass import DiagMass
+    from .warmup import (
+        build_schedule, welford_init, welford_variance, WelfordState,
+    )
+
+    windowed = config.adapt_mass and config.burn > 0
+    if windowed:
+        import numpy as np
+
+        collect_np, end_np = build_schedule(config.burn)
+        pad = config.num_samples - min(config.burn, config.num_samples)
+        collect_flags = jnp.asarray(
+            np.concatenate([collect_np[: config.num_samples], np.zeros(pad, bool)])
+        )
+        end_flags = jnp.asarray(
+            np.concatenate([end_np[: config.num_samples], np.zeros(pad, bool)])
+        )
+    else:
+        collect_flags = jnp.zeros(config.num_samples, bool)
+        end_flags = jnp.zeros(config.num_samples, bool)
+    if isinstance(mass, DiagMass):
+        inv_diag0 = jnp.asarray(mass.inv_diag, dtype)
+    else:
+        inv_diag0 = jnp.ones((d,), dtype)
+
+    def batch_welford_merge(wf, thetas):
+        """Chan parallel merge of the C-chain batch into the running stats."""
+        n_b = jnp.asarray(float(thetas.shape[0]), wf.count.dtype)
+        mean_b = jnp.mean(thetas, axis=0)
+        m2_b = jnp.sum((thetas - mean_b) ** 2, axis=0)
+        n_new = wf.count + n_b
+        delta = mean_b - wf.mean
+        mean = wf.mean + delta * n_b / n_new
+        m2 = wf.m2 + m2_b + delta**2 * wf.count * n_b / n_new
+        return WelfordState(n_new, mean, m2)
 
     logps0, grads0 = vg_batch(theta0s)
     da0 = da_init(config.step_size, dtype=dtype)
     log_t0 = jnp.log(jnp.asarray(config.init_trajectory_length, dtype))
     adam0 = (jnp.zeros((), dtype), jnp.zeros((), dtype))  # (m, v)
 
-    def step(carry, n):
-        thetas, logps, grads, da, log_t, adam = carry
+    def step(carry, xs):
+        n, collect, window_end = xs
+        thetas, logps, grads, da, log_t, adam, wf, inv_diag = carry
+        cur_mass = DiagMass(inv_diag=inv_diag) if windowed else mass
+        velocity = jax.vmap(cur_mass.velocity)
+        kinetic = jax.vmap(cur_mass.kinetic)
         kn = jax.random.fold_in(key, n)
         k_mom, k_jit, k_mh = jax.random.split(kn, 3)
 
@@ -112,7 +154,7 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             1, jnp.ceil(traj_t / eps).astype(jnp.int32)
         )
 
-        ps = jax.vmap(lambda k: mass.sample(k, dtype=dtype))(
+        ps = jax.vmap(lambda k: cur_mass.sample(k, dtype=dtype))(
             jax.random.split(k_mom, c)
         )
         h0 = -logps + kinetic(ps)
@@ -187,6 +229,26 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             log_t = jnp.where(adapting, log_t_new, log_t)
             adam = (jnp.where(adapting, m, adam[0]), jnp.where(adapting, v, adam[1]))
 
+        if windowed:
+            wf_upd = batch_welford_merge(wf, thetas_out)
+            wf = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(collect, a, b), wf_upd, wf
+            )
+            inv_diag = jnp.where(window_end, welford_variance(wf), inv_diag)
+            wf = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(window_end, a, b),
+                welford_init(d, dtype), wf,
+            )
+            da_reset = DualAveragingState(
+                step_size=da.step_size,
+                log_eps_bar=jnp.zeros_like(da.log_eps_bar),
+                h_t=jnp.zeros_like(da.h_t),
+                mu=jnp.log(10.0 * da.step_size),
+            )
+            da = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(window_end, a, b), da_reset, da
+            )
+
         info = ChEESInfo(
             accept_prob=alpha,
             trajectory_length=info_traj_len,
@@ -194,12 +256,16 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             step_size=info_step_size,
             divergent=~finite,
         )
-        return (thetas_out, logps_out, grads_out, da, log_t, adam), (thetas_out, info)
+        return (
+            (thetas_out, logps_out, grads_out, da, log_t, adam, wf, inv_diag),
+            (thetas_out, info),
+        )
 
-    (_, _, _, da_f, log_t_f, _), (thetas, info) = jax.lax.scan(
+    (_, _, _, da_f, log_t_f, _, _, _), (thetas, info) = jax.lax.scan(
         step,
-        (theta0s, logps0, grads0, da0, log_t0, adam0),
-        jnp.arange(config.num_samples),
+        (theta0s, logps0, grads0, da0, log_t0, adam0,
+         welford_init(d, dtype), inv_diag0),
+        (jnp.arange(config.num_samples), collect_flags, end_flags),
     )
     return ChEESResult(
         samples=jnp.swapaxes(thetas, 0, 1),  # (C, N, D)
