@@ -80,6 +80,38 @@ def main():
     # work for a side statistic); min over dims = conservative bulk ESS.
     ess = effective_sample_size(result.samples[:, :, :64])
     ess_per_sec = float(jnp.min(ess)) / dt
+
+    # sampling-efficiency view: ChEES with cross-chain warmup on the same
+    # posterior (trajectory lengths tuned for mixing, not raw grad-steps)
+    import gc
+
+    del result
+    gc.collect()
+    from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
+
+    chees_cfg = ChEESConfig(
+        num_samples=600, step_size=2e-4, burn=300, adapt_mass=True,
+        init_trajectory_length=0.01,
+    )
+
+    def run_chees_once(seed):
+        r = run_chees(jax.random.key(seed), log_prob_fn, theta0, chees_cfg,
+                      num_chains=num_chains)
+        jax.block_until_ready(r.samples)
+        return r
+
+    r = run_chees_once(0)
+    del r
+    gc.collect()
+    t1 = time.perf_counter()
+    r = run_chees_once(1)
+    dt_chees = time.perf_counter() - t1
+    chees_ess = float(
+        jnp.min(effective_sample_size(r.samples[:, chees_cfg.burn :, :64]))
+    )
+    chees_acc = float(jnp.mean(r.info.accept_prob[chees_cfg.burn :]))
+    del r
+    gc.collect()
     print(
         json.dumps(
             {
@@ -90,6 +122,8 @@ def main():
                 "min_ess_per_sec": round(ess_per_sec, 1),
                 "acc_rate": round(acc, 3),
                 "fused_kernel_grad_steps_per_sec": round(fused_rate, 1),
+                "chees_min_ess_per_sec": round(chees_ess / dt_chees, 1),
+                "chees_acc_rate": round(chees_acc, 3),
             }
         )
     )

@@ -139,7 +139,7 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
 
     def step(carry, xs):
         n, collect, window_end = xs
-        thetas, logps, grads, da, log_t, adam, wf, inv_diag = carry
+        thetas, logps, grads, da, log_t, adam, wf, inv_diag, da_t = carry
         cur_mass = DiagMass(inv_diag=inv_diag) if windowed else mass
         velocity = jax.vmap(cur_mass.velocity)
         kinetic = jax.vmap(cur_mass.kinetic)
@@ -209,10 +209,12 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
                 jnp.log(eps * config.max_leapfrog_steps),
             )
 
+            # window-relative DA counter: restarts must not inherit the
+            # global draw index or updates get t^-0.75-suppressed to nothing
             da_upd = da_update(
                 da,
                 jnp.log(jnp.maximum(jnp.mean(alpha), 1e-10)),
-                n,
+                da_t if windowed else n,
                 desired_accept_rate=config.desired_accept_rate,
             )
             adapting = n < config.burn
@@ -256,15 +258,16 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             step_size=info_step_size,
             divergent=~finite,
         )
+        da_t = jnp.where(window_end, 0, da_t + 1)
         return (
-            (thetas_out, logps_out, grads_out, da, log_t, adam, wf, inv_diag),
+            (thetas_out, logps_out, grads_out, da, log_t, adam, wf, inv_diag, da_t),
             (thetas_out, info),
         )
 
-    (_, _, _, da_f, log_t_f, _, _, _), (thetas, info) = jax.lax.scan(
+    (_, _, _, da_f, log_t_f, _, _, _, _), (thetas, info) = jax.lax.scan(
         step,
         (theta0s, logps0, grads0, da0, log_t0, adam0,
-         welford_init(d, dtype), inv_diag0),
+         welford_init(d, dtype), inv_diag0, jnp.zeros((), jnp.int32)),
         (jnp.arange(config.num_samples), collect_flags, end_flags),
     )
     return ChEESResult(

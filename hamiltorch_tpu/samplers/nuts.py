@@ -356,7 +356,7 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
 
     def step(carry, xs):
         n, collect, window_end = xs
-        theta, logp, grad, da, wf, inv_diag = carry
+        theta, logp, grad, da, wf, inv_diag, da_t = carry
         # per-draw key from (base key, global index): chunk-transparent
         sub = jax.random.fold_in(key, n)
         transition = nuts_transition(
@@ -370,10 +370,13 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
         # clobber step_size with exp(log_eps_bar)=1 on the first draw
         if config.adapt_step_size and config.burn > 0:
             # dual averaging on the mean leaf acceptance statistic
+            # windowed warmup restarts dual averaging at each boundary; its
+            # iteration counter must restart too (da_update's t^-0.75 weight
+            # is negligible at global-n scale, freezing eps_bar near exp(0))
             da_upd = da_update(
                 da,
                 jnp.log(jnp.maximum(info.accept_prob, 1e-10)),
-                n,
+                da_t if windowed else n,
                 desired_accept_rate=config.desired_accept_rate,
             )
             adapting = n < config.burn
@@ -410,7 +413,8 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
                 lambda a, b: jnp.where(window_end, a, b), da_reset, da
             )
 
-        return (theta, logp, grad, da, wf, inv_diag), (theta, info)
+        da_t = jnp.where(window_end, 0, da_t + 1)
+        return (theta, logp, grad, da, wf, inv_diag, da_t), (theta, info)
 
     # seed the adaptive diagonal from the user's mass (identity -> ones)
     from ..ops.mass import DiagMass as _DiagMass
@@ -419,9 +423,10 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
         inv_diag0 = jnp.asarray(mass.inv_diag, theta0.dtype)
     else:
         inv_diag0 = jnp.ones((d,), theta0.dtype)
-    (theta_f, logp_f, grad_f, da_f, _, _), (thetas, infos) = jax.lax.scan(
+    da_t0 = jnp.zeros((), jnp.int32)
+    (theta_f, logp_f, grad_f, da_f, _, _, _), (thetas, infos) = jax.lax.scan(
         step,
-        (theta0, logp0, grad0, da0, welford_init(d, theta0.dtype), inv_diag0),
+        (theta0, logp0, grad0, da0, welford_init(d, theta0.dtype), inv_diag0, da_t0),
         (start_iter + jnp.arange(config.num_samples), collect_flags, end_flags),
     )
     stats = MCMCStats(
