@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.mass import make_mass
+from ..ops.potential import resolve_potential
 from ..samplers.driver import MCMCConfig, MCMCResult
 from ..samplers.hmc import _run_hmc_jit
 
@@ -178,6 +179,80 @@ def run_nuts_chains_sharded(
         check_vma=False,
     )
     return jax.jit(shard)(keys, theta0)
+
+
+def run_chees_sharded(
+    key,
+    log_prob_fn: Callable,
+    theta0,
+    config,  # ChEESConfig
+    mesh: Mesh,
+    num_chains: int,
+    inv_mass=None,
+):
+    """ChEES-HMC with the chain ensemble sharded over the WHOLE mesh.
+
+    Unlike independent-chain sharding this is a genuinely communicating
+    sampler: the cross-chain criterion (ensemble mean, acceptance-weighted
+    trajectory gradient, mean acceptance for dual averaging, and the
+    windowed Welford mass estimate) is psum-reduced across the mesh each
+    draw — a handful of scalar/(D,) collectives riding ICI per transition.
+    Matches single-device ``run_chees`` semantics; the random stream differs
+    (per-chain randomness derives from sharded per-chain keys).
+    """
+    from ..samplers.chees import ChEESCarry, ChEESInfo, ChEESResult, _run_chees_jit
+    from ..samplers.adaptation import DualAveragingState
+
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        k_init, key = jax.random.split(key)
+        # small spread so the ensemble mean/criterion are informative at start
+        theta0 = theta0[None, :] + 0.01 * jax.random.normal(
+            k_init, (num_chains, theta0.shape[0]), theta0.dtype
+        )
+    lp, data = resolve_potential(log_prob_fn, None)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+    n_dev = len(mesh.devices.flatten())
+    if num_chains % n_dev:
+        raise ValueError(f"num_chains={num_chains} not divisible by {n_dev} devices")
+    axes = tuple(mesh.axis_names)
+    axis_name = axes if len(axes) > 1 else axes[0]
+    chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), num_chains)
+
+    def local(base_key, keys_l, thetas_l, data_l):
+        return _run_chees_jit(
+            base_key, thetas_l, lp, config, mass, data=data_l,
+            chain_keys=keys_l, axis_name=axis_name,
+        )
+
+    cax = P(axes)
+    out_specs = ChEESResult(
+        samples=P(axes, None, None),
+        info=ChEESInfo(
+            accept_prob=P(None, axes),
+            trajectory_length=P(),
+            num_leapfrog=P(),
+            step_size=P(),
+            divergent=P(None, axes),
+        ),
+        final_step_size=P(),
+        final_trajectory_length=P(),
+        final_carry=ChEESCarry(
+            thetas=P(axes, None), logps=cax, grads=P(axes, None),
+            da=DualAveragingState(P(), P(), P(), P()),
+            log_t=P(), adam_m=P(), adam_v=P(),
+            wf_count=P(), wf_mean=P(), wf_m2=P(),
+            inv_diag=P(), da_t=P(),
+        ),
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), cax, P(axes, None), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(shard)(key, chain_keys, theta0, data)
 
 
 def run_hmc_chains_sharded(

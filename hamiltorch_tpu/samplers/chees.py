@@ -60,11 +60,47 @@ class ChEESInfo(NamedTuple):
     divergent: jnp.ndarray  # (N, C)
 
 
+class ChEESCarry(NamedTuple):
+    """The full scan carry — everything a resumed run needs to continue the
+    adaptation schedule (Welford mass window, adam trajectory state, dual
+    averaging) exactly where a previous chunk stopped."""
+
+    thetas: jnp.ndarray  # (C, D)
+    logps: jnp.ndarray  # (C,)
+    grads: jnp.ndarray  # (C, D)
+    da: DualAveragingState
+    log_t: jnp.ndarray
+    adam_m: jnp.ndarray
+    adam_v: jnp.ndarray
+    wf_count: jnp.ndarray
+    wf_mean: jnp.ndarray
+    wf_m2: jnp.ndarray
+    inv_diag: jnp.ndarray
+    da_t: jnp.ndarray
+
+
 class ChEESResult(NamedTuple):
     samples: jnp.ndarray  # (C, N, D)
     info: ChEESInfo
     final_step_size: jnp.ndarray
     final_trajectory_length: jnp.ndarray
+    final_carry: ChEESCarry
+
+
+def _chees_flags(burn: int, start: int, length: int):
+    """Static per-draw (collect, window_end) warmup flags for draws
+    [start, start+length) of a run whose warmup spans ``burn`` draws."""
+    import numpy as np
+
+    from .warmup import build_schedule
+
+    collect_np, end_np = build_schedule(burn)
+    full_c = np.concatenate([collect_np, np.zeros(max(length + start - burn, 0), bool)])
+    full_e = np.concatenate([end_np, np.zeros(max(length + start - burn, 0), bool)])
+    return (
+        jnp.asarray(full_c[start : start + length]),
+        jnp.asarray(full_e[start : start + length]),
+    )
 
 
 def _batched_leapfrog(vg_batch, velocity, thetas, ps, logps, grads, eps, num_steps, cap):
@@ -89,43 +125,54 @@ def _batched_leapfrog(vg_batch, velocity, thetas, ps, logps, grads, eps, num_ste
     return th, p, logp, g
 
 
-@partial(jax.jit, static_argnames=("log_prob_fn", "config"))
-def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=None):
+@partial(jax.jit, static_argnames=("log_prob_fn", "config", "axis_name"))
+def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=None,
+                   chain_keys=None, axis_name=None, init_carry=None, start_iter=0,
+                   collect_flags=None, end_flags=None):
+    """One ChEES run over a local (C, D) chain block.
+
+    ``axis_name`` (static): when set, the chain ensemble extends across a
+    mesh axis (or axis tuple) and every cross-chain reduction — ensemble
+    mean, criterion gradient, acceptance average, Welford merge — becomes a
+    ``psum`` over it; ``chain_keys`` must then carry per-chain keys (sharded
+    with the chains) so replicas draw distinct momenta while the shared
+    trajectory jitter still comes from the replicated base ``key``.
+    """
     lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
     vg_batch = jax.vmap(jax.value_and_grad(lp))
     c, d = theta0s.shape
     dtype = theta0s.dtype
 
+    def _gsum(x):
+        """Sum over ALL chains (local sum + psum across the mesh axis)."""
+        local = jnp.sum(x, axis=0)
+        return jax.lax.psum(local, axis_name) if axis_name is not None else local
+
+    c_total = jnp.asarray(float(c), dtype)
+    if axis_name is not None:
+        c_total = jax.lax.psum(c_total, axis_name)
+
     from ..ops.mass import DiagMass
-    from .warmup import (
-        build_schedule, welford_init, welford_variance, WelfordState,
-    )
+    from .warmup import welford_init, welford_variance, WelfordState
 
     windowed = config.adapt_mass and config.burn > 0
-    if windowed:
-        import numpy as np
-
-        collect_np, end_np = build_schedule(config.burn)
-        pad = config.num_samples - min(config.burn, config.num_samples)
-        collect_flags = jnp.asarray(
-            np.concatenate([collect_np[: config.num_samples], np.zeros(pad, bool)])
-        )
-        end_flags = jnp.asarray(
-            np.concatenate([end_np[: config.num_samples], np.zeros(pad, bool)])
-        )
-    else:
-        collect_flags = jnp.zeros(config.num_samples, bool)
-        end_flags = jnp.zeros(config.num_samples, bool)
+    if collect_flags is None:
+        if windowed:
+            collect_flags, end_flags = _chees_flags(config.burn, 0, config.num_samples)
+        else:
+            collect_flags = jnp.zeros(config.num_samples, bool)
+            end_flags = jnp.zeros(config.num_samples, bool)
     if isinstance(mass, DiagMass):
         inv_diag0 = jnp.asarray(mass.inv_diag, dtype)
     else:
         inv_diag0 = jnp.ones((d,), dtype)
 
     def batch_welford_merge(wf, thetas):
-        """Chan parallel merge of the C-chain batch into the running stats."""
-        n_b = jnp.asarray(float(thetas.shape[0]), wf.count.dtype)
-        mean_b = jnp.mean(thetas, axis=0)
-        m2_b = jnp.sum((thetas - mean_b) ** 2, axis=0)
+        """Chan parallel merge of the (global) C-chain batch into the running
+        stats; cross-device moments via psum when the ensemble is sharded."""
+        n_b = jnp.asarray(c_total, wf.count.dtype)
+        mean_b = _gsum(thetas) / n_b
+        m2_b = _gsum((thetas - mean_b) ** 2)
         n_new = wf.count + n_b
         delta = mean_b - wf.mean
         mean = wf.mean + delta * n_b / n_new
@@ -145,6 +192,17 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
         kinetic = jax.vmap(cur_mass.kinetic)
         kn = jax.random.fold_in(key, n)
         k_mom, k_jit, k_mh = jax.random.split(kn, 3)
+        if chain_keys is None:
+            mom_keys = jax.random.split(k_mom, c)
+            mh_u = jax.random.uniform(k_mh, (c,), dtype)
+        else:
+            # sharded ensemble: per-chain randomness must differ per device,
+            # so it derives from the sharded chain keys, not the base key
+            kc = jax.vmap(lambda ck: jax.random.fold_in(ck, n))(chain_keys)
+            mom_keys = jax.vmap(lambda k: jax.random.fold_in(k, 0))(kc)
+            mh_u = jax.vmap(
+                lambda k: jax.random.uniform(jax.random.fold_in(k, 1), (), dtype)
+            )(kc)
 
         # shared trajectory jitter -> identical L for every chain this draw
         u = jax.random.uniform(k_jit, (), dtype)
@@ -154,9 +212,7 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             1, jnp.ceil(traj_t / eps).astype(jnp.int32)
         )
 
-        ps = jax.vmap(lambda k: cur_mass.sample(k, dtype=dtype))(
-            jax.random.split(k_mom, c)
-        )
+        ps = jax.vmap(lambda k: cur_mass.sample(k, dtype=dtype))(mom_keys)
         h0 = -logps + kinetic(ps)
         th_new, p_new, logp_new, grad_new = _batched_leapfrog(
             vg_batch, velocity, thetas, ps, logps, grads, eps, num_steps,
@@ -166,9 +222,7 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
         log_ratio = h0 - h1
         finite = jnp.isfinite(log_ratio)
         alpha = jnp.where(finite, jnp.exp(jnp.minimum(0.0, log_ratio)), 0.0)
-        accept = finite & (
-            jnp.log(jax.random.uniform(k_mh, (c,), dtype)) < log_ratio
-        )
+        accept = finite & (jnp.log(mh_u) < log_ratio)
 
         sel = accept[:, None]
         thetas_out = jnp.where(sel, th_new, thetas)
@@ -184,16 +238,14 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
         # n==burn would clobber step_size with exp(log_eps_bar)=1
         if config.adapt and config.burn > 0:
             # --- ChEES gradient wrt trajectory time ------------------------
-            mu = jnp.mean(thetas_out, axis=0)  # ensemble centre
+            mu = _gsum(thetas_out) / c_total  # ensemble centre (all chains)
             dsq_new = jnp.sum((th_new - mu) ** 2, axis=1)
             dsq_old = jnp.sum((thetas - mu) ** 2, axis=1)
             v_end = velocity(p_new)  # d theta'/dt at the endpoint
             per_chain = (dsq_new - dsq_old) * jnp.sum((th_new - mu) * v_end, axis=1)
-            w = alpha / jnp.maximum(jnp.sum(alpha), 1e-6)
+            w = alpha / jnp.maximum(_gsum(alpha), 1e-6)
             # d/d log T = t * dC/dt (t = u*T); halt gradient on divergences
-            grad_log_t = traj_t * jnp.sum(
-                jnp.where(finite, w * per_chain, 0.0)
-            )
+            grad_log_t = traj_t * _gsum(jnp.where(finite, w * per_chain, 0.0))
 
             m, v = adam
             t1 = (n + 1).astype(dtype)
@@ -213,7 +265,7 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             # global draw index or updates get t^-0.75-suppressed to nothing
             da_upd = da_update(
                 da,
-                jnp.log(jnp.maximum(jnp.mean(alpha), 1e-10)),
+                jnp.log(jnp.maximum(_gsum(alpha) / c_total, 1e-10)),
                 da_t if windowed else n,
                 desired_accept_rate=config.desired_accept_rate,
             )
@@ -264,17 +316,36 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             (thetas_out, info),
         )
 
-    (_, _, _, da_f, log_t_f, _, _, _, _), (thetas, info) = jax.lax.scan(
+    if init_carry is not None:
+        cy = init_carry
+        carry0 = (
+            cy.thetas, cy.logps, cy.grads, cy.da, cy.log_t,
+            (cy.adam_m, cy.adam_v),
+            WelfordState(cy.wf_count, cy.wf_mean, cy.wf_m2),
+            cy.inv_diag, cy.da_t,
+        )
+    else:
+        carry0 = (
+            theta0s, logps0, grads0, da0, log_t0, adam0,
+            welford_init(d, dtype), inv_diag0, jnp.zeros((), jnp.int32),
+        )
+    carry_f, (thetas, info) = jax.lax.scan(
         step,
-        (theta0s, logps0, grads0, da0, log_t0, adam0,
-         welford_init(d, dtype), inv_diag0, jnp.zeros((), jnp.int32)),
-        (jnp.arange(config.num_samples), collect_flags, end_flags),
+        carry0,
+        (start_iter + jnp.arange(config.num_samples), collect_flags, end_flags),
     )
+    th_f, lp_f, g_f, da_f, log_t_f, adam_f, wf_f, inv_diag_f, da_t_f = carry_f
     return ChEESResult(
         samples=jnp.swapaxes(thetas, 0, 1),  # (C, N, D)
         info=info,
         final_step_size=da_f.step_size,
         final_trajectory_length=jnp.exp(log_t_f),
+        final_carry=ChEESCarry(
+            thetas=th_f, logps=lp_f, grads=g_f, da=da_f, log_t=log_t_f,
+            adam_m=adam_f[0], adam_v=adam_f[1],
+            wf_count=wf_f.count, wf_mean=wf_f.mean, wf_m2=wf_f.m2,
+            inv_diag=inv_diag_f, da_t=da_t_f,
+        ),
     )
 
 

@@ -95,3 +95,47 @@ def run_rmhmc(
     )
     return _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts,
                           ham_func, custom_metric)
+
+
+def run_rmhmc_chains(
+    key,
+    log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    theta0,
+    config: MCMCConfig,
+    num_chains: int,
+    integrator: Integrator = Integrator.IMPLICIT,
+    metric: Metric = Metric.HESSIAN,
+    jitter: Optional[float] = None,
+    softabs_const: Optional[float] = None,
+    explicit_binding_const: float = 100.0,
+    fixed_point_threshold: float = 1e-5,
+    fixed_point_max_iterations: int = 1000,
+    ham_func: Optional[Callable] = None,
+    custom_metric: Optional[Callable] = None,
+) -> MCMCResult:
+    """Vectorised independent RMHMC chains via vmap over (key, theta0).
+
+    ``theta0``: (D,) broadcast to all chains, or (num_chains, D).  The
+    fixed-point while_loops vectorise per lane (each lane iterates until the
+    batch-wide condition clears), so chains in a batch wait for the slowest
+    fixed point per step — still far cheaper than sequential chains.
+    """
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    if integrator not in (Integrator.IMPLICIT, Integrator.EXPLICIT, Integrator.S3):
+        raise NotImplementedError(f"RMHMC integrator {integrator}")
+    keys = jax.random.split(key, num_chains)
+    opts = RMOptions(
+        metric=metric,
+        jitter=jitter,
+        softabs_const=softabs_const if softabs_const is not None else 1e6,
+        explicit_binding_const=explicit_binding_const,
+        fixed_point_threshold=fixed_point_threshold,
+        fixed_point_max_iterations=fixed_point_max_iterations,
+    )
+    return jax.vmap(
+        lambda k, t: _run_rmhmc_jit(
+            k, t, log_prob_fn, config, integrator, opts, ham_func, custom_metric
+        )
+    )(keys, theta0)

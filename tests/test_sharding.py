@@ -105,6 +105,66 @@ class TestDataSharding:
             )
 
 
+class TestChEESSharding:
+    def test_sharded_chees_matches_local(self, key):
+        """Same per-chain keys -> same draws: the only difference between the
+        mesh run and the local run is psum vs local-sum reduction order."""
+        from hamiltorch_tpu.ops.mass import make_mass
+        from hamiltorch_tpu.parallel.sharding import run_chees_sharded
+        from hamiltorch_tpu.samplers.chees import ChEESConfig, _run_chees_jit
+
+        config = ChEESConfig(num_samples=40, burn=20, step_size=0.2)
+        mesh = make_mesh(chains=4, data=2)
+        theta0 = 0.1 * jax.random.normal(jax.random.key(42), (8, 3))
+        r_shard = run_chees_sharded(
+            key, std_normal, theta0, config, mesh, num_chains=8
+        )
+        chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), 8)
+        r_local = _run_chees_jit(
+            key, theta0, std_normal, config, make_mass(None, 3),
+            chain_keys=chain_keys,
+        )
+        # early draws agree to float noise; later draws drift as psum-vs-local
+        # f32 reduction-order differences amplify through the adaptive dynamics
+        np.testing.assert_allclose(
+            np.asarray(r_shard.samples[:, :10]),
+            np.asarray(r_local.samples[:, :10]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_shard.samples), np.asarray(r_local.samples), atol=2e-2
+        )
+        np.testing.assert_allclose(
+            float(r_shard.final_trajectory_length),
+            float(r_local.final_trajectory_length),
+            rtol=0.05,
+        )
+
+    def test_sharded_chees_adapt_mass_moments(self, key):
+        """Windowed cross-chain mass adaptation under the mesh: the Welford
+        merge psums across devices; the badly scaled target still mixes."""
+        from hamiltorch_tpu.parallel.sharding import run_chees_sharded
+        from hamiltorch_tpu.samplers.chees import ChEESConfig
+
+        scales = jnp.asarray([0.1, 1.0, 10.0])
+
+        def scaled(theta):
+            return -0.5 * jnp.sum((theta / scales) ** 2)
+
+        config = ChEESConfig(num_samples=500, burn=300, step_size=0.1,
+                             adapt_mass=True)
+        mesh = make_mesh(chains=8, data=1)
+        result = run_chees_sharded(
+            key, scaled, jnp.zeros(3), config, mesh, num_chains=16
+        )
+        kept = np.asarray(result.samples[:, 300:]).reshape(-1, 3)
+        np.testing.assert_allclose(kept.mean(0), [0, 0, 0], atol=0.6)
+        np.testing.assert_allclose(kept.std(0), np.asarray(scales), rtol=0.35)
+        # the adapted inverse mass should track the marginal variances
+        inv_diag = np.asarray(result.final_carry.inv_diag)
+        assert inv_diag[2] / inv_diag[0] > 50.0
+
+
 class TestNUTSSharding:
     def test_sharded_nuts_matches_vmap(self, key):
         from hamiltorch_tpu.parallel.sharding import run_nuts_chains_sharded
