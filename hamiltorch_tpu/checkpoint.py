@@ -3,18 +3,31 @@
 The reference has no save/resume at all: samples accumulate in a Python
 list and a crash loses the run (SURVEY.md §5).  Here sampling proceeds in
 fixed-size chunks — each chunk one compiled scan — and after every chunk
-the full resume state (chain position with its cached potential evaluation,
-dual-averaging state, RNG lineage, draw counter) is written atomically.
-Restarting with the same arguments continues the adaptation schedule and
-random stream exactly where the last completed chunk stopped.
+the full resume carry (chain position with its cached potential evaluation,
+dual-averaging state, windowed-warmup Welford state where applicable, RNG
+lineage, draw counter) is written atomically.  Restarting with the same
+arguments continues the adaptation schedule and random stream exactly where
+the last completed chunk stopped.
 
-RNG lineage: chunk ``i`` uses ``fold_in(base_key, i)``, so resume does not
-need to serialise evolving key state — only the base key and the counter.
+RNG lineage: per-draw keys are ``fold_in(base_key, global_draw_index)``, so
+resume does not serialise evolving key state — only the base key and the
+counter; any chunking reproduces the identical stream.
+
+Covered: single-chain HMC (``run_hmc_checkpointed``), tree-NUTS including
+``adapt_mass`` windowed warmup (``run_nuts_checkpointed``), the ChEES-HMC
+chain ensemble with its full adaptation carry (``run_chees_checkpointed``),
+and vmapped multi-chain HMC (``run_hmc_chains_checkpointed``).
+
+Safety: the saved state embeds a fingerprint of the config, potential
+arity and chain shape/dtype; resuming against a directory written under
+different hyperparameters raises instead of silently splicing two runs.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import hashlib
+import json
 import os
 from typing import Callable
 
@@ -23,46 +36,153 @@ import jax.numpy as jnp
 import numpy as np
 
 from .ops.mass import make_mass
-from .ops.potential import make_log_prob
-from .samplers.adaptation import DualAveragingState, da_init
+from .ops.potential import resolve_potential
+from .samplers.adaptation import da_init
 from .samplers.driver import ChainState, MCMCConfig, MCMCResult, MCMCStats
-from .samplers.hmc import _run_hmc_jit
 
 _STATE_FILE = "state.npz"
 
 
-def _save_state(path, state: ChainState, da: DualAveragingState, base_key, n_done: int):
+def _fingerprint(config, theta0) -> str:
+    """Stable hash of the sampling configuration + chain shape/dtype."""
+    payload = {
+        "config_type": type(config).__name__,
+        "config": {
+            f.name: repr(getattr(config, f.name))
+            for f in dataclasses.fields(config)
+            if f.name != "num_samples"  # resuming with more draws is legal
+        },
+        "theta_shape": list(np.shape(theta0)),
+        "theta_dtype": str(np.asarray(theta0).dtype),
+    }
+    return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()
+
+
+def _save_state(path, carry, base_key, n_done: int, fingerprint: str):
+    leaves = jax.tree_util.tree_leaves(carry)
     tmp = path + ".tmp.npz"  # keep .npz so np.savez doesn't append one
     np.savez(
         tmp,
-        theta=np.asarray(state.theta),
-        logp=np.asarray(state.logp),
-        grad=np.asarray(state.grad),
-        da_step_size=np.asarray(da.step_size),
-        da_log_eps_bar=np.asarray(da.log_eps_bar),
-        da_h_t=np.asarray(da.h_t),
-        da_mu=np.asarray(da.mu),
-        key_data=np.asarray(jax.random.key_data(base_key)),
         n_done=np.asarray(n_done),
+        key_data=np.asarray(jax.random.key_data(base_key)),
+        fingerprint=np.asarray(fingerprint),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
     )
     os.replace(tmp, path)
 
 
-def _load_state(path):
+def _load_state(path, carry_template, fingerprint: str):
     z = np.load(path)
-    state = ChainState(
-        theta=jnp.asarray(z["theta"]),
-        logp=jnp.asarray(z["logp"]),
-        grad=jnp.asarray(z["grad"]),
-    )
-    da = DualAveragingState(
-        step_size=jnp.asarray(z["da_step_size"]),
-        log_eps_bar=jnp.asarray(z["da_log_eps_bar"]),
-        h_t=jnp.asarray(z["da_h_t"]),
-        mu=jnp.asarray(z["da_mu"]),
-    )
+    saved_fp = str(z["fingerprint"])
+    if saved_fp != fingerprint:
+        raise ValueError(
+            f"checkpoint at {path} was written under a different "
+            "configuration (config/shape/dtype fingerprint mismatch); "
+            "pass resume=False to start over, or restore the original "
+            "arguments to continue that run."
+        )
+    treedef = jax.tree_util.tree_structure(carry_template)
+    leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(treedef.num_leaves)]
+    carry = jax.tree_util.tree_unflatten(treedef, leaves)
     key = jax.random.wrap_key_data(jnp.asarray(z["key_data"]))
-    return state, da, key, int(z["n_done"])
+    return carry, key, int(z["n_done"])
+
+
+def _checkpoint_loop(
+    chunk_runner,
+    key,
+    init_carry,
+    config,
+    ckpt_dir: str,
+    chunk_size: int,
+    resume: bool,
+    fingerprint: str,
+    save_chunk,
+):
+    """Run chunks until ``config.num_samples`` draws are done.
+
+    ``chunk_runner(base_key, carry, n_done, cfg)`` -> (result, new_carry);
+    ``save_chunk(result)`` -> dict of arrays for the chunk file.
+    Returns the list of loaded chunk files (oldest first) + final carry.
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    state_path = os.path.join(ckpt_dir, _STATE_FILE)
+
+    if resume and os.path.exists(state_path):
+        carry, base_key, n_done = _load_state(state_path, init_carry, fingerprint)
+    else:
+        for f in os.listdir(ckpt_dir):
+            if f.startswith("chunk_") or f == _STATE_FILE:
+                os.remove(os.path.join(ckpt_dir, f))
+        carry, base_key, n_done = init_carry, key, 0
+
+    # chunk sizes must be multiples of thin or the per-chunk num_samples
+    # fails the driver's divisibility check mid-run
+    thin = max(getattr(config, "thin", 1), 1)
+    chunk_size = max(thin, (chunk_size // thin) * thin)
+
+    while n_done < config.num_samples:
+        this_chunk = min(chunk_size, config.num_samples - n_done)
+        cfg = dataclasses.replace(config, num_samples=this_chunk)
+        result, carry = chunk_runner(base_key, carry, n_done, cfg)
+        jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
+        np.savez(
+            os.path.join(ckpt_dir, f"chunk_{n_done:08d}.npz"),
+            **{k: np.asarray(v) for k, v in save_chunk(result).items()},
+        )
+        n_done += this_chunk
+        _save_state(state_path, carry, base_key, n_done, fingerprint)
+
+    chunks = sorted(
+        f for f in os.listdir(ckpt_dir) if f.startswith("chunk_") and f.endswith(".npz")
+    )
+    zs = [np.load(os.path.join(ckpt_dir, f)) for f in chunks]
+    return zs, carry
+
+
+def _assemble_mcmc(zs, config, carry, time_axis: int = 0, acc_from_prob=False):
+    """Concatenate chunk files into one MCMCResult.
+
+    A directory from a previous LONGER run may hold more chunks than this
+    call requested; return exactly the draws this config asked for.
+    """
+    kept = config.num_samples // max(getattr(config, "thin", 1), 1)
+
+    def cat(name):
+        return jnp.asarray(
+            np.concatenate([z[name] for z in zs], axis=time_axis)
+        )[(slice(None),) * time_axis + (slice(None, kept),)]
+
+    samples = cat("samples")
+    stats = MCMCStats(**{f: cat(f) for f in MCMCStats._fields})
+    state, da = carry[0], carry[1]
+    dtype = samples.dtype
+    acc_rate = (
+        jnp.mean(stats.accept_prob)
+        if acc_from_prob
+        else jnp.mean(stats.accepted.astype(dtype))
+    )
+    return MCMCResult(
+        samples=samples,
+        stats=stats,
+        final_step_size=da.step_size,
+        acc_rate=acc_rate,
+        final_state=state,
+        final_da=da,
+        final_warm=carry[2] if len(carry) > 2 else None,
+    )
+
+
+def _mcmc_chunk_fields(result: MCMCResult) -> dict:
+    out = {"samples": result.samples}
+    out.update({f: getattr(result.stats, f) for f in MCMCStats._fields})
+    return out
+
+
+def _init_chain_state(lp, data, theta0):
+    fn = lp if data is None else (lambda t: lp(t, data))
+    logp0, grad0 = jax.value_and_grad(fn)(theta0)
+    return ChainState(theta0, logp0, grad0)
 
 
 def run_hmc_checkpointed(
@@ -80,18 +200,83 @@ def run_hmc_checkpointed(
 
     Interrupt at any point; calling again with ``resume=True`` (default)
     continues from the last completed chunk and returns the full result.
+    Potentials built by ``define_model_log_prob`` keep their dataset as a
+    jit operand (the ``_raw_fn``/``_data`` protocol), never a baked-in
+    program constant.
     """
-    lp = make_log_prob(log_prob_fn, pass_grad)
+    from .samplers.hmc import _run_hmc_jit
 
-    def chunk_runner(k, state, da, n_done, cfg):
-        mass = make_mass(inv_mass, state.theta.shape[0])
-        return _run_hmc_jit(
+    theta0 = jnp.asarray(theta0)
+    lp, data = resolve_potential(log_prob_fn, pass_grad)
+    mass = make_mass(inv_mass, theta0.shape[0])
+    init_carry = (
+        _init_chain_state(lp, data, theta0),
+        da_init(config.step_size, dtype=theta0.dtype),
+    )
+
+    def chunk_runner(k, carry, n_done, cfg):
+        state, da = carry
+        result = _run_hmc_jit(
             k, state.theta, lp, cfg, mass,
-            init_state=state, init_da=da, start_iter=n_done,
+            init_state=state, init_da=da, start_iter=n_done, data=data,
         )
+        return result, (result.final_state, result.final_da)
 
-    return _checkpoint_loop(chunk_runner, key, theta0, lp, config, ckpt_dir,
-                            chunk_size, resume)
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, init_carry, config, ckpt_dir, chunk_size, resume,
+        _fingerprint(config, theta0), _mcmc_chunk_fields,
+    )
+    return _assemble_mcmc(zs, config, carry)
+
+
+def run_hmc_chains_checkpointed(
+    key,
+    log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    theta0,
+    config: MCMCConfig,
+    ckpt_dir: str,
+    num_chains: int,
+    chunk_size: int = 100,
+    inv_mass=None,
+    pass_grad=None,
+    resume: bool = True,
+) -> MCMCResult:
+    """Vmapped multi-chain HMC with per-chunk checkpointing.
+
+    The resume carry holds (C, ...) batched state/DA arrays; samples and
+    stats come back with a leading chain axis as from ``run_hmc_chains``.
+    """
+    from .samplers.hmc import _run_hmc_jit
+
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    keys = jax.random.split(key, num_chains)
+    lp, data = resolve_potential(log_prob_fn, pass_grad)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+
+    init_carry = (
+        jax.vmap(lambda t: _init_chain_state(lp, data, t))(theta0),
+        jax.vmap(lambda _: da_init(config.step_size, dtype=theta0.dtype))(
+            jnp.arange(num_chains)
+        ),
+    )
+
+    def chunk_runner(ks, carry, n_done, cfg):
+        states, das = carry
+        result = jax.vmap(
+            lambda k, st, da: _run_hmc_jit(
+                k, st.theta, lp, cfg, mass,
+                init_state=st, init_da=da, start_iter=n_done, data=data,
+            )
+        )(ks, states, das)
+        return result, (result.final_state, result.final_da)
+
+    zs, carry = _checkpoint_loop(
+        chunk_runner, keys, init_carry, config, ckpt_dir, chunk_size, resume,
+        _fingerprint(config, theta0), _mcmc_chunk_fields,
+    )
+    return _assemble_mcmc(zs, config, carry, time_axis=1)
 
 
 def run_nuts_checkpointed(
@@ -104,86 +289,132 @@ def run_nuts_checkpointed(
     inv_mass=None,
     resume: bool = True,
 ) -> MCMCResult:
-    """Tree-doubling NUTS with per-chunk checkpointing (stats only; the
-    per-draw NUTSInfo beyond MCMCStats is not persisted)."""
+    """Tree-doubling NUTS with per-chunk checkpointing.
+
+    ``adapt_mass`` windowed warmup is fully resumable: the Welford state,
+    adapted inverse-mass diagonal and window-relative dual-averaging
+    counter are part of the saved carry, and each chunk receives its slice
+    of the GLOBAL warmup window schedule.  (Stats only; the per-draw
+    NUTSInfo beyond MCMCStats is not persisted.)
+    """
     from .samplers.nuts import _run_nuts_jit
+    from .samplers.warmup import schedule_flags, welford_init
+    from .ops.mass import DiagMass
 
-    if getattr(config, "adapt_mass", False):
-        raise NotImplementedError(
-            "adapt_mass windowed warmup is not yet resumable: the Welford/"
-            "mass carry is not persisted across chunks. Run warmup "
-            "unchunked, then checkpoint the post-warmup phase."
+    theta0 = jnp.asarray(theta0)
+    lp, data = resolve_potential(log_prob_fn, None)
+    mass = make_mass(inv_mass, theta0.shape[0])
+    d = theta0.shape[0]
+    windowed = config.adapt_mass and config.burn > 0
+
+    if isinstance(mass, DiagMass):
+        inv_diag0 = jnp.asarray(mass.inv_diag, theta0.dtype)
+    else:
+        inv_diag0 = jnp.ones((d,), theta0.dtype)
+    init_carry = (
+        _init_chain_state(lp, data, theta0),
+        da_init(config.step_size, dtype=theta0.dtype),
+        (welford_init(d, theta0.dtype), inv_diag0, jnp.zeros((), jnp.int32)),
+    )
+
+    def chunk_runner(k, carry, n_done, cfg):
+        state, da, warm = carry
+        collect, end = schedule_flags(
+            config.burn if windowed else 0, n_done, cfg.num_samples
         )
-
-    lp = make_log_prob(log_prob_fn, None)
-
-    def chunk_runner(k, state, da, n_done, cfg):
-        mass = make_mass(inv_mass, state.theta.shape[0])
         result, _ = _run_nuts_jit(
             k, state.theta, lp, cfg, mass,
-            init_state=state, init_da=da, start_iter=n_done,
+            init_state=state, init_da=da, start_iter=n_done, data=data,
+            init_warm=warm, collect_flags=collect, end_flags=end,
         )
-        return result
+        return result, (result.final_state, result.final_da, result.final_warm)
 
-    return _checkpoint_loop(chunk_runner, key, theta0, lp, config, ckpt_dir,
-                            chunk_size, resume)
-
-
-def _checkpoint_loop(
-    chunk_runner, key, theta0, lp, config, ckpt_dir, chunk_size, resume
-) -> MCMCResult:
-    os.makedirs(ckpt_dir, exist_ok=True)
-    state_path = os.path.join(ckpt_dir, _STATE_FILE)
-    theta0 = jnp.asarray(theta0)
-
-    if resume and os.path.exists(state_path):
-        state, da, base_key, n_done = _load_state(state_path)
-    else:
-        for f in os.listdir(ckpt_dir):
-            if f.startswith("chunk_") or f == _STATE_FILE:
-                os.remove(os.path.join(ckpt_dir, f))
-        logp0, grad0 = jax.value_and_grad(lp)(theta0)
-        state = ChainState(theta0, logp0, grad0)
-        da = da_init(config.step_size, dtype=theta0.dtype)
-        base_key, n_done = key, 0
-
-    while n_done < config.num_samples:
-        this_chunk = min(chunk_size, config.num_samples - n_done)
-        cfg = dataclasses.replace(config, num_samples=this_chunk)
-        # the per-draw RNG folds the global draw index into the base key, so
-        # every chunk uses the same base key and any chunking reproduces the
-        # identical stream; files are named by draw offset.
-        result = chunk_runner(base_key, state, da, n_done, cfg)
-        jax.block_until_ready(result.samples)
-        np.savez(
-            os.path.join(ckpt_dir, f"chunk_{n_done:08d}.npz"),
-            samples=np.asarray(result.samples),
-            **{f: np.asarray(getattr(result.stats, f)) for f in MCMCStats._fields},
-        )
-        state, da = result.final_state, result.final_da
-        n_done += this_chunk
-        _save_state(state_path, state, da, base_key, n_done)
-
-    # assemble the full run from chunk files
-    chunks = sorted(
-        f for f in os.listdir(ckpt_dir) if f.startswith("chunk_") and f.endswith(".npz")
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, init_carry, config, ckpt_dir, chunk_size, resume,
+        _fingerprint(config, theta0), _mcmc_chunk_fields,
     )
-    zs = [np.load(os.path.join(ckpt_dir, f)) for f in chunks]
-    # a directory from a previous LONGER run may hold more chunks than this
-    # call requested; return exactly num_samples draws
-    kept = config.num_samples // max(getattr(config, "thin", 1), 1)
-    samples = jnp.asarray(np.concatenate([z["samples"] for z in zs])[:kept])
-    stats = MCMCStats(
+    # NUTS has no MH reject: report the real statistic (mean leaf alpha)
+    return _assemble_mcmc(zs, config, carry, acc_from_prob=True)
+
+
+def run_chees_checkpointed(
+    key,
+    log_prob_fn,
+    theta0,
+    config,  # ChEESConfig
+    ckpt_dir: str,
+    num_chains: int = 16,
+    chunk_size: int = 100,
+    inv_mass=None,
+    resume: bool = True,
+):
+    """ChEES-HMC with per-chunk checkpointing of the full adaptation carry
+    (ensemble state, trajectory-length adam state, dual averaging, windowed
+    Welford mass estimate).  Returns a ChEESResult."""
+    from .samplers.chees import ChEESCarry, ChEESInfo, ChEESResult, _run_chees_jit
+    from .samplers.warmup import schedule_flags, welford_init
+    from .ops.mass import DiagMass
+
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        k_init, key = jax.random.split(key)
+        theta0 = theta0[None, :] + 0.01 * jax.random.normal(
+            k_init, (num_chains, theta0.shape[0]), theta0.dtype
+        )
+    lp, data = resolve_potential(log_prob_fn, None)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+    c, d = theta0.shape
+    dtype = theta0.dtype
+    windowed = config.adapt_mass and config.burn > 0
+
+    fn = lp if data is None else (lambda t: lp(t, data))
+    logps0, grads0 = jax.vmap(jax.value_and_grad(fn))(theta0)
+    if isinstance(mass, DiagMass):
+        inv_diag0 = jnp.asarray(mass.inv_diag, dtype)
+    else:
+        inv_diag0 = jnp.ones((d,), dtype)
+    wf0 = welford_init(d, dtype)
+    init_carry = ChEESCarry(
+        thetas=theta0, logps=logps0, grads=grads0,
+        da=da_init(config.step_size, dtype=dtype),
+        log_t=jnp.log(jnp.asarray(config.init_trajectory_length, dtype)),
+        adam_m=jnp.zeros((), dtype), adam_v=jnp.zeros((), dtype),
+        wf_count=wf0.count, wf_mean=wf0.mean, wf_m2=wf0.m2,
+        inv_diag=inv_diag0, da_t=jnp.zeros((), jnp.int32),
+    )
+
+    def chunk_runner(k, carry, n_done, cfg):
+        collect, end = schedule_flags(
+            config.burn if windowed else 0, n_done, cfg.num_samples
+        )
+        result = _run_chees_jit(
+            k, carry.thetas, lp, cfg, mass, data=data,
+            init_carry=carry, start_iter=n_done,
+            collect_flags=collect, end_flags=end,
+        )
+        return result, result.final_carry
+
+    def save_chunk(result):
+        out = {"samples": result.samples}
+        out.update({f: getattr(result.info, f) for f in ChEESInfo._fields})
+        return out
+
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, init_carry, config, ckpt_dir, chunk_size, resume,
+        _fingerprint(config, theta0), save_chunk,
+    )
+    kept = config.num_samples
+    samples = jnp.asarray(np.concatenate([z["samples"] for z in zs], axis=1))[:, :kept]
+    info = ChEESInfo(
         **{
-            f: jnp.asarray(np.concatenate([z[f] for z in zs])[:kept])
-            for f in MCMCStats._fields
+            f: jnp.asarray(np.concatenate([z[f] for z in zs], axis=0))[:kept]
+            for f in ChEESInfo._fields
         }
     )
-    return MCMCResult(
+    return ChEESResult(
         samples=samples,
-        stats=stats,
-        final_step_size=da.step_size,
-        acc_rate=jnp.mean(stats.accepted.astype(samples.dtype)),
-        final_state=state,
-        final_da=da,
+        info=info,
+        final_step_size=carry.da.step_size,
+        final_trajectory_length=jnp.exp(carry.log_t),
+        final_carry=carry,
     )

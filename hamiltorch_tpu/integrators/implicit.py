@@ -31,6 +31,11 @@ from ..ops.metrics import RMHamiltonian, RMOptions
 def _fixed_point(update_fn, x0, threshold: float, max_iters: int):
     """Iterate x <- update_fn(x) until max (x_new - x)^2 < threshold.
 
+    Returns ``(x, iters, residual)`` — the iteration count and final squared
+    successive difference make non-convergence visible data (the reference
+    debug-prints them, samplers.py:339-340,358-359; here they flow into
+    MCMCStats.fp_iters / fp_residual).
+
     NaNs in the iterate exit the loop immediately (the comparison is
     arranged so a NaN diff fails the 'continue' condition), letting the
     divergence reach the driver instead of spinning to the cap.
@@ -50,8 +55,8 @@ def _fixed_point(update_fn, x0, threshold: float, max_iters: int):
         return (i + 1, x_new, diff)
 
     init = (jnp.zeros((), jnp.int32), x0, jnp.asarray(jnp.inf, x0.dtype))
-    _, x, _ = jax.lax.while_loop(cond, body, init)
-    return x
+    iters, x, diff = jax.lax.while_loop(cond, body, init)
+    return x, iters, diff
 
 
 def implicit_leapfrog_step(
@@ -61,28 +66,35 @@ def implicit_leapfrog_step(
     p: jnp.ndarray,
     step_size,
     jitter_u,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One generalized-leapfrog step (theta, p) -> (theta', p')."""
+):
+    """One generalized-leapfrog step.
+
+    Returns ``(theta', p', fp_iters, fp_residual)`` where ``fp_iters`` is
+    the larger of the two fixed-point iteration counts and ``fp_residual``
+    the larger final squared successive difference — a count saturating at
+    ``opts.fixed_point_max_iterations`` (or a residual above the threshold)
+    means the solve did not converge.
+    """
     eps = step_size
     thr = opts.fixed_point_threshold
     iters = opts.fixed_point_max_iterations
 
     # implicit momentum half-step
-    p_half = _fixed_point(
+    p_half, it_p, res_p = _fixed_point(
         lambda p_cur: p - 0.5 * eps * rm.grad_theta(theta, p_cur, jitter_u),
         p, thr, iters,
     )
 
     # implicit position full-step
     v_old = rm.grad_p(theta, p_half, jitter_u)
-    theta_new = _fixed_point(
+    theta_new, it_t, res_t = _fixed_point(
         lambda th_cur: theta + 0.5 * eps * (v_old + rm.grad_p(th_cur, p_half, jitter_u)),
         theta, thr, iters,
     )
 
     # explicit momentum half-step
     p_new = p_half - 0.5 * eps * rm.grad_theta(theta_new, p_half, jitter_u)
-    return theta_new, p_new
+    return theta_new, p_new, jnp.maximum(it_p, it_t), jnp.maximum(res_p, res_t)
 
 
 def implicit_leapfrog(
@@ -93,11 +105,21 @@ def implicit_leapfrog(
     step_size,
     num_steps: int,
     jitter_u,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+):
+    """Integrate ``num_steps`` generalized-leapfrog steps.
+
+    Returns ``(theta, p, fp_iters, fp_residual)`` with the fixed-point
+    diagnostics maxed over the trajectory's steps.
+    """
+
     def body(carry, _):
         th, mom = carry
-        th, mom = implicit_leapfrog_step(rm, opts, th, mom, step_size, jitter_u)
-        return (th, mom), None
+        th, mom, fp_it, fp_res = implicit_leapfrog_step(
+            rm, opts, th, mom, step_size, jitter_u
+        )
+        return (th, mom), (fp_it, fp_res)
 
-    (theta, p), _ = jax.lax.scan(body, (theta, p), None, length=num_steps)
-    return theta, p
+    (theta, p), (fp_its, fp_ress) = jax.lax.scan(
+        body, (theta, p), None, length=num_steps
+    )
+    return theta, p, jnp.max(fp_its), jnp.max(fp_ress)

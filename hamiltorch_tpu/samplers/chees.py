@@ -87,20 +87,6 @@ class ChEESResult(NamedTuple):
     final_carry: ChEESCarry
 
 
-def _chees_flags(burn: int, start: int, length: int):
-    """Static per-draw (collect, window_end) warmup flags for draws
-    [start, start+length) of a run whose warmup spans ``burn`` draws."""
-    import numpy as np
-
-    from .warmup import build_schedule
-
-    collect_np, end_np = build_schedule(burn)
-    full_c = np.concatenate([collect_np, np.zeros(max(length + start - burn, 0), bool)])
-    full_e = np.concatenate([end_np, np.zeros(max(length + start - burn, 0), bool)])
-    return (
-        jnp.asarray(full_c[start : start + length]),
-        jnp.asarray(full_e[start : start + length]),
-    )
 
 
 def _batched_leapfrog(vg_batch, velocity, thetas, ps, logps, grads, eps, num_steps, cap):
@@ -158,7 +144,9 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
     windowed = config.adapt_mass and config.burn > 0
     if collect_flags is None:
         if windowed:
-            collect_flags, end_flags = _chees_flags(config.burn, 0, config.num_samples)
+            from .warmup import schedule_flags
+
+            collect_flags, end_flags = schedule_flags(config.burn, 0, config.num_samples)
         else:
             collect_flags = jnp.zeros(config.num_samples, bool)
             end_flags = jnp.zeros(config.num_samples, bool)

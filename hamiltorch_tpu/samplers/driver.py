@@ -51,11 +51,20 @@ class MCMCStats(NamedTuple):
     """Per-draw diagnostics, stacked over the scan."""
 
     accept_prob: jnp.ndarray  # alpha = min(1, exp(H0 - H1)), 0 on divergence
-    accepted: jnp.ndarray  # bool, MH outcome
+    # bool MH outcome; for NUTS (no MH reject) it reports whether the chain
+    # MOVED this draw (multinomial selection left the initial point)
+    accepted: jnp.ndarray
     divergent: jnp.ndarray  # bool, non-finite energy
     energy_old: jnp.ndarray
     energy_new: jnp.ndarray
     step_size: jnp.ndarray  # step size used for this draw
+    # generalized-leapfrog fixed-point diagnostics (implicit RMHMC/S3 only;
+    # zero elsewhere): max iteration count and max final squared residual
+    # over the trajectory — saturation at fixed_point_max_iterations means
+    # the implicit solves did not converge (reference debug-prints these,
+    # samplers.py:339-340,358-359)
+    fp_iters: jnp.ndarray
+    fp_residual: jnp.ndarray
 
 
 class MCMCResult(NamedTuple):
@@ -65,6 +74,9 @@ class MCMCResult(NamedTuple):
     acc_rate: jnp.ndarray
     final_state: "ChainState"  # carry for chunked/resumable sampling
     final_da: DualAveragingState
+    # windowed-warmup carry (Welford state, inv mass diag, window-relative
+    # DA counter) for samplers with adapt_mass; None elsewhere
+    final_warm: object = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,6 +98,8 @@ class MCMCConfig:
 
 # A transition proposes a new state and returns the two Hamiltonians the
 # Metropolis test needs: (key, state, step_size) -> (proposal, H0, H1).
+# It may append a 4th element — a dict of extra per-draw diagnostics
+# ({'fp_iters', 'fp_residual'}) — which the driver folds into MCMCStats.
 TransitionFn = Callable[
     [jax.Array, ChainState, jnp.ndarray],
     Tuple[ChainState, jnp.ndarray, jnp.ndarray],
@@ -127,7 +141,9 @@ def run_mcmc(
         # stream is identical no matter how the run is chunked for resume
         k_prop, k_mh = jax.random.split(jax.random.fold_in(key, n))
 
-        proposal, h0, h1 = transition(k_prop, state, da.step_size)
+        out = transition(k_prop, state, da.step_size)
+        proposal, h0, h1 = out[:3]
+        aux = out[3] if len(out) > 3 else {}
         log_ratio = h0 - h1
         finite = jnp.isfinite(log_ratio)
         rho = jnp.minimum(0.0, jnp.where(finite, log_ratio, -jnp.inf))
@@ -144,6 +160,8 @@ def run_mcmc(
             energy_old=h0,
             energy_new=h1,
             step_size=da.step_size,
+            fp_iters=aux.get("fp_iters", jnp.zeros((), jnp.int32)),
+            fp_residual=aux.get("fp_residual", jnp.zeros((), dtype)),
         )
 
         # adaptation needs a warmup phase: with burn <= 0 the freeze branch
@@ -214,6 +232,8 @@ def run_mcmc(
                 energy_old=last.energy_old,
                 energy_new=last.energy_new,
                 step_size=last.step_size,
+                fp_iters=jnp.max(window.fp_iters),
+                fp_residual=jnp.max(window.fp_residual),
             )
             return (state, da), (state.theta, kept_stats, acc_cnt / config.thin)
 

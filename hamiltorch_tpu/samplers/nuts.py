@@ -318,7 +318,8 @@ def nuts_transition(vg, mass: MassOperator, max_depth: int):
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "config"))
 def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
-                  init_state=None, init_da=None, start_iter=0, data=None):
+                  init_state=None, init_da=None, start_iter=0, data=None,
+                  init_warm=None, collect_flags=None, end_flags=None):
     # data (when given) reaches the potential as a jit operand, not a baked
     # program constant (the _raw_fn protocol of models/bnn.py)
     lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
@@ -331,7 +332,7 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
 
     from ..ops.mass import DiagMass
     from .warmup import (
-        build_schedule,
+        schedule_flags,
         welford_init,
         welford_update,
         welford_variance,
@@ -339,20 +340,12 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
 
     d = theta0.shape[0]
     windowed = config.adapt_mass and config.burn > 0
-    if windowed:
-        import numpy as np
-
-        collect_np, end_np = build_schedule(config.burn)
-        pad = config.num_samples - min(config.burn, config.num_samples)
-        collect_flags = jnp.asarray(
-            np.concatenate([collect_np[: config.num_samples], np.zeros(pad, bool)])
-        )
-        end_flags = jnp.asarray(
-            np.concatenate([end_np[: config.num_samples], np.zeros(pad, bool)])
-        )
-    else:
-        collect_flags = jnp.zeros(config.num_samples, bool)
-        end_flags = jnp.zeros(config.num_samples, bool)
+    if collect_flags is None:
+        if windowed:
+            collect_flags, end_flags = schedule_flags(config.burn, 0, config.num_samples)
+        else:
+            collect_flags = jnp.zeros(config.num_samples, bool)
+            end_flags = jnp.zeros(config.num_samples, bool)
 
     def step(carry, xs):
         n, collect, window_end = xs
@@ -364,7 +357,11 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
             DiagMass(inv_diag=inv_diag) if windowed else mass,
             config.max_tree_depth,
         )
+        theta_prev = theta
         theta, logp, grad, info = transition(sub, theta, logp, grad, da.step_size)
+        # real per-draw outcome: did the multinomial selection move the chain
+        # (NUTS has no MH reject; a synthetic accept bool would be fiction)
+        moved = jnp.any(theta != theta_prev)
 
         # requires a warmup phase; with burn <= 0 the freeze at n==burn would
         # clobber step_size with exp(log_eps_bar)=1 on the first draw
@@ -414,28 +411,37 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
             )
 
         da_t = jnp.where(window_end, 0, da_t + 1)
-        return (theta, logp, grad, da, wf, inv_diag, da_t), (theta, info)
+        return (theta, logp, grad, da, wf, inv_diag, da_t), (theta, info, moved)
 
     # seed the adaptive diagonal from the user's mass (identity -> ones)
     from ..ops.mass import DiagMass as _DiagMass
 
-    if isinstance(mass, _DiagMass):
-        inv_diag0 = jnp.asarray(mass.inv_diag, theta0.dtype)
+    if init_warm is not None:
+        wf0, inv_diag0, da_t0 = init_warm
     else:
-        inv_diag0 = jnp.ones((d,), theta0.dtype)
-    da_t0 = jnp.zeros((), jnp.int32)
-    (theta_f, logp_f, grad_f, da_f, _, _, _), (thetas, infos) = jax.lax.scan(
+        if isinstance(mass, _DiagMass):
+            inv_diag0 = jnp.asarray(mass.inv_diag, theta0.dtype)
+        else:
+            inv_diag0 = jnp.ones((d,), theta0.dtype)
+        wf0 = welford_init(d, theta0.dtype)
+        da_t0 = jnp.zeros((), jnp.int32)
+    (
+        (theta_f, logp_f, grad_f, da_f, wf_f, inv_diag_f, da_t_f),
+        (thetas, infos, moved),
+    ) = jax.lax.scan(
         step,
-        (theta0, logp0, grad0, da0, welford_init(d, theta0.dtype), inv_diag0, da_t0),
+        (theta0, logp0, grad0, da0, wf0, inv_diag0, da_t0),
         (start_iter + jnp.arange(config.num_samples), collect_flags, end_flags),
     )
     stats = MCMCStats(
         accept_prob=infos.accept_prob,
-        accepted=infos.accept_prob > 0.5,  # no MH reject in NUTS; heuristic flag
+        accepted=moved,  # real outcome: the chain moved this draw
         divergent=infos.divergent,
         energy_old=infos.energy,
         energy_new=infos.energy,
         step_size=infos.step_size,
+        fp_iters=jnp.zeros_like(infos.tree_depth),
+        fp_residual=jnp.zeros_like(infos.accept_prob),
     )
     from .driver import ChainState
 
@@ -447,6 +453,7 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
             acc_rate=jnp.mean(infos.accept_prob),
             final_state=ChainState(theta_f, logp_f, grad_f),
             final_da=da_f,
+            final_warm=(wf_f, inv_diag_f, da_t_f),
         ),
         infos,
     )

@@ -50,13 +50,15 @@ def _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts, ham_func,
                 config.num_steps_per_sample, jitter_u,
             )
             theta1, p1 = end.theta, end.p
+            aux = {}
         else:  # IMPLICIT or S3 use the generalized leapfrog
-            theta1, p1 = implicit_leapfrog(
+            theta1, p1, fp_iters, fp_residual = implicit_leapfrog(
                 rm, opts, state.theta, p, step_size,
                 config.num_steps_per_sample, jitter_u,
             )
+            aux = {"fp_iters": fp_iters, "fp_residual": fp_residual}
         h1, logp1 = rm.ham_and_logp(theta1, p1, jitter_u)
-        return ChainState(theta1, logp1, jnp.zeros_like(theta1)), h0, h1
+        return ChainState(theta1, logp1, jnp.zeros_like(theta1)), h0, h1, aux
 
     state0 = ChainState(theta0, log_prob_fn(theta0), jnp.zeros_like(theta0))
     return run_mcmc(key, state0, transition, config)

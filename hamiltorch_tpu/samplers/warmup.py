@@ -76,3 +76,19 @@ def build_schedule(
             pos = end
             window *= 2
     return collect, window_end
+
+
+def schedule_flags(burn: int, start: int, length: int):
+    """(collect, window_end) jnp flags for draws [start, start+length) of a
+    run whose warmup spans ``burn`` draws — lets chunked (checkpoint/resume)
+    sampling hand each chunk the correct slice of the GLOBAL schedule."""
+    import jax.numpy as jnp
+
+    collect_np, end_np = build_schedule(burn)
+    tail = max(length + start - max(burn, 0), 0)
+    full_c = np.concatenate([collect_np, np.zeros(tail, bool)])
+    full_e = np.concatenate([end_np, np.zeros(tail, bool)])
+    return (
+        jnp.asarray(full_c[start : start + length]),
+        jnp.asarray(full_e[start : start + length]),
+    )

@@ -134,6 +134,100 @@ class TestNUTSCheckpoint:
         )
 
 
+class TestAdaptiveCheckpoint:
+    """Round-2 resume coverage: windowed warmup, ChEES, vmapped chains."""
+
+    def lp(self, theta):
+        return -0.5 * jnp.dot(theta, theta)
+
+    def test_nuts_adapt_mass_resumable(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_nuts_checkpointed
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts
+
+        scales = jnp.asarray([0.3, 3.0])
+        lp = lambda t: -0.5 * jnp.sum((t / scales) ** 2)
+        full = NUTSConfig(num_samples=220, step_size=0.5, burn=180, adapt_mass=True)
+        half = NUTSConfig(num_samples=90, step_size=0.5, burn=180, adapt_mass=True)
+        ck = str(tmp_path / "ck")
+        run_nuts_checkpointed(key, lp, jnp.zeros(2), half, ck, chunk_size=40)
+        r_resumed = run_nuts_checkpointed(key, lp, jnp.zeros(2), full, ck, chunk_size=40)
+        # oracle: the UNCHUNKED sampler — resume must be bit-compatible with
+        # a straight-through run, windowed Welford/mass carry included
+        r_direct, _ = run_nuts(key, lp, jnp.zeros(2), full)
+        np.testing.assert_allclose(
+            np.asarray(r_resumed.samples), np.asarray(r_direct.samples), atol=1e-5
+        )
+        wf_res, inv_res, _ = r_resumed.final_warm
+        _, inv_dir, _ = r_direct.final_warm
+        np.testing.assert_allclose(np.asarray(inv_res), np.asarray(inv_dir), rtol=1e-5)
+        # the adapted inverse mass must reflect the scale anisotropy
+        assert float(inv_res[1] / inv_res[0]) > 10.0
+
+    def test_chees_resume_matches_direct(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_chees_checkpointed
+        from hamiltorch_tpu.samplers.chees import ChEESConfig
+
+        config = ChEESConfig(num_samples=60, burn=30, step_size=0.2)
+        half = ChEESConfig(num_samples=25, burn=30, step_size=0.2)
+        ck = str(tmp_path / "ck")
+        run_chees_checkpointed(key, self.lp, jnp.zeros(2), half, ck,
+                               num_chains=8, chunk_size=10)
+        r_resumed = run_chees_checkpointed(key, self.lp, jnp.zeros(2), config, ck,
+                                           num_chains=8, chunk_size=10)
+        r_direct = run_chees_checkpointed(
+            key, self.lp, jnp.zeros(2), config, str(tmp_path / "ck2"),
+            num_chains=8, chunk_size=10,
+        )
+        assert r_resumed.samples.shape == (8, 60, 2)
+        np.testing.assert_allclose(
+            np.asarray(r_resumed.samples), np.asarray(r_direct.samples), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(r_resumed.final_trajectory_length),
+            float(r_direct.final_trajectory_length), rtol=1e-5,
+        )
+
+    def test_hmc_chains_checkpointed(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_hmc_chains_checkpointed
+        from hamiltorch_tpu.samplers.hmc import run_hmc_chains
+
+        config = MCMCConfig(num_samples=40, num_steps_per_sample=5, step_size=0.2)
+        half = MCMCConfig(num_samples=15, num_steps_per_sample=5, step_size=0.2)
+        ck = str(tmp_path / "ck")
+        run_hmc_chains_checkpointed(key, self.lp, jnp.zeros(2), half, ck,
+                                    num_chains=4, chunk_size=10)
+        r_resumed = run_hmc_chains_checkpointed(key, self.lp, jnp.zeros(2), config,
+                                                ck, num_chains=4, chunk_size=10)
+        r_vmap = run_hmc_chains(key, self.lp, jnp.zeros(2), config, num_chains=4)
+        assert r_resumed.samples.shape == (4, 40, 2)
+        np.testing.assert_allclose(
+            np.asarray(r_resumed.samples), np.asarray(r_vmap.samples), atol=1e-5
+        )
+
+    def test_fingerprint_mismatch_raises(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_hmc_checkpointed
+
+        ck = str(tmp_path / "ck")
+        a = MCMCConfig(num_samples=20, num_steps_per_sample=5, step_size=0.2)
+        b = MCMCConfig(num_samples=30, num_steps_per_sample=5, step_size=0.5)
+        run_hmc_checkpointed(key, self.lp, jnp.zeros(2), a, ck, chunk_size=10)
+        with pytest.raises(ValueError, match="fingerprint"):
+            run_hmc_checkpointed(key, self.lp, jnp.zeros(2), b, ck, chunk_size=10)
+        # resume=False wipes and restarts cleanly
+        r = run_hmc_checkpointed(key, self.lp, jnp.zeros(2), b, ck,
+                                 chunk_size=10, resume=False)
+        assert r.samples.shape == (30, 2)
+
+    def test_chunked_thin_rounds_chunk_size(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_hmc_checkpointed
+
+        config = MCMCConfig(num_samples=60, num_steps_per_sample=5,
+                            step_size=0.2, thin=3)
+        r = run_hmc_checkpointed(key, self.lp, jnp.zeros(2), config,
+                                 str(tmp_path / "ck"), chunk_size=25)
+        assert r.samples.shape == (20, 2)
+
+
 class TestCheckpointReviewRegressions:
     def test_resume_with_smaller_num_samples_returns_requested(self, key, tmp_path):
         from hamiltorch_tpu.checkpoint import run_hmc_checkpointed

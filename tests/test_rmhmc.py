@@ -134,8 +134,8 @@ class TestImplicitLeapfrog:
         rm = make_rm_hamiltonian(funnel_logprob, opts)
         theta0 = jnp.array([0.5, 0.3, -0.2, 0.1, 0.4])
         p0 = jnp.array([0.2, -0.1, 0.3, 0.0, -0.2])
-        th, p = implicit_leapfrog(rm, opts, theta0, p0, 0.1, 10, None)
-        th_b, p_b = implicit_leapfrog(rm, opts, th, -p, 0.1, 10, None)
+        th, p, _, _ = implicit_leapfrog(rm, opts, theta0, p0, 0.1, 10, None)
+        th_b, p_b, _, _ = implicit_leapfrog(rm, opts, th, -p, 0.1, 10, None)
         np.testing.assert_allclose(np.asarray(th_b), np.asarray(theta0), atol=1e-4)
         np.testing.assert_allclose(np.asarray(-p_b), np.asarray(p0), atol=1e-4)
 
@@ -145,7 +145,7 @@ class TestImplicitLeapfrog:
         rm = make_rm_hamiltonian(gaussian_logprob, opts)
         theta0, p0 = jnp.array([1.0, -0.5]), jnp.array([0.7, 0.3])
         h0 = float(rm.ham(theta0, p0, None))
-        th, p = implicit_leapfrog(rm, opts, theta0, p0, 0.05, 100, None)
+        th, p, _, _ = implicit_leapfrog(rm, opts, theta0, p0, 0.05, 100, None)
         h1 = float(rm.ham(th, p, None))
         assert abs(h1 - h0) < 1e-2
 
@@ -300,3 +300,30 @@ class TestCustomMetric:
         assert float(result.acc_rate) > 0.5
         v = np.asarray(result.samples[30:, 0])
         assert v.std() > 1.0  # explores the funnel's v axis
+
+
+class TestFixedPointDiagnostics:
+    def test_fp_iters_saturate_when_cap_too_low(self, key):
+        """An absurdly low iteration cap must be visible in stats.fp_iters
+        (the solve cannot converge in 1 step on a curved metric)."""
+        config = MCMCConfig(num_samples=10, num_steps_per_sample=4, step_size=0.2)
+        result = run_rmhmc(
+            key, funnel_logprob, 0.3 * jnp.ones(5), config,
+            integrator=Integrator.IMPLICIT, metric=Metric.SOFTABS,
+            softabs_const=10.0,
+            fixed_point_threshold=1e-12, fixed_point_max_iterations=1,
+        )
+        assert result.stats.fp_iters.shape == (10,)
+        assert int(jnp.max(result.stats.fp_iters)) == 1
+        assert float(jnp.max(result.stats.fp_residual)) > 1e-12
+
+    def test_fp_iters_report_convergence(self, key):
+        config = MCMCConfig(num_samples=10, num_steps_per_sample=4, step_size=0.1)
+        result = run_rmhmc(
+            key, gaussian_logprob, jnp.zeros(2), config,
+            integrator=Integrator.IMPLICIT,
+            fixed_point_threshold=1e-10, fixed_point_max_iterations=50,
+        )
+        its = np.asarray(result.stats.fp_iters)
+        assert np.all(its >= 1) and np.all(its < 50)
+        assert float(jnp.max(result.stats.fp_residual)) <= 1e-10
