@@ -32,9 +32,19 @@ from .utils.rng import next_key
 _SPLITTING = (Integrator.SPLITTING, Integrator.SPLITTING_RAND, Integrator.SPLITTING_KMID)
 
 
-def _kept_samples(params_init: jnp.ndarray, result: MCMCResult, burn: int) -> jnp.ndarray:
-    """[init] + states for draws n > burn (reference: samplers.py:1007)."""
-    keep_from = burn + 1  # burn = -1 keeps every draw
+def _kept_samples(params_init: jnp.ndarray, result: MCMCResult, burn: int,
+                  thin: int = 1) -> jnp.ndarray:
+    """[init] + states for draws n > burn (reference: samplers.py:1007).
+
+    With ``thin > 1`` the result rows are already thinned, so the burn
+    offset converts to kept-draw units (burn must divide by thin).
+    """
+    keep_from = (burn // max(thin, 1)) + 1 if burn >= 0 else 0  # burn=-1: keep all
+    import numpy as np
+
+    if isinstance(result.samples, np.ndarray):  # host-offloaded trace stays on host
+        return np.concatenate([np.asarray(params_init)[None, :],
+                               result.samples[keep_from:]], axis=0)
     return jnp.concatenate([params_init[None, :], result.samples[keep_from:]], axis=0)
 
 
@@ -62,19 +72,59 @@ def sample(
     pass_grad=None,
     verbose: bool = True,
     key: Optional[jax.Array] = None,
+    adapt_mass: bool = False,
+    thin: int = 1,
+    progress_every: int = 0,
 ):
-    """Drop-in equivalent of the reference ``hamiltorch.sample``."""
+    """Drop-in equivalent of the reference ``hamiltorch.sample``.
+
+    Extensions past the reference signature (all optional, defaults match
+    reference semantics): ``key`` (explicit PRNG key), ``adapt_mass``
+    (Stan-style windowed diagonal mass warmup — ``Sampler.NUTS`` only),
+    ``thin`` (keep every thin-th draw; ``num_samples`` counts transitions
+    and must divide by thin, as must ``burn``), ``progress_every`` (host
+    progress line every N draws).
+    """
     params_init = jnp.asarray(params_init)
     if params_init.ndim != 1:
         raise RuntimeError("params_init must be a 1d array.")
     if burn >= num_samples:
         raise RuntimeError("burn must be less than num_samples.")
+    if thin > 1 and burn > 0 and burn % thin:
+        raise RuntimeError("burn must be divisible by thin.")
+    if thin > 1 and sampler == Sampler.NUTS:
+        raise RuntimeError(
+            "thin is not supported for Sampler.NUTS through sample(); use "
+            "run_nuts and slice the result."
+        )
+    if adapt_mass and sampler != Sampler.NUTS:
+        raise RuntimeError(
+            "adapt_mass (windowed mass warmup) is available for Sampler.NUTS "
+            "(or the native run_chees/run_nuts APIs)."
+        )
     if key is None:
         key = next_key()
 
     if sampler == Sampler.HMC_NUTS and burn == 0:
         raise RuntimeError("burn must be greater than 0 for NUTS.")
     adapt = sampler == Sampler.HMC_NUTS or (sampler == Sampler.NUTS and burn > 0)
+
+    # tuple log-prob: the reference differentiates element [0] of a tuple
+    # return (collect_gradients, samplers.py:54-58); probe the output
+    # structure abstractly and unwrap, preserving the _raw_fn/_data
+    # jit-operand protocol
+    if callable(log_prob_func) and not isinstance(log_prob_func, (list, tuple)):
+        try:
+            out_struct = jax.eval_shape(log_prob_func, params_init)
+        except Exception:
+            out_struct = None
+        if isinstance(out_struct, (tuple, list)) and len(out_struct) >= 1:
+            orig = log_prob_func
+            log_prob_func = lambda t: orig(t)[0]
+            raw = getattr(orig, "_raw_fn", None)
+            if raw is not None:
+                log_prob_func._raw_fn = lambda t, data: raw(t, data)[0]
+                log_prob_func._data = orig._data
 
     config = MCMCConfig(
         num_samples=num_samples,
@@ -83,6 +133,8 @@ def sample(
         burn=burn,
         adapt_step_size=adapt,
         desired_accept_rate=desired_accept_rate,
+        thin=thin,
+        progress_every=progress_every,
     )
 
     if isinstance(log_prob_func, (list, tuple)) and not (
@@ -102,29 +154,50 @@ def sample(
             burn=max(burn, 0),
             adapt_step_size=burn > 0,
             desired_accept_rate=desired_accept_rate,
+            adapt_mass=adapt_mass,
         )
         result, _ = run_nuts(
             key, log_prob_func, params_init, nuts_config,
             inv_mass=inv_mass, pass_grad=pass_grad,
         )
     elif sampler in (Sampler.HMC, Sampler.HMC_NUTS) and integrator not in _SPLITTING:
-        result = run_hmc(
-            key, log_prob_func, params_init, config,
-            inv_mass=inv_mass, pass_grad=pass_grad,
-        )
+        if store_on_GPU:
+            result = run_hmc(
+                key, log_prob_func, params_init, config,
+                inv_mass=inv_mass, pass_grad=pass_grad,
+            )
+        else:
+            # reference store_on_GPU=False: stream the trace to host per
+            # draw (samplers.py:956-959); here per compiled chunk
+            from .samplers.hmc import run_hmc_host_offload
+
+            result = run_hmc_host_offload(
+                key, log_prob_func, params_init, config,
+                inv_mass=inv_mass, pass_grad=pass_grad,
+            )
     elif sampler in (Sampler.HMC, Sampler.HMC_NUTS) and integrator in _SPLITTING:
         if not isinstance(log_prob_func, (list, tuple)):
             raise RuntimeError("For splitting log_prob_func must be list of functions")
-        if pass_grad is not None:
-            raise RuntimeError("Passing user-determined gradients not implemented for splitting")
+        if pass_grad is not None and not isinstance(pass_grad, (list, tuple)):
+            # the reference refuses pass_grad for splitting outright
+            # (samplers.py:468-469); the extension here accepts PER-TERM
+            # gradients, which is the only well-defined form
+            raise RuntimeError(
+                "Passing user-determined gradients for splitting requires a "
+                "list of per-term gradient callables (one per log_prob term)."
+            )
         from .samplers.splitting import run_split_hmc
 
         result = run_split_hmc(
             key, list(log_prob_func), params_init, config,
             integrator=integrator, inv_mass=inv_mass,
+            pass_grad=None if pass_grad is None else list(pass_grad),
         )
     elif sampler == Sampler.RMHMC:
         if pass_grad is not None:
+            # reference parity (samplers.py:309-310,389-390): a user-supplied
+            # d logp/d theta cannot stand in for the Riemannian Hamiltonian's
+            # gradient, which includes metric-derivative terms
             raise RuntimeError("Passing user-determined gradients not implemented for RMHMC")
         from .samplers.rmhmc import run_rmhmc
 
@@ -139,7 +212,7 @@ def sample(
     else:
         raise NotImplementedError(f"sampler={sampler}, integrator={integrator}")
 
-    samples = _kept_samples(params_init, result, burn)
+    samples = _kept_samples(params_init, result, burn, thin=thin)
     if verbose:
         print(f"Acceptance Rate {float(result.acc_rate):.2f}")
 

@@ -410,19 +410,51 @@ def predict_model(
     """Posterior predictive over weight samples (reference: samplers.py:1468-1562).
 
     Returns (predictions (S, N, O), log_prob_list (S,)).  The per-sample
-    Python loop becomes one vmap over the sample axis.
+    Python loop becomes a vmap over the sample axis; with a ``test_loader``
+    the evaluation STREAMS batch by batch under ``lax.scan`` (matching the
+    reference's batched loop, samplers.py:1520-1541) so only one
+    (S, batch) activation block is live at a time — the full test set is
+    never materialised as a single forward.
     """
+    samples = jnp.stack(list(samples)) if not isinstance(samples, jnp.ndarray) else samples
+
     if test_loader is not None:
-        xs, ys = _as_batches(test_loader, None)
-        x = xs.reshape((-1,) + xs.shape[2:])
-        y = ys.reshape((-1,) + ys.shape[2:])
-    elif x is None or y is None:
+        xs, ys = _as_batches(test_loader, None)  # (M, B, ...) stacked batches
+        log_prob_func, _, _ = define_model_log_prob(
+            model, model_loss, xs[0], ys[0], tau_list=tau_list, tau_out=tau_out,
+            predict=True, params_template=params_template,
+        )
+        raw = log_prob_func._raw_fn
+        m_batches = int(xs.shape[0])
+
+        @jax.jit
+        def batched_stream(thetas, xs_, ys_):
+            # each raw(theta, batch) counts the prior once; the total
+            # log-prob over M batches must count it exactly once
+            priors = jax.vmap(lambda t: raw(t, None))(thetas)
+
+            def per_batch(acc, xy):
+                lp_b, out_b = jax.vmap(lambda t: raw(t, xy))(thetas)
+                return acc + lp_b, out_b
+
+            lls, outs = jax.lax.scan(
+                per_batch, jnp.zeros(thetas.shape[:1], thetas.dtype), (xs_, ys_)
+            )
+            lps = lls - (m_batches - 1) * priors
+            # outs: (M, S, B, O) -> (S, M*B, O)
+            preds = jnp.swapaxes(outs, 0, 1).reshape(
+                (thetas.shape[0], -1) + outs.shape[3:]
+            )
+            return preds, lps
+
+        return batched_stream(samples, xs, ys)
+
+    if x is None or y is None:
         raise RuntimeError("Val data not defined (pass x,y or test_loader)")
     log_prob_func, _, _ = define_model_log_prob(
         model, model_loss, x, y, tau_list=tau_list, tau_out=tau_out,
         predict=True, params_template=params_template,
     )
-    samples = jnp.stack(list(samples)) if not isinstance(samples, jnp.ndarray) else samples
 
     @jax.jit
     def batched(thetas):

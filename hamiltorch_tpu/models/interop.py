@@ -8,11 +8,24 @@ operations, and the parameter template preserves ``module.parameters()``
 order so flat vectors (and therefore ``params_init`` / stored samples) have
 the identical memory layout to the reference.
 
-Supported: Sequential composition of Linear, Conv2d, ReLU, Tanh, Sigmoid,
-GELU, Softmax, LogSoftmax, Flatten, Identity, Dropout (inference = identity),
-MaxPool2d, AvgPool2d.  Arbitrary custom ``forward`` methods cannot be
-translated — define the model in flax/JAX instead (build_model accepts
-both).
+Two translation paths:
+
+* **Direct**: Sequential/ModuleList compositions of the leaf layer types
+  below are translated structurally (no torch execution involved).
+* **torch.fx fallback**: modules with CUSTOM ``forward`` methods (tensor
+  reshapes, ``torch.nn.functional`` calls, arithmetic, skip connections)
+  are symbolically traced with ``torch.fx`` and the traced graph is
+  interpreted with jnp ops — the same class of models the reference's
+  ``make_functional`` Scope rewriting handles (reference:
+  hamiltorch/util.py:253-376), e.g. its conv test net
+  (reference: tests/test_util.py:64-95).
+
+Leaf layers: Linear, Conv2d, ConvTranspose2d, BatchNorm1d/2d, LayerNorm,
+Embedding, ReLU, Tanh, Sigmoid, GELU, ELU, LeakyReLU, Softmax, LogSoftmax,
+Flatten, Identity, Dropout (inference = identity), MaxPool2d, AvgPool2d.
+Not coverable: data-dependent Python control flow in ``forward`` and RNN
+modules (torch.fx cannot trace them) — define those in flax/JAX instead
+(``build_model`` accepts flax modules and plain apply functions).
 """
 
 from __future__ import annotations
@@ -107,15 +120,78 @@ def _batchnorm(mod):
     return fn
 
 
+def _conv_transpose2d(mod):
+    """ConvTranspose2d via lax.conv_transpose with transpose_kernel=True
+    (flips spatial dims and swaps I/O — exactly torch's gradient-of-conv
+    semantics for the (I, O, KH, KW) torch weight layout)."""
+    if mod.groups != 1:
+        raise TypeError("ConvTranspose2d with groups != 1 is not supported")
+    has_bias = mod.bias is not None
+    s = tuple(mod.stride)
+    p = tuple(mod.padding)
+    op = tuple(mod.output_padding)
+    d = tuple(mod.dilation)
+    k = tuple(mod.kernel_size)
+    pads = tuple(
+        (d[i] * (k[i] - 1) - p[i], d[i] * (k[i] - 1) - p[i] + op[i])
+        for i in range(2)
+    )
+
+    def fn(params, off, x):
+        # torch layout (I, O, KH, KW) is the OIHW weight of the FORWARD conv
+        # this layer transposes; transpose_kernel=True then flips/swaps to
+        # compute exactly torch's gradient-of-conv semantics
+        w = params[off]
+        y = jax.lax.conv_transpose(
+            x, w, strides=s, padding=pads, rhs_dilation=d,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"), transpose_kernel=True,
+        )
+        if has_bias:
+            y = y + params[off + 1][None, :, None, None]
+        return y, off + (2 if has_bias else 1)
+
+    return fn
+
+
+def _layernorm(mod):
+    eps = mod.eps
+    affine = mod.elementwise_affine
+    ndims = len(mod.normalized_shape)
+
+    def fn(params, off, x):
+        axes = tuple(range(x.ndim - ndims, x.ndim))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        if affine:
+            y = y * params[off] + params[off + 1]
+            return y, off + 2
+        return y, off
+
+    return fn
+
+
+def _embedding(mod):
+    def fn(params, off, x):
+        return jnp.take(params[off], x.astype(jnp.int32), axis=0), off + 1
+
+    return fn
+
+
 _LEAF_HANDLERS = {
     "Linear": _linear,
     "Conv2d": _conv2d,
+    "ConvTranspose2d": _conv_transpose2d,
     "BatchNorm1d": _batchnorm,
     "BatchNorm2d": _batchnorm,
+    "LayerNorm": _layernorm,
+    "Embedding": _embedding,
     "ReLU": _elementwise(lambda m, x: jax.nn.relu(x)),
     "Tanh": _elementwise(lambda m, x: jnp.tanh(x)),
     "Sigmoid": _elementwise(lambda m, x: jax.nn.sigmoid(x)),
     "GELU": _elementwise(lambda m, x: jax.nn.gelu(x)),
+    "ELU": _elementwise(lambda m, x: jax.nn.elu(x, alpha=m.alpha)),
+    "LeakyReLU": _elementwise(lambda m, x: jax.nn.leaky_relu(x, negative_slope=m.negative_slope)),
     "Softmax": _elementwise(lambda m, x: jax.nn.softmax(x, axis=m.dim if m.dim is not None else -1)),
     "LogSoftmax": _elementwise(lambda m, x: jax.nn.log_softmax(x, axis=m.dim if m.dim is not None else -1)),
     "Identity": _elementwise(lambda m, x: x),
@@ -131,7 +207,7 @@ def _convert(module) -> Callable:
     if name in _LEAF_HANDLERS:
         return _LEAF_HANDLERS[name](module)
     children = list(module.children())
-    if name == "Sequential" or (children and _is_sequential_like(module)):
+    if name in ("Sequential", "ModuleList"):
         child_fns = [_convert(c) for c in children]
 
         def fn(params, off, x):
@@ -141,17 +217,214 @@ def _convert(module) -> Callable:
 
         return fn
     raise TypeError(
-        f"Cannot translate torch module {name!r}: only Sequential compositions "
-        f"of {sorted(_LEAF_HANDLERS)} are supported. Define the model in "
-        f"flax/JAX (build_model accepts flax modules and plain apply "
-        f"functions) for arbitrary architectures."
+        f"Cannot translate torch module {name!r} structurally: only "
+        f"Sequential/ModuleList compositions of {sorted(_LEAF_HANDLERS)} are "
+        f"supported on the direct path."
     )
 
 
-def _is_sequential_like(module) -> bool:
-    # A container whose forward is inherited composition cannot be detected
-    # reliably; only genuine nn.Sequential is treated as composition.
-    return False
+# ---------------------------------------------------------------------------
+# torch.fx fallback: interpret a symbolically traced custom forward with jnp
+
+
+def _fx_tables():
+    """(call_function table, call_method table), built lazily so torch is
+    only imported when the fx path is taken."""
+    import operator
+
+    import torch
+    import torch.nn.functional as F
+
+    def _softmaxish(jax_fn):
+        def h(x, dim=None, **kw):
+            return jax_fn(x, axis=-1 if dim is None else dim)
+
+        return h
+
+    def _pool2d(reducer, init, is_avg):
+        def h(x, kernel_size, stride=None, padding=0, **kw):
+            k = kernel_size if isinstance(kernel_size, tuple) else (kernel_size,) * 2
+            s = stride if stride is not None else k
+            s = s if isinstance(s, tuple) else (s,) * 2
+            p = padding if isinstance(padding, tuple) else (padding,) * 2
+            y = jax.lax.reduce_window(
+                x, init, reducer,
+                window_dimensions=(1, 1) + k, window_strides=(1, 1) + s,
+                padding=((0, 0), (0, 0)) + tuple((pi, pi) for pi in p),
+            )
+            return y / (k[0] * k[1]) if is_avg else y
+
+        return h
+
+    functions = {
+        F.relu: lambda x, inplace=False: jax.nn.relu(x),
+        torch.relu: jax.nn.relu,
+        F.gelu: lambda x, approximate="none": jax.nn.gelu(x, approximate=approximate != "none"),
+        F.elu: lambda x, alpha=1.0, inplace=False: jax.nn.elu(x, alpha=alpha),
+        F.leaky_relu: lambda x, negative_slope=0.01, inplace=False: jax.nn.leaky_relu(x, negative_slope=negative_slope),
+        F.silu: lambda x, inplace=False: jax.nn.silu(x),
+        torch.tanh: jnp.tanh,
+        F.tanh: jnp.tanh,
+        torch.sigmoid: jax.nn.sigmoid,
+        F.sigmoid: jax.nn.sigmoid,
+        F.softplus: lambda x, beta=1.0, threshold=20.0: jax.nn.softplus(beta * x) / beta,
+        F.softmax: _softmaxish(jax.nn.softmax),
+        F.log_softmax: _softmaxish(jax.nn.log_softmax),
+        F.dropout: lambda x, p=0.5, training=False, inplace=False: x,
+        F.max_pool2d: _pool2d(jax.lax.max, -jnp.inf, is_avg=False),
+        F.avg_pool2d: _pool2d(jax.lax.add, 0.0, is_avg=True),
+        torch.flatten: lambda x, start_dim=0, end_dim=-1: _flatten_dims(x, start_dim, end_dim),
+        torch.cat: lambda tensors, dim=0: jnp.concatenate(tensors, axis=dim),
+        torch.stack: lambda tensors, dim=0: jnp.stack(tensors, axis=dim),
+        torch.add: operator.add,
+        torch.sub: operator.sub,
+        torch.mul: operator.mul,
+        torch.matmul: jnp.matmul,
+        torch.mean: lambda x, dim=None, keepdim=False: jnp.mean(x, axis=dim, keepdims=keepdim),
+        torch.sum: lambda x, dim=None, keepdim=False: jnp.sum(x, axis=dim, keepdims=keepdim),
+        torch.exp: jnp.exp,
+        torch.log: jnp.log,
+        operator.add: operator.add,
+        operator.sub: operator.sub,
+        operator.mul: operator.mul,
+        operator.truediv: operator.truediv,
+        operator.matmul: jnp.matmul,
+        operator.neg: operator.neg,
+        operator.getitem: lambda x, idx: x[idx],
+    }
+
+    methods = {
+        "view": lambda x, *shape: x.reshape(_shape_args(shape)),
+        "reshape": lambda x, *shape: x.reshape(_shape_args(shape)),
+        "flatten": lambda x, start_dim=0, end_dim=-1: _flatten_dims(x, start_dim, end_dim),
+        "permute": lambda x, *dims: jnp.transpose(x, _shape_args(dims)),
+        "transpose": lambda x, a, b: jnp.swapaxes(x, a, b),
+        "squeeze": lambda x, dim=None: jnp.squeeze(x, axis=dim),
+        "unsqueeze": lambda x, dim: jnp.expand_dims(x, dim),
+        "contiguous": lambda x: x,
+        "detach": lambda x: x,
+        "clone": lambda x: x,
+        "float": lambda x: x.astype(jnp.float32),
+        "mean": lambda x, dim=None, keepdim=False: jnp.mean(x, axis=dim, keepdims=keepdim),
+        "sum": lambda x, dim=None, keepdim=False: jnp.sum(x, axis=dim, keepdims=keepdim),
+        "relu": jax.nn.relu,
+        "tanh": jnp.tanh,
+        "sigmoid": jax.nn.sigmoid,
+        "exp": jnp.exp,
+        "log": jnp.log,
+        "t": lambda x: x.T,
+        "size": lambda x, dim=None: x.shape if dim is None else x.shape[dim],
+    }
+    return functions, methods
+
+
+def _shape_args(shape):
+    # torch accepts .view(2, 3) and .view((2, 3))
+    if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+        return tuple(shape[0])
+    return tuple(shape)
+
+
+def _flatten_dims(x, start_dim, end_dim):
+    nd = x.ndim
+    start = start_dim % nd
+    end = end_dim % nd
+    new_shape = x.shape[:start] + (-1,) + x.shape[end + 1 :]
+    return x.reshape(new_shape)
+
+
+def _from_torch_fx(module) -> Callable:
+    """Symbolically trace a custom ``forward`` and return an fx-graph
+    interpreter ``fn(params, off, x) -> (out, off)`` in the leaf-handler
+    calling convention.
+
+    Equivalent capability to the reference's Scope rewriting for arbitrary
+    forwards (reference: hamiltorch/util.py:253-376), minus RNNs and
+    data-dependent Python control flow (untraceable by fx by construction).
+    """
+    import torch
+    import torch.fx as fx_mod
+    from torch.fx.node import map_arg
+
+    try:
+        gm = fx_mod.symbolic_trace(module)
+    except Exception as e:
+        raise TypeError(
+            f"Cannot translate torch module {type(module).__name__!r}: not a "
+            f"Sequential/ModuleList composition and torch.fx tracing failed "
+            f"({e}). Define the model in flax/JAX instead (build_model "
+            f"accepts flax modules and plain apply functions)."
+        ) from e
+
+    # every leaf submodule's first parameter's index in module.parameters()
+    # order (a leaf's own params are contiguous in the flat order)
+    flat_ids = {id(p): i for i, p in enumerate(module.parameters())}
+    submods = dict(module.named_modules())
+    handlers, offsets = {}, {}
+    functions, methods = _fx_tables()
+
+    for node in gm.graph.nodes:
+        if node.op == "call_module" and node.target not in handlers:
+            sub = submods[node.target]
+            handlers[node.target] = _convert(sub)
+            own = list(sub.parameters())
+            offsets[node.target] = flat_ids[id(own[0])] if own else 0
+        elif node.op == "call_function" and node.target not in functions:
+            raise TypeError(
+                f"torch.fx node calls unsupported function {node.target}; "
+                f"supported: {sorted(str(f) for f in functions)}"
+            )
+        elif node.op == "call_method" and node.target not in methods:
+            raise TypeError(
+                f"torch.fx node calls unsupported tensor method "
+                f"{node.target!r}; supported: {sorted(methods)}"
+            )
+
+    buffers = {
+        name: jnp.asarray(b.detach().cpu().numpy())
+        for name, b in module.named_buffers()
+    }
+
+    def fn(params, off, x):
+        env = {}
+
+        def load(n):
+            return env[n.name]
+
+        placeholders = [n for n in gm.graph.nodes if n.op == "placeholder"]
+        env[placeholders[0].name] = x
+
+        out = None
+        for node in gm.graph.nodes:
+            if node.op == "placeholder":
+                continue
+            args = map_arg(node.args, load)
+            kwargs = map_arg(node.kwargs, load)
+            if node.op == "call_module":
+                y, _ = handlers[node.target](
+                    params, off + offsets[node.target], args[0]
+                )
+                env[node.name] = y
+            elif node.op == "call_function":
+                env[node.name] = functions[node.target](*args, **kwargs)
+            elif node.op == "call_method":
+                env[node.name] = methods[node.target](*args, **kwargs)
+            elif node.op == "get_attr":
+                target = node.target
+                if target in buffers:
+                    env[node.name] = buffers[target]
+                else:  # constant attribute on the module
+                    obj = module
+                    for part in target.split("."):
+                        obj = getattr(obj, part)
+                    if hasattr(obj, "detach"):
+                        obj = jnp.asarray(obj.detach().cpu().numpy())
+                    env[node.name] = obj
+            elif node.op == "output":
+                out = args[0]
+        return out, off + len(flat_ids)
+
+    return fn
 
 
 def from_torch_module(module) -> Tuple[Callable, List[jnp.ndarray]]:
@@ -160,8 +433,15 @@ def from_torch_module(module) -> Tuple[Callable, List[jnp.ndarray]]:
     ``params_template`` is a list of arrays in ``module.parameters()``
     order, so ``ravel_pytree`` of it reproduces the reference's flat-vector
     layout (cat of per-parameter flattens — reference: hamiltorch/util.py:121-122).
+
+    Sequential/ModuleList compositions translate structurally; custom
+    ``forward`` methods go through the torch.fx fallback (see module
+    docstring).
     """
-    fn = _convert(module)
+    try:
+        fn = _convert(module)
+    except TypeError:
+        fn = _from_torch_fx(module)
     template = [
         jnp.asarray(p.detach().cpu().numpy()) for p in module.parameters()
     ]

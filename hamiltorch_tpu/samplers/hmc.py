@@ -79,6 +79,73 @@ def run_hmc(
     return _run_hmc_jit(key, theta0, lp, config, mass, data=data)
 
 
+def run_hmc_host_offload(
+    key: jax.Array,
+    log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    theta0: jnp.ndarray,
+    config: MCMCConfig,
+    inv_mass=None,
+    pass_grad=None,
+    chunk_size: int = 256,
+) -> MCMCResult:
+    """HMC whose trace streams to HOST memory chunk by chunk.
+
+    The reference's ``store_on_GPU=False`` moves each sample to CPU per draw
+    (reference: hamiltorch/samplers.py:956-959,1008-1012).  Per-draw host
+    callbacks would stall the TPU pipeline, so the TPU-native equivalent
+    samples in compiled chunks and offloads each chunk's trace to host,
+    keeping only O(chunk) draws in HBM — a (draws x D) trace never has to
+    fit on device.  The per-draw RNG folds the global draw index into the
+    base key, so results are bit-identical to the unchunked run.
+
+    Returns an MCMCResult whose ``samples``/``stats`` leaves are host numpy
+    arrays.
+    """
+    import numpy as np
+
+    from .adaptation import da_init
+
+    theta0 = jnp.asarray(theta0)
+    mass = make_mass(inv_mass, theta0.shape[0])
+    lp, data = resolve_potential(log_prob_fn, pass_grad)
+    state = init_chain_state(lp if data is None else (lambda t: lp(t, data)), theta0)
+    da = da_init(config.step_size, dtype=theta0.dtype)
+
+    thin = max(config.thin, 1)
+    chunk_size = max(thin, (chunk_size // thin) * thin)
+    import dataclasses
+
+    host_samples, host_stats = [], []
+    n_done = 0
+    while n_done < config.num_samples:
+        this_chunk = min(chunk_size, config.num_samples - n_done)
+        cfg = dataclasses.replace(config, num_samples=this_chunk)
+        result = _run_hmc_jit(
+            key, state.theta, lp, cfg, mass,
+            init_state=state, init_da=da, start_iter=n_done, data=data,
+        )
+        host_samples.append(jax.device_get(result.samples))
+        host_stats.append(jax.device_get(result.stats))
+        state, da = result.final_state, result.final_da
+        n_done += this_chunk
+
+    samples = np.concatenate(host_samples)
+    from .driver import MCMCStats
+
+    stats = MCMCStats(
+        *(np.concatenate([getattr(s, f) for s in host_stats])
+          for f in MCMCStats._fields)
+    )
+    return MCMCResult(
+        samples=samples,
+        stats=stats,
+        final_step_size=da.step_size,
+        acc_rate=jnp.asarray(np.mean(stats.accepted.astype(samples.dtype))),
+        final_state=state,
+        final_da=da,
+    )
+
+
 def run_hmc_chains(
     key: jax.Array,
     log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray],

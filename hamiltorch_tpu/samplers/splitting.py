@@ -31,15 +31,25 @@ def terms_from_list(log_prob_funcs: Sequence[Callable]) -> Callable:
     return term_fn
 
 
-@partial(jax.jit, static_argnames=("raw_term_fn", "num_terms", "config", "integrator"))
-def _run_split_jit(key, theta0, raw_term_fn, num_terms, config, integrator, mass, data):
+@partial(jax.jit, static_argnames=("raw_term_fn", "num_terms", "config",
+                                   "integrator", "raw_pass_grad"))
+def _run_split_jit(key, theta0, raw_term_fn, num_terms, config, integrator, mass,
+                   data, raw_pass_grad=None):
     # ``data`` rides through jit as an operand so stacked minibatch arrays
     # are device buffers, not constants baked into the program.
     if data is None:
         term_fn = raw_term_fn
+        pass_grad_fn = raw_pass_grad
     else:
         term_fn = lambda theta, m: raw_term_fn(theta, m, data)
-    grad_term = jax.grad(term_fn, argnums=0)
+        pass_grad_fn = (
+            None if raw_pass_grad is None
+            else (lambda theta, m: raw_pass_grad(theta, m, data))
+        )
+    # user-supplied per-term gradients replace autograd for the kicks (the
+    # reference REFUSES pass_grad for splitting, samplers.py:468-469; this
+    # is an extension); the MH energies still use exact term values
+    grad_term = pass_grad_fn if pass_grad_fn is not None else jax.grad(term_fn, argnums=0)
 
     def total_logp(theta):
         def body(acc, m):
@@ -78,6 +88,7 @@ def run_split_hmc_stacked(
     integrator: Integrator = Integrator.SPLITTING,
     inv_mass=None,
     data=None,
+    pass_grad=None,
 ) -> MCMCResult:
     """Split HMC over a stacked term function.
 
@@ -85,12 +96,27 @@ def run_split_hmc_stacked(
     data)`` with ``data`` (e.g. stacked (M, B, ...) minibatch arrays)
     passed as a jit operand — large datasets must go through ``data``
     rather than a closure, or they are embedded as program constants.
+
+    ``pass_grad``: optional user gradient for the kicks, same signature as
+    ``term_fn`` but returning the (D,) per-term gradient.  Extension: the
+    reference refuses pass_grad for splitting (samplers.py:468-469).
     """
     theta0 = jnp.asarray(theta0)
     mass = make_mass(inv_mass, theta0.shape[0])
     return _run_split_jit(
-        key, theta0, term_fn, num_terms, config, integrator, mass, data
+        key, theta0, term_fn, num_terms, config, integrator, mass, data,
+        raw_pass_grad=pass_grad,
     )
+
+
+def grads_from_list(grad_fns: Sequence[Callable]) -> Callable:
+    """Per-term gradient closures -> one ``grad_fn(theta, m)`` via switch."""
+    fns = [lambda t, f=f: f(t) for f in grad_fns]
+
+    def grad_fn(theta, m):
+        return jax.lax.switch(m, fns, theta)
+
+    return grad_fn
 
 
 def run_split_hmc(
@@ -100,10 +126,23 @@ def run_split_hmc(
     config: MCMCConfig,
     integrator: Integrator = Integrator.SPLITTING,
     inv_mass=None,
+    pass_grad=None,
 ) -> MCMCResult:
-    """Split HMC over a list of per-subset log-prob closures (parity path)."""
+    """Split HMC over a list of per-subset log-prob closures (parity path).
+
+    ``pass_grad``: optional list of per-term gradient callables (one per
+    log-prob term); an extension past the reference's refusal.
+    """
     term_fn = terms_from_list(log_prob_funcs)
+    grad_fn = None
+    if pass_grad is not None:
+        if not isinstance(pass_grad, (list, tuple)) or len(pass_grad) != len(log_prob_funcs):
+            raise RuntimeError(
+                "For splitting, pass_grad must be a list of per-term gradient "
+                "callables matching log_prob_funcs."
+            )
+        grad_fn = grads_from_list(pass_grad)
     return run_split_hmc_stacked(
         key, term_fn, len(log_prob_funcs), theta0, config,
-        integrator=integrator, inv_mass=inv_mass,
+        integrator=integrator, inv_mass=inv_mass, pass_grad=grad_fn,
     )

@@ -13,6 +13,14 @@ beta_k * logp with step size eps / sqrt(beta_k); then adjacent pairs swap
 states with probability min(1, exp((beta_a - beta_b)(logp_b - logp_a))),
 alternating even/odd pairings per draw (the deterministic-even-odd scheme,
 which mixes the ladder faster than random pair choice).
+
+Ladder adaptation (``adapt_ladder=True``): during burn the interior
+temperatures move by the Vousden, Farr & Mandel (2016) dynamics — the log
+gaps S_i = log(T_{i+1} - T_i) follow dS_i = kappa(n) (A_i - A_{i+1}) where
+A_i is an EMA of the swap acceptance of pair (i, i+1) — driving all
+adjacent swap rates toward a common value (uniform replica flow), with the
+endpoints T_0 = 1 and T_{K-1} = max_temp pinned.  The ladder freezes when
+burn ends; ``burn`` draws are dropped from the returned samples/stats.
 """
 
 from __future__ import annotations
@@ -30,23 +38,27 @@ from ..ops.potential import resolve_potential
 
 @dataclasses.dataclass(frozen=True)
 class PTConfig:
-    num_samples: int
+    num_samples: int  # total transitions, INCLUDING the first `burn` dropped
     num_steps_per_sample: int = 10
     step_size: float = 0.1
     num_temps: int = 8
     max_temp: float = 30.0
-    burn: int = 0
+    burn: int = 0  # dropped from returned samples/stats; adaptation window
+    adapt_ladder: bool = False  # Vousden et al. swap-rate-equalising ladder
+    ladder_t0: float = 10.0  # adaptation-decay offset kappa = t0/(nu(n+t0))
+    ladder_nu: float = 1.0
 
 
 class PTInfo(NamedTuple):
     accept_prob: jnp.ndarray  # (N, K) per-replica HMC acceptance
     swap_accept: jnp.ndarray  # (N, K-1) adjacent-pair swap outcomes (bool)
-    betas: jnp.ndarray  # (K,)
+    betas: jnp.ndarray  # (K,) final ladder (adapted when adapt_ladder)
+    swap_rate_ema: jnp.ndarray  # (K-1,) final per-pair swap-acceptance EMA
 
 
 class PTResult(NamedTuple):
-    samples: jnp.ndarray  # (N, D) — the cold (beta=1) chain
-    replica_samples: jnp.ndarray  # (N, K, D) — full ladder
+    samples: jnp.ndarray  # (N - burn, D) — the cold (beta=1) chain
+    replica_samples: jnp.ndarray  # (N - burn, K, D) — full ladder
     info: PTInfo
 
 
@@ -57,10 +69,20 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None):
     k_temps, d = theta0s.shape
     dtype = theta0s.dtype
 
-    betas = jnp.exp(
-        jnp.linspace(0.0, -jnp.log(config.max_temp), k_temps)
-    ).astype(dtype)  # (K,) from 1 down to 1/max_temp
-    eps_k = config.step_size / jnp.sqrt(betas)  # wider steps when hotter
+    # ladder parameterised by log temperature gaps S_i = log(T_{i+1}-T_i),
+    # renormalised so T_0 = 1 and T_{K-1} = max_temp stay pinned no matter
+    # how adaptation moves the interior — init = geometric ladder
+    temps_geo = jnp.exp(
+        jnp.linspace(0.0, jnp.log(config.max_temp), k_temps)
+    ).astype(dtype)
+    s0 = jnp.log(jnp.diff(temps_geo))  # (K-1,)
+
+    def betas_from_s(s):
+        g = jnp.exp(s)
+        temps = 1.0 + jnp.concatenate(
+            [jnp.zeros((1,), dtype), jnp.cumsum(g)]
+        ) * ((config.max_temp - 1.0) / jnp.sum(g))
+        return 1.0 / temps
 
     velocity = jax.vmap(mass.velocity)
     kinetic = jax.vmap(mass.kinetic)
@@ -78,7 +100,9 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None):
     partner_odd = jnp.clip(partner_odd, 0, k_temps - 1)
 
     def step(carry, n):
-        thetas, logps, grads = carry
+        thetas, logps, grads, s, ema = carry
+        betas = betas_from_s(s)
+        eps_k = config.step_size / jnp.sqrt(betas)  # wider steps when hotter
         kn = jax.random.fold_in(key, n)
         k_mom, k_mh, k_swap = jax.random.split(kn, 3)
 
@@ -132,17 +156,41 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None):
         logps = logps[src]
         grads = grads[src]
 
-        swap_mask = do_swap[:-1] & (partner[:-1] == idx[:-1] + 1)
-        info_row = (alpha, swap_mask)
-        return (thetas, logps, grads), (thetas, info_row)
+        adj_attempted = partner[:-1] == idx[:-1] + 1
+        swap_mask = do_swap[:-1] & adj_attempted
 
-    (thetas_f, _, _), (traj, (alphas, swaps)) = jax.lax.scan(
-        step, (theta0s, logps0, grads0), jnp.arange(config.num_samples)
+        if config.adapt_ladder and config.burn > 0:
+            # Vousden et al. 2016: log-gap dynamics driven by the difference
+            # between each pair's swap rate and the ladder average; EMA
+            # smooths the per-draw acceptance of the pairs attempted
+            alpha_pair = jnp.exp(jnp.minimum(0.0, log_swap[:-1]))
+            alpha_pair = jnp.where(jnp.isfinite(alpha_pair), alpha_pair, 0.0)
+            ema = jnp.where(adj_attempted, 0.9 * ema + 0.1 * alpha_pair, ema)
+            kappa = config.ladder_t0 / (
+                config.ladder_nu * (n + 1.0 + config.ladder_t0)
+            )
+            ds = kappa * (ema - jnp.mean(ema))
+            s = jnp.where(n < config.burn, s + ds, s)
+
+        info_row = (alpha, swap_mask)
+        return (thetas, logps, grads, s, ema), (thetas, info_row)
+
+    ema0 = jnp.full((k_temps - 1,), 0.5, dtype)
+    (thetas_f, _, _, s_f, ema_f), (traj, (alphas, swaps)) = jax.lax.scan(
+        step,
+        (theta0s, logps0, grads0, s0, ema0),
+        jnp.arange(config.num_samples),
     )
+    burn = max(config.burn, 0)
     return PTResult(
-        samples=traj[:, 0, :],
-        replica_samples=traj,
-        info=PTInfo(accept_prob=alphas, swap_accept=swaps, betas=betas),
+        samples=traj[burn:, 0, :],
+        replica_samples=traj[burn:],
+        info=PTInfo(
+            accept_prob=alphas[burn:],
+            swap_accept=swaps[burn:],
+            betas=betas_from_s(s_f),
+            swap_rate_ema=ema_f,
+        ),
     )
 
 
@@ -153,7 +201,12 @@ def run_parallel_tempering(
     config: PTConfig,
     inv_mass=None,
 ) -> PTResult:
-    """Replica-exchange HMC; returns the cold chain plus the full ladder."""
+    """Replica-exchange HMC; returns the cold chain plus the full ladder.
+
+    ``config.burn`` draws are dropped from the returned samples/stats (and
+    bound the ladder-adaptation window when ``adapt_ladder``)."""
+    if config.burn >= config.num_samples:
+        raise RuntimeError("burn must be less than num_samples.")
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(theta0, (config.num_temps,) + theta0.shape)

@@ -61,3 +61,53 @@ def test_enums_match_reference_values():
         "EXPLICIT", "IMPLICIT", "S3", "SPLITTING", "SPLITTING_RAND", "SPLITTING_KMID",
     }
     assert {m.name for m in ht.Metric} == {"HESSIAN", "SOFTABS", "JACOBIAN_DIAG"}
+
+
+class TestFacadeExtensions:
+    """adapt_mass / thin / progress_every reachable from sample() (round-2)."""
+
+    def test_thin_through_sample(self):
+        import jax.numpy as jnp
+        import hamiltorch_tpu as ht
+
+        lp = lambda t: -0.5 * jnp.dot(t, t)
+        s = ht.sample(lp, jnp.zeros(2), num_samples=60, num_steps_per_sample=5,
+                      step_size=0.3, thin=3, verbose=False,
+                      key=__import__("jax").random.key(0))
+        # 60 transitions / thin 3 = 20 kept, plus the initial params
+        assert s.shape == (20, 2)
+
+    def test_adapt_mass_through_sample(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        import hamiltorch_tpu as ht
+
+        scales = jnp.asarray([0.2, 2.0])
+        lp = lambda t: -0.5 * jnp.sum((t / scales) ** 2)
+        s = ht.sample(lp, jnp.zeros(2), num_samples=500, burn=300,
+                      step_size=0.5, sampler=ht.Sampler.NUTS, adapt_mass=True,
+                      verbose=False, key=jax.random.key(1))
+        kept = np.asarray(s[1:])
+        np.testing.assert_allclose(kept.std(0), np.asarray(scales), rtol=0.5)
+
+    def test_adapt_mass_wrong_sampler_raises(self):
+        import jax.numpy as jnp
+        import pytest
+        import hamiltorch_tpu as ht
+
+        with pytest.raises(RuntimeError, match="adapt_mass"):
+            ht.sample(lambda t: -jnp.dot(t, t), jnp.zeros(2), num_samples=10,
+                      adapt_mass=True, verbose=False)
+
+    def test_burn_thin_combination(self):
+        import jax
+        import jax.numpy as jnp
+        import hamiltorch_tpu as ht
+
+        lp = lambda t: -0.5 * jnp.dot(t, t)
+        s = ht.sample(lp, jnp.zeros(2), num_samples=60, burn=30,
+                      num_steps_per_sample=5, step_size=0.3, thin=3,
+                      verbose=False, key=jax.random.key(0))
+        # kept draws = 60/3 = 20; burn removes the first 30/3 = 10; + init
+        assert s.shape == (10, 2)

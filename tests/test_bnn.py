@@ -306,3 +306,182 @@ class TestSamplerCombinations:
         g1 = jax.grad(lp_plain)(flat0)
         g2 = jax.grad(lp_remat)(flat0)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
+
+
+class TestStreamedPredict:
+    def test_loader_predict_matches_whole_tensor(self, key):
+        """The streamed (lax.scan over batches) loader path must agree with
+        the whole-tensor path on the same data."""
+        x = jnp.linspace(-1, 1, 24)[:, None]
+        y = jnp.sin(3 * x)
+        model = MLP(features=(8, 1))
+        tau_list = [1.0] * 4
+        samples = sample_model(
+            model, x, y, model_loss="regression", num_samples=40,
+            num_steps_per_sample=10, step_size=0.002, tau_out=100.0,
+            tau_list=tau_list, key=key, verbose=False,
+        )
+        # loader yielding 3 batches of 8
+        loader = [(np.asarray(x[i:i + 8]), np.asarray(y[i:i + 8])) for i in range(0, 24, 8)]
+        p_stream, lp_stream = predict_model(
+            model, samples, test_loader=loader, model_loss="regression",
+            tau_out=100.0, tau_list=tau_list,
+        )
+        p_whole, lp_whole = predict_model(
+            model, samples, x=x, y=y, model_loss="regression",
+            tau_out=100.0, tau_list=tau_list,
+        )
+        assert p_stream.shape == p_whole.shape == (40, 24, 1)
+        np.testing.assert_allclose(np.asarray(p_stream), np.asarray(p_whole), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lp_stream), np.asarray(lp_whole), rtol=1e-5)
+
+
+class TestTorchFxInterop:
+    """Custom-forward torch modules via the torch.fx fallback — the
+    equivalent of the reference's make_functional conv test
+    (reference: tests/test_util.py:64-95), ported without hand-rewriting."""
+
+    def test_reference_conv_net_custom_forward(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Net(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.layers = torch.nn.Sequential(
+                    torch.nn.Conv2d(1, 10, kernel_size=5),
+                    torch.nn.MaxPool2d(2),
+                    torch.nn.ReLU(),
+                    torch.nn.Conv2d(10, 20, kernel_size=5),
+                    torch.nn.MaxPool2d(2),
+                    torch.nn.ReLU(),
+                )
+                self.fc1 = torch.nn.Linear(320, 50)
+                self.fc2 = torch.nn.Linear(50, 10)
+
+            def forward(self, x):
+                x = self.layers(x)
+                x = x.view(-1, 320)
+                x = F.relu(self.fc1(x))
+                x = self.fc2(x)
+                return F.log_softmax(x, dim=1)
+
+        torch.manual_seed(3)
+        net = Net().eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(3).randn(10, 1, 28, 28).astype(np.float32)
+        ref = net(torch.tensor(x)).detach().numpy()
+        ours = np.asarray(apply_fn(template, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_skip_connection_and_arithmetic(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Res(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.a = torch.nn.Linear(6, 6)
+                self.b = torch.nn.Linear(6, 6)
+                self.norm = torch.nn.LayerNorm(6)
+
+            def forward(self, x):
+                h = torch.tanh(self.a(x))
+                h = x + 0.5 * self.b(h)  # residual + scalar arithmetic
+                return self.norm(h).mean(dim=-1)
+
+        torch.manual_seed(4)
+        net = Res().eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(4).randn(7, 6).astype(np.float32)
+        ref = net(torch.tensor(x)).detach().numpy()
+        ours = np.asarray(apply_fn(template, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_new_leaf_layers_match_torch(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        torch.manual_seed(5)
+        net = torch.nn.Sequential(
+            torch.nn.ConvTranspose2d(3, 2, 3, stride=2, padding=1, output_padding=1),
+            torch.nn.ELU(alpha=0.7),
+            torch.nn.Flatten(),
+            torch.nn.Linear(2 * 8 * 8, 5),
+            torch.nn.LeakyReLU(0.1),
+        ).eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(5).randn(2, 3, 4, 4).astype(np.float32)
+        ref = net(torch.tensor(x)).detach().numpy()
+        ours = np.asarray(apply_fn(template, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_embedding_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Emb(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.emb = torch.nn.Embedding(11, 4)
+                self.head = torch.nn.Linear(4, 2)
+
+            def forward(self, x):
+                return self.head(self.emb(x).mean(dim=1))
+
+        torch.manual_seed(6)
+        net = Emb().eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(6).randint(0, 11, size=(5, 7))
+        ref = net(torch.tensor(x)).detach().numpy()
+        ours = np.asarray(apply_fn(template, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_fx_model_samples_end_to_end(self, key):
+        """A custom-forward torch model goes through sample_model unchanged."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        class Tiny(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.l1 = torch.nn.Linear(2, 8)
+                self.l2 = torch.nn.Linear(8, 3)
+
+            def forward(self, x):
+                return self.l2(F.relu(self.l1(x)))
+
+        torch.manual_seed(7)
+        rng = np.random.RandomState(0)
+        centers = np.array([[2, 0], [-2, 0], [0, 2.5]])
+        x = np.concatenate([centers[i] + 0.3 * rng.randn(10, 2) for i in range(3)])
+        ylab = np.repeat(np.arange(3), 10)
+        samples = sample_model(
+            Tiny().eval(), jnp.asarray(x, jnp.float32), jnp.asarray(ylab),
+            model_loss="multi_class_linear_output", num_samples=200,
+            num_steps_per_sample=15, step_size=0.01, key=key, verbose=False,
+        )
+        preds, _ = predict_model(
+            Tiny().eval(), samples[50:], x=jnp.asarray(x, jnp.float32),
+            y=jnp.asarray(ylab), model_loss="multi_class_linear_output",
+        )
+        acc = float(jnp.mean(preds.mean(0).argmax(-1) == jnp.asarray(ylab)))
+        assert acc > 0.9
+
+    def test_untraceable_module_clear_error(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class DataDependent(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.l = torch.nn.Linear(2, 2)
+
+            def forward(self, x):
+                if x.sum() > 0:  # data-dependent control flow: fx must fail
+                    return self.l(x)
+                return x
+
+        with pytest.raises(TypeError, match="flax"):
+            from_torch_module(DataDependent())

@@ -310,3 +310,33 @@ class TestValidation:
             ht.sample(fns, jnp.zeros(2), num_samples=10, sampler=ht.Sampler.NUTS)
         with pytest.raises(RuntimeError):
             ht.sample(fns, jnp.zeros(2), num_samples=10, sampler=ht.Sampler.RMHMC)
+
+
+class TestHostOffload:
+    def test_store_on_gpu_false_matches_on_device(self, key):
+        """store_on_GPU=False streams the trace to host per chunk and is
+        bit-identical to the on-device run (fold_in RNG lineage)."""
+        import numpy as np
+        import hamiltorch_tpu as ht
+
+        lp = lambda t: -0.5 * jnp.dot(t, t)
+        kw = dict(num_samples=300, num_steps_per_sample=5, step_size=0.3,
+                  verbose=False, key=key)
+        s_dev = ht.sample(lp, jnp.zeros(2), **kw)
+        s_host = ht.sample(lp, jnp.zeros(2), store_on_GPU=False, **kw)
+        assert isinstance(s_host, np.ndarray)  # trace lives on host
+        np.testing.assert_allclose(np.asarray(s_dev), s_host, atol=1e-6)
+
+    def test_host_offload_runner_chunks(self, key):
+        from hamiltorch_tpu.samplers.hmc import run_hmc, run_hmc_host_offload
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        import numpy as np
+
+        lp = lambda t: -0.5 * jnp.dot(t, t)
+        config = MCMCConfig(num_samples=130, num_steps_per_sample=5, step_size=0.3)
+        r_off = run_hmc_host_offload(key, lp, jnp.zeros(2), config, chunk_size=50)
+        r_dev = run_hmc(key, lp, jnp.zeros(2), config)
+        np.testing.assert_allclose(r_off.samples, np.asarray(r_dev.samples), atol=1e-6)
+        np.testing.assert_allclose(
+            float(r_off.acc_rate), float(r_dev.acc_rate), atol=1e-6
+        )

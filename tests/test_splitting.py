@@ -137,3 +137,71 @@ class TestSplitModelFlow:
         # precision = 1 → std 1·I, mean 0
         np.testing.assert_allclose(samples.mean(0), [0, 0], atol=0.15)
         np.testing.assert_allclose(samples.std(0), [1.0, 1.0], atol=0.2)
+
+
+class TestSplittingPassGrad:
+    """Extension past the reference: per-term user gradients for splitting
+    (the reference refuses pass_grad here, samplers.py:468-469)."""
+
+    def test_analytic_grads_match_autograd(self, key):
+        num_terms = 4
+        terms = make_split_gaussian(num_terms)
+        grads = [lambda t: -t / num_terms] * num_terms
+        config = MCMCConfig(num_samples=50, num_steps_per_sample=5, step_size=0.2)
+        r_auto = run_split_hmc(key, terms, jnp.zeros(3), config)
+        r_user = run_split_hmc(key, terms, jnp.zeros(3), config, pass_grad=grads)
+        np.testing.assert_allclose(
+            np.asarray(r_user.samples), np.asarray(r_auto.samples), atol=1e-6
+        )
+
+    def test_api_sample_splitting_pass_grad(self, key):
+        num_terms = 3
+        terms = make_split_gaussian(num_terms)
+        grads = [lambda t: -t / num_terms] * num_terms
+        s = ht.sample(
+            terms, jnp.zeros(2), num_samples=30, num_steps_per_sample=5,
+            step_size=0.2, sampler=ht.Sampler.HMC,
+            integrator=Integrator.SPLITTING, pass_grad=grads,
+            verbose=False, key=key,
+        )
+        assert s.shape == (30, 2)  # [init] + draws[burn+1:]
+        assert bool(jnp.all(jnp.isfinite(s)))
+
+    def test_api_sample_splitting_scalar_pass_grad_rejected(self, key):
+        terms = make_split_gaussian(3)
+        with pytest.raises(RuntimeError, match="per-term"):
+            ht.sample(
+                terms, jnp.zeros(2), num_samples=10,
+                integrator=Integrator.SPLITTING, pass_grad=lambda t: -t,
+                verbose=False, key=key,
+            )
+
+    def test_wrong_length_list_rejected(self, key):
+        terms = make_split_gaussian(3)
+        with pytest.raises(RuntimeError, match="per-term"):
+            run_split_hmc(
+                key, terms, jnp.zeros(2),
+                MCMCConfig(num_samples=10), pass_grad=[lambda t: -t],
+            )
+
+
+class TestTupleLogProb:
+    """Reference collect_gradients tuple branch (samplers.py:54-58): a
+    log-prob returning (scalar, aux) is differentiated through element 0."""
+
+    def test_tuple_output_sampled(self, key):
+        def lp_tuple(theta):
+            return -0.5 * jnp.dot(theta, theta), theta * 2.0  # (logp, aux)
+
+        def lp_plain(theta):
+            return -0.5 * jnp.dot(theta, theta)
+
+        s_tuple = ht.sample(lp_tuple, jnp.zeros(2), num_samples=40,
+                            num_steps_per_sample=5, step_size=0.3,
+                            verbose=False, key=key)
+        s_plain = ht.sample(lp_plain, jnp.zeros(2), num_samples=40,
+                            num_steps_per_sample=5, step_size=0.3,
+                            verbose=False, key=key)
+        np.testing.assert_allclose(
+            np.asarray(s_tuple), np.asarray(s_plain), atol=1e-6
+        )

@@ -45,6 +45,51 @@ class TestParallelTempering:
         np.testing.assert_allclose(float(r.info.betas[0]), 1.0)
         np.testing.assert_allclose(float(r.info.betas[-1]), 1 / 20.0, rtol=1e-5)
 
+    def test_burn_dropped_from_returns(self, key):
+        cfg = PTConfig(num_samples=200, num_steps_per_sample=5, step_size=0.1,
+                       num_temps=4, max_temp=10.0, burn=50)
+        r = run_parallel_tempering(key, bimodal_logprob, jnp.zeros(1), cfg)
+        assert r.samples.shape == (150, 1)
+        assert r.replica_samples.shape == (150, 4, 1)
+        assert r.info.accept_prob.shape == (150, 4)
+        assert r.info.swap_accept.shape == (150, 3)
+
+    def test_burn_ge_num_samples_raises(self, key):
+        cfg = PTConfig(num_samples=50, burn=50)
+        with pytest.raises(RuntimeError):
+            run_parallel_tempering(key, bimodal_logprob, jnp.zeros(1), cfg)
+
+
+class TestLadderAdaptation:
+    def test_adaptation_equalises_swap_rates(self, key):
+        """On a heavy-tailed target a geometric ladder gives lopsided
+        adjacent swap rates; the Vousden dynamics should even them out."""
+
+        def lp(theta):  # student-t-ish heavy tails
+            return -2.5 * jnp.sum(jnp.log1p(theta**2 / 3.0))
+
+        base = dict(num_samples=1500, num_steps_per_sample=5, step_size=0.25,
+                    num_temps=6, max_temp=100.0, burn=800)
+        r_static = run_parallel_tempering(
+            key, lp, jnp.zeros(1), PTConfig(**base))
+        r_adapt = run_parallel_tempering(
+            key, lp, jnp.zeros(1), PTConfig(**base, adapt_ladder=True))
+
+        def pair_rates(r):
+            return np.asarray(r.info.swap_accept).mean(0)  # post-burn rates
+
+        spread_static = pair_rates(r_static).std()
+        spread_adapt = pair_rates(r_adapt).std()
+        assert spread_adapt < spread_static
+        # endpoints stay pinned
+        np.testing.assert_allclose(float(r_adapt.info.betas[0]), 1.0, rtol=1e-6)
+        np.testing.assert_allclose(
+            float(r_adapt.info.betas[-1]), 1 / 100.0, rtol=1e-5
+        )
+        # the ladder actually moved
+        geo = np.exp(np.linspace(0, -np.log(100.0), 6))
+        assert not np.allclose(np.asarray(r_adapt.info.betas), geo, rtol=0.02)
+
     def test_unimodal_moments_still_correct(self, key):
         """Exchange moves must preserve the cold chain's stationary dist."""
         lp = lambda t: -0.5 * jnp.dot(t, t)
