@@ -76,10 +76,24 @@ def main():
 
     from hamiltorch_tpu.diagnostics import effective_sample_size
 
-    # ESS/sec on a 64-dim slice of the posterior (full-D ESS is O(N*D) fft
-    # work for a side statistic); min over dims = conservative bulk ESS.
-    ess = effective_sample_size(result.samples[:, :, :64])
-    ess_per_sec = float(jnp.min(ess)) / dt
+    # ESS/sec: min over a 64-dim coordinate slice PLUS 32 random unit
+    # directions through the full 100k-dim posterior — projections catch
+    # slow directions a coordinate slice can miss (full-D ESS is O(N*D)
+    # fft work for a side statistic).  The trace can be ~15 GB, so the
+    # projection maps chain-by-chain (no full-array relayout/copy).
+    # eager per-chain dots: under one jitted map XLA hoists a bf16 convert
+    # of the WHOLE trace out of the loop (a spare 7 GB copy -> OOM)
+    def _project(samples, dirs):
+        return jnp.stack([samples[c] @ dirs for c in range(samples.shape[0])])
+
+    def min_ess(samples, burn=0):
+        dirs = jax.random.normal(jax.random.key(1234), (samples.shape[-1], 32))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=0)
+        ess_coord = effective_sample_size(samples[:, burn:, :64])
+        ess_proj = effective_sample_size(_project(samples, dirs)[:, burn:])
+        return float(jnp.minimum(jnp.min(ess_coord), jnp.min(ess_proj)))
+
+    ess_per_sec = min_ess(result.samples) / dt
 
     # sampling-efficiency view: ChEES with cross-chain warmup on the same
     # posterior (trajectory lengths tuned for mixing, not raw grad-steps)
@@ -106,9 +120,7 @@ def main():
     t1 = time.perf_counter()
     r = run_chees_once(1)
     dt_chees = time.perf_counter() - t1
-    chees_ess = float(
-        jnp.min(effective_sample_size(r.samples[:, chees_cfg.burn :, :64]))
-    )
+    chees_ess = min_ess(r.samples, burn=chees_cfg.burn)
     chees_acc = float(jnp.mean(r.info.accept_prob[chees_cfg.burn :]))
     del r
     gc.collect()

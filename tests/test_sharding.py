@@ -184,3 +184,34 @@ class TestNUTSSharding:
             np.asarray(i_shard.tree_depth) == np.asarray(i_vmap.tree_depth)
         )
         assert depths_equal > 0.9
+
+
+class TestMultihostHelpers:
+    """Single-process-exercisable surface of parallel/multihost.py (the
+    jax.distributed wiring itself needs a real pod; the mesh/geometry logic
+    runs on the virtual backend)."""
+
+    def test_initialize_single_process_noop(self):
+        from hamiltorch_tpu.parallel.multihost import initialize_multihost
+
+        info = initialize_multihost()
+        assert info["process_count"] == 1
+        assert info["global_devices"] == 8
+
+    def test_global_chain_mesh_geometry(self):
+        from hamiltorch_tpu.parallel.multihost import global_chain_mesh
+
+        mesh = global_chain_mesh(data_parallelism=2)
+        assert mesh.shape == {"chains": 4, "data": 2}
+        with pytest.raises(ValueError):
+            global_chain_mesh(data_parallelism=3)
+
+    def test_global_mesh_runs_chains(self, key):
+        from hamiltorch_tpu.parallel.multihost import global_chain_mesh
+        from hamiltorch_tpu.parallel.sharding import run_hmc_chains_sharded
+
+        mesh = global_chain_mesh(data_parallelism=1)
+        config = MCMCConfig(num_samples=10, num_steps_per_sample=3, step_size=0.2)
+        r = run_hmc_chains_sharded(key, std_normal, jnp.zeros(2), config, mesh,
+                                   num_chains=8)
+        assert r.samples.shape == (8, 10, 2)
