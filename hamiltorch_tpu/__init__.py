@@ -18,10 +18,10 @@ __version__ = "0.1.0"
 from .api import sample
 from .enums import Integrator, Metric, Sampler
 from .samplers.driver import MCMCConfig, MCMCResult, MCMCStats
-from .samplers.hmc import run_hmc, run_hmc_chains
-from .samplers.chees import ChEESConfig, run_chees
-from .samplers.nuts import NUTSConfig, run_nuts, run_nuts_chains
-from .samplers.rmhmc import run_rmhmc
+from .samplers.hmc import run_hmc, run_hmc_chains, run_hmc_host_offload
+from .samplers.chees import ChEESConfig, ChEESResult, run_chees
+from .samplers.nuts import NUTSConfig, run_nuts, run_nuts_chains, run_nuts_ensemble
+from .samplers.rmhmc import run_rmhmc, run_rmhmc_chains
 from .samplers.tempering import PTConfig, run_parallel_tempering
 from .utils.rng import next_key, set_random_seed
 
@@ -37,11 +37,15 @@ __all__ = [
     "next_key",
     "run_hmc",
     "run_hmc_chains",
+    "run_hmc_host_offload",
     "run_nuts",
     "run_nuts_chains",
+    "run_nuts_ensemble",
     "run_rmhmc",
+    "run_rmhmc_chains",
     "NUTSConfig",
     "ChEESConfig",
+    "ChEESResult",
     "run_chees",
     "PTConfig",
     "run_parallel_tempering",

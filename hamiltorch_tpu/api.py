@@ -57,7 +57,7 @@ def sample(
     burn: int = 0,
     jitter: Optional[float] = None,
     inv_mass=None,
-    normalizing_const: float = 1.0,
+    normalizing_const: float = 1.0,  # dead in the reference too: every use is commented out (samplers.py:106,109,126)
     softabs_const: Optional[float] = None,
     explicit_binding_const: float = 100.0,
     fixed_point_threshold: float = 1e-5,
@@ -213,6 +213,21 @@ def sample(
         raise NotImplementedError(f"sampler={sampler}, integrator={integrator}")
 
     samples = _kept_samples(params_init, result, burn, thin=thin)
+    if debug == 1 and hasattr(result, "stats"):
+        # the reference's debug=1 prints per-draw Hamiltonians in-loop
+        # (samplers.py:1001-1006); printing from inside a scan would stall
+        # the device, so the same lines are emitted from the stats afterwards
+        import numpy as np
+
+        h0s = np.asarray(result.stats.energy_old)
+        h1s = np.asarray(result.stats.energy_new)
+        accs = np.asarray(result.stats.accepted)
+        for i in range(h0s.shape[0]):
+            print(
+                f"Step: {i}, Current Hamiltonian: {h0s[i]:.4f}, "
+                f"Proposed Hamiltonian: {h1s[i]:.4f}, "
+                f"{'accepted' if accs[i] else 'rejected'}"
+            )
     if verbose:
         print(f"Acceptance Rate {float(result.acc_rate):.2f}")
 

@@ -255,6 +255,100 @@ def run_chees_sharded(
     return jax.jit(shard)(key, chain_keys, theta0, data)
 
 
+def sample_chees_sharded(
+    key,
+    loglik_shard_fn: Callable,
+    log_prior_fn: Callable,
+    x,
+    y,
+    theta0,
+    config,  # ChEESConfig
+    mesh: Mesh,
+    num_chains: int,
+    inv_mass=None,
+):
+    """ChEES-HMC using BOTH mesh axes: the chain ensemble sharded over
+    'chains' and the likelihood sharded over 'data'.
+
+    Per potential evaluation each device computes its local chains against
+    its local data shard; the per-shard log-lik/gradient psum over 'data'
+    and the ChEES cross-chain statistics psum over 'chains' — the two
+    collectives of the framework's full scale story in one sampler.
+    """
+    from ..samplers.adaptation import DualAveragingState
+    from ..samplers.chees import ChEESCarry, ChEESInfo, ChEESResult, _run_chees_jit
+
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        k_init, key = jax.random.split(key)
+        theta0 = theta0[None, :] + 0.01 * jax.random.normal(
+            k_init, (num_chains, theta0.shape[0]), theta0.dtype
+        )
+    mass = make_mass(inv_mass, theta0.shape[-1])
+    n_chain_shards = mesh.shape["chains"]
+    if num_chains % n_chain_shards:
+        raise ValueError(
+            f"num_chains={num_chains} not divisible by mesh chains={n_chain_shards}"
+        )
+    chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), num_chains)
+
+    def local(base_key, keys_l, thetas_l, x_shard, y_shard):
+        # value+grad psum pairing via custom_vjp: psum's AD transpose would
+        # re-psum the cotangent (see sample_chains_sharded)
+        @jax.custom_vjp
+        def summed_ll(theta):
+            return jax.lax.psum(loglik_shard_fn(theta, x_shard, y_shard), "data")
+
+        def summed_ll_fwd(theta):
+            val, grad = jax.value_and_grad(
+                lambda t: loglik_shard_fn(t, x_shard, y_shard)
+            )(theta)
+            return jax.lax.psum(val, "data"), jax.lax.psum(grad, "data")
+
+        def summed_ll_bwd(grad_total, ct):
+            return (ct * grad_total,)
+
+        summed_ll.defvjp(summed_ll_fwd, summed_ll_bwd)
+
+        def log_prob(theta):
+            return log_prior_fn(theta) + summed_ll(theta)
+
+        return _run_chees_jit(
+            base_key, thetas_l, log_prob, config, mass,
+            chain_keys=keys_l, axis_name="chains",
+        )
+
+    cax = P("chains")
+    out_specs = ChEESResult(
+        samples=P("chains", None, None),
+        info=ChEESInfo(
+            accept_prob=P(None, "chains"),
+            trajectory_length=P(),
+            num_leapfrog=P(),
+            step_size=P(),
+            divergent=P(None, "chains"),
+        ),
+        final_step_size=P(),
+        final_trajectory_length=P(),
+        final_carry=ChEESCarry(
+            thetas=P("chains", None), logps=cax, grads=P("chains", None),
+            da=DualAveragingState(P(), P(), P(), P()),
+            log_t=P(), adam_m=P(), adam_v=P(),
+            wf_count=P(), wf_mean=P(), wf_m2=P(),
+            inv_diag=P(), da_t=P(),
+        ),
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), cax, P("chains", None), P("data"), P("data")),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(shard)(key, chain_keys, theta0, x, y)
+
+
 def run_hmc_chains_sharded(
     key,
     log_prob_fn: Callable,

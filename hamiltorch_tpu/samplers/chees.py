@@ -156,16 +156,11 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
         inv_diag0 = jnp.ones((d,), dtype)
 
     def batch_welford_merge(wf, thetas):
-        """Chan parallel merge of the (global) C-chain batch into the running
-        stats; cross-device moments via psum when the ensemble is sharded."""
-        n_b = jnp.asarray(c_total, wf.count.dtype)
-        mean_b = _gsum(thetas) / n_b
-        m2_b = _gsum((thetas - mean_b) ** 2)
-        n_new = wf.count + n_b
-        delta = mean_b - wf.mean
-        mean = wf.mean + delta * n_b / n_new
-        m2 = wf.m2 + m2_b + delta**2 * wf.count * n_b / n_new
-        return WelfordState(n_new, mean, m2)
+        """Merge the (global) C-chain batch into the running stats;
+        cross-device moments via psum when the ensemble is sharded."""
+        from .warmup import welford_merge_batch
+
+        return welford_merge_batch(wf, thetas, gsum=_gsum, count=c_total)
 
     logps0, grads0 = vg_batch(theta0s)
     da0 = da_init(config.step_size, dtype=dtype)

@@ -43,6 +43,30 @@ def welford_update(state: WelfordState, x: jnp.ndarray) -> WelfordState:
     return WelfordState(count, mean, m2)
 
 
+def welford_merge_batch(state: WelfordState, xs: jnp.ndarray,
+                        gsum=None, count=None) -> WelfordState:
+    """Chan parallel merge of a (B, D) batch into the running stats.
+
+    ``gsum``/``count`` generalise the batch moments to a sharded batch:
+    ``gsum(x)`` must sum over the batch axis across ALL shards and ``count``
+    is the global batch size (defaults: local sum / local size).
+    """
+    if gsum is None:
+        gsum = lambda x: jnp.sum(x, axis=0)
+    n_b = (
+        jnp.asarray(float(xs.shape[0]), state.count.dtype)
+        if count is None
+        else jnp.asarray(count, state.count.dtype)
+    )
+    mean_b = gsum(xs) / n_b
+    m2_b = gsum((xs - mean_b) ** 2)
+    n_new = state.count + n_b
+    delta = mean_b - state.mean
+    mean = state.mean + delta * n_b / n_new
+    m2 = state.m2 + m2_b + delta**2 * state.count * n_b / n_new
+    return WelfordState(n_new, mean, m2)
+
+
 def welford_variance(state: WelfordState) -> jnp.ndarray:
     """Regularised variance: (n/(n+5))*var + 1e-3*(5/(n+5)) (Stan)."""
     n = jnp.maximum(state.count, 2.0)

@@ -209,3 +209,38 @@ class TestReviewRegressions:
         config = NUTSConfig(num_samples=10, burn=5, adapt_mass=True)
         with pytest.raises(ValueError):
             run_nuts(key, corr_gaussian, jnp.zeros(2), config, inv_mass=jnp.eye(2))
+
+
+class TestEnsembleNUTS:
+    def test_pooled_warmup_beats_single_chain_on_short_burn(self, key):
+        """With only 120 burn draws, the pooled Welford estimate (16 chains
+        -> 16 observations/draw) nails a 100:1 scale ratio that per-chain
+        adaptation cannot resolve this fast."""
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
+
+        scales = jnp.asarray([0.1, 1.0, 10.0])
+        lp = lambda t: -0.5 * jnp.sum((t / scales) ** 2)
+        config = NUTSConfig(num_samples=300, step_size=0.5, burn=160,
+                            adapt_mass=True)
+        result, info = run_nuts_ensemble(key, lp, jnp.zeros(3), config,
+                                         num_chains=16)
+        assert result.samples.shape == (16, 300, 3)
+        inv = np.asarray(result.final_warm)
+        assert inv[2] / inv[0] > 100.0  # tracks the 1e4 variance ratio
+        kept = np.asarray(result.samples[:, 160:]).reshape(-1, 3)
+        np.testing.assert_allclose(kept.std(0), np.asarray(scales), rtol=0.35)
+
+    def test_ensemble_moments_match_target(self, key):
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
+
+        config = NUTSConfig(num_samples=400, step_size=0.4, burn=100)
+        result, info = run_nuts_ensemble(key, corr_gaussian, jnp.zeros(2),
+                                         config, num_chains=8)
+        pooled = np.asarray(result.samples[:, 100:]).reshape(-1, 2)
+        cov_target = np.linalg.inv(np.asarray(PREC))
+        np.testing.assert_allclose(np.cov(pooled.T), cov_target, atol=0.12)
+        # chains share one adapted step size (broadcast by the vmapped
+        # transition: identical across the chain axis)
+        ss = np.asarray(result.stats.step_size)
+        assert ss.shape == (400, 8)
+        np.testing.assert_array_equal(ss, np.broadcast_to(ss[:, :1], ss.shape))

@@ -327,3 +327,38 @@ class TestFixedPointDiagnostics:
         its = np.asarray(result.stats.fp_iters)
         assert np.all(its >= 1) and np.all(its < 50)
         assert float(jnp.max(result.stats.fp_residual)) <= 1e-10
+
+
+class TestRMHMCChains:
+    def test_vmapped_chains_match_single(self, key):
+        """Chain 0 of the vmapped batch equals a single run with its key."""
+        config = MCMCConfig(num_samples=30, num_steps_per_sample=5, step_size=0.3)
+        from hamiltorch_tpu.samplers.rmhmc import run_rmhmc_chains
+
+        r_batch = run_rmhmc_chains(
+            key, gaussian_logprob, jnp.zeros(2), config, num_chains=4,
+            integrator=Integrator.IMPLICIT,
+            fixed_point_threshold=1e-10, fixed_point_max_iterations=20,
+        )
+        assert r_batch.samples.shape == (4, 30, 2)
+        k0 = jax.random.split(key, 4)[0]
+        r_single = run_rmhmc(
+            k0, gaussian_logprob, jnp.zeros(2), config,
+            integrator=Integrator.IMPLICIT,
+            fixed_point_threshold=1e-10, fixed_point_max_iterations=20,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_batch.samples[0]), np.asarray(r_single.samples), atol=1e-5
+        )
+
+    def test_pooled_moments(self, key):
+        from hamiltorch_tpu.samplers.rmhmc import run_rmhmc_chains
+
+        config = MCMCConfig(num_samples=200, num_steps_per_sample=8, step_size=0.3)
+        r = run_rmhmc_chains(
+            key, gaussian_logprob, jnp.zeros(2), config, num_chains=8,
+            fixed_point_threshold=1e-10, fixed_point_max_iterations=20,
+        )
+        pooled = np.asarray(r.samples[:, 50:]).reshape(-1, 2)
+        cov = np.cov(pooled.T)
+        np.testing.assert_allclose(cov, np.linalg.inv(np.asarray(PREC)), atol=0.15)

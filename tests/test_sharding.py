@@ -165,6 +165,51 @@ class TestChEESSharding:
         assert inv_diag[2] / inv_diag[0] > 50.0
 
 
+class TestChEESDataSharding:
+    def test_chains_by_data_matches_local_fullbatch(self, key):
+        """ChEES over BOTH axes (chains-sharded ensemble x data-sharded
+        likelihood) matches a local full-batch run with the same chain keys."""
+        from hamiltorch_tpu.ops.mass import make_mass
+        from hamiltorch_tpu.parallel.sharding import sample_chees_sharded
+        from hamiltorch_tpu.samplers.chees import ChEESConfig, _run_chees_jit
+
+        rng = np.random.RandomState(1)
+        x = rng.randn(64, 3).astype(np.float32)
+        w_true = np.array([1.0, -2.0, 0.5], np.float32)
+        y = (x @ w_true + 0.3 * rng.randn(64)).astype(np.float32)
+
+        def loglik_shard(theta, xs, ys):
+            return -0.5 * jnp.sum((xs @ theta - ys) ** 2)
+
+        def log_prior(theta):
+            return -0.5 * jnp.dot(theta, theta)
+
+        config = ChEESConfig(num_samples=30, burn=15, step_size=0.05,
+                             init_trajectory_length=0.3)
+        mesh = make_mesh(chains=4, data=2)
+        theta0 = 0.1 * jax.random.normal(jax.random.key(5), (8, 3))
+        r_shard = sample_chees_sharded(
+            key, loglik_shard, log_prior, x, y, theta0, config, mesh,
+            num_chains=8,
+        )
+
+        def full_lp(theta):
+            return log_prior(theta) + loglik_shard(theta, jnp.asarray(x), jnp.asarray(y))
+
+        chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), 8)
+        r_local = _run_chees_jit(
+            key, theta0, full_lp, config, make_mass(None, 3),
+            chain_keys=chain_keys,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_shard.samples[:, :10]),
+            np.asarray(r_local.samples[:, :10]), atol=1e-4,
+        )
+        # posterior should concentrate near the true weights
+        post = np.asarray(r_shard.samples[:, 15:]).reshape(-1, 3)
+        np.testing.assert_allclose(post.mean(0), w_true, atol=0.25)
+
+
 class TestNUTSSharding:
     def test_sharded_nuts_matches_vmap(self, key):
         from hamiltorch_tpu.parallel.sharding import run_nuts_chains_sharded
