@@ -36,10 +36,13 @@ def _kept_samples(params_init: jnp.ndarray, result: MCMCResult, burn: int,
                   thin: int = 1) -> jnp.ndarray:
     """[init] + states for draws n > burn (reference: samplers.py:1007).
 
-    With ``thin > 1`` the result rows are already thinned, so the burn
-    offset converts to kept-draw units (burn must divide by thin).
+    With ``thin > 1`` the result rows are already thinned: kept row ``b``
+    holds the state after transition ``(b+1)*thin - 1``, so keep the rows
+    whose transition index exceeds ``burn`` (smallest such b is
+    ceil((burn+2)/thin) - 1; for thin=1 this is burn+1).
     """
-    keep_from = (burn // max(thin, 1)) + 1 if burn >= 0 else 0  # burn=-1: keep all
+    thin = max(thin, 1)
+    keep_from = max(0, -(-(burn + 2) // thin) - 1)  # burn=-1: keep all
     import numpy as np
 
     if isinstance(result.samples, np.ndarray):  # host-offloaded trace stays on host

@@ -43,6 +43,11 @@ from .samplers.driver import ChainState, MCMCConfig, MCMCResult, MCMCStats
 _STATE_FILE = "state.npz"
 
 
+# config fields that do not affect the sampled stream: changing them
+# between resumes is harmless and must not invalidate the checkpoint
+_COSMETIC_FIELDS = {"num_samples", "progress_every"}
+
+
 def _fingerprint(config, theta0) -> str:
     """Stable hash of the sampling configuration + chain shape/dtype."""
     payload = {
@@ -50,7 +55,7 @@ def _fingerprint(config, theta0) -> str:
         "config": {
             f.name: repr(getattr(config, f.name))
             for f in dataclasses.fields(config)
-            if f.name != "num_samples"  # resuming with more draws is legal
+            if f.name not in _COSMETIC_FIELDS
         },
         "theta_shape": list(np.shape(theta0)),
         "theta_dtype": str(np.asarray(theta0).dtype),
@@ -91,7 +96,8 @@ def _load_state(path, carry_template, fingerprint: str):
 def _checkpoint_loop(
     chunk_runner,
     key,
-    init_carry,
+    carry_template,
+    init_carry_fn,
     config,
     ckpt_dir: str,
     chunk_size: int,
@@ -103,18 +109,21 @@ def _checkpoint_loop(
 
     ``chunk_runner(base_key, carry, n_done, cfg)`` -> (result, new_carry);
     ``save_chunk(result)`` -> dict of arrays for the chunk file.
-    Returns the list of loaded chunk files (oldest first) + final carry.
+    ``carry_template`` is a cheap same-structure pytree used only to
+    unflatten a loaded checkpoint; ``init_carry_fn()`` computes the real
+    initial carry (it may evaluate the potential, so it runs only when NOT
+    resuming).  Returns the loaded chunk files (oldest first) + final carry.
     """
     os.makedirs(ckpt_dir, exist_ok=True)
     state_path = os.path.join(ckpt_dir, _STATE_FILE)
 
     if resume and os.path.exists(state_path):
-        carry, base_key, n_done = _load_state(state_path, init_carry, fingerprint)
+        carry, base_key, n_done = _load_state(state_path, carry_template, fingerprint)
     else:
         for f in os.listdir(ckpt_dir):
             if f.startswith("chunk_") or f == _STATE_FILE:
                 os.remove(os.path.join(ckpt_dir, f))
-        carry, base_key, n_done = init_carry, key, 0
+        carry, base_key, n_done = init_carry_fn(), key, 0
 
     # chunk sizes must be multiples of thin or the per-chunk num_samples
     # fails the driver's divisibility check mid-run
@@ -157,11 +166,24 @@ def _assemble_mcmc(zs, config, carry, time_axis: int = 0, acc_from_prob=False):
     stats = MCMCStats(**{f: cat(f) for f in MCMCStats._fields})
     state, da = carry[0], carry[1]
     dtype = samples.dtype
-    acc_rate = (
-        jnp.mean(stats.accept_prob)
-        if acc_from_prob
-        else jnp.mean(stats.accepted.astype(dtype))
-    )
+    if acc_from_prob:
+        acc_rate = jnp.mean(stats.accept_prob)
+    else:
+        # transition-weighted mean of the per-chunk acceptance rates: with
+        # thin > 1, stats.accepted holds only each window's LAST transition,
+        # so a mean over it would be a thin-fold-subsampled estimate that
+        # disagrees with the direct run's acc_rate
+        remaining, den = kept, 0
+        num = 0.0
+        for z in zs:
+            rows = z["samples"].shape[time_axis]
+            take = min(rows, remaining)
+            num = num + np.asarray(z["acc_rate"], np.float64) * take
+            den += take
+            remaining -= take
+            if remaining <= 0:
+                break
+        acc_rate = jnp.asarray(num / max(den, 1), dtype)
     return MCMCResult(
         samples=samples,
         stats=stats,
@@ -176,13 +198,17 @@ def _assemble_mcmc(zs, config, carry, time_axis: int = 0, acc_from_prob=False):
 def _mcmc_chunk_fields(result: MCMCResult) -> dict:
     out = {"samples": result.samples}
     out.update({f: getattr(result.stats, f) for f in MCMCStats._fields})
+    out["acc_rate"] = result.acc_rate  # exact per-chunk rate (thin-aware)
     return out
 
 
-def _init_chain_state(lp, data, theta0):
-    fn = lp if data is None else (lambda t: lp(t, data))
-    logp0, grad0 = jax.value_and_grad(fn)(theta0)
-    return ChainState(theta0, logp0, grad0)
+def _bind_data(lp, data):
+    return lp if data is None else (lambda t: lp(t, data))
+
+
+def _chain_state_template(theta0) -> ChainState:
+    """Same structure as init_chain_state's result, no potential eval."""
+    return ChainState(theta0, jnp.zeros((), theta0.dtype), jnp.zeros_like(theta0))
 
 
 def run_hmc_checkpointed(
@@ -204,15 +230,16 @@ def run_hmc_checkpointed(
     jit operand (the ``_raw_fn``/``_data`` protocol), never a baked-in
     program constant.
     """
-    from .samplers.hmc import _run_hmc_jit
+    from .samplers.hmc import _run_hmc_jit, init_chain_state
 
     theta0 = jnp.asarray(theta0)
     lp, data = resolve_potential(log_prob_fn, pass_grad)
     mass = make_mass(inv_mass, theta0.shape[0])
-    init_carry = (
-        _init_chain_state(lp, data, theta0),
-        da_init(config.step_size, dtype=theta0.dtype),
-    )
+    da0 = da_init(config.step_size, dtype=theta0.dtype)
+    template = (_chain_state_template(theta0), da0)
+
+    def init_carry_fn():
+        return (init_chain_state(_bind_data(lp, data), theta0), da0)
 
     def chunk_runner(k, carry, n_done, cfg):
         state, da = carry
@@ -223,8 +250,8 @@ def run_hmc_checkpointed(
         return result, (result.final_state, result.final_da)
 
     zs, carry = _checkpoint_loop(
-        chunk_runner, key, init_carry, config, ckpt_dir, chunk_size, resume,
-        _fingerprint(config, theta0), _mcmc_chunk_fields,
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, _fingerprint(config, theta0), _mcmc_chunk_fields,
     )
     return _assemble_mcmc(zs, config, carry)
 
@@ -246,7 +273,7 @@ def run_hmc_chains_checkpointed(
     The resume carry holds (C, ...) batched state/DA arrays; samples and
     stats come back with a leading chain axis as from ``run_hmc_chains``.
     """
-    from .samplers.hmc import _run_hmc_jit
+    from .samplers.hmc import _run_hmc_jit, init_chain_state
 
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
@@ -255,12 +282,18 @@ def run_hmc_chains_checkpointed(
     lp, data = resolve_potential(log_prob_fn, pass_grad)
     mass = make_mass(inv_mass, theta0.shape[-1])
 
-    init_carry = (
-        jax.vmap(lambda t: _init_chain_state(lp, data, t))(theta0),
-        jax.vmap(lambda _: da_init(config.step_size, dtype=theta0.dtype))(
-            jnp.arange(num_chains)
-        ),
+    das0 = jax.vmap(lambda _: da_init(config.step_size, dtype=theta0.dtype))(
+        jnp.arange(num_chains)
     )
+    template = (
+        ChainState(theta0, jnp.zeros(theta0.shape[:1], theta0.dtype),
+                   jnp.zeros_like(theta0)),
+        das0,
+    )
+
+    def init_carry_fn():
+        states = jax.vmap(lambda t: init_chain_state(_bind_data(lp, data), t))(theta0)
+        return (states, das0)
 
     def chunk_runner(ks, carry, n_done, cfg):
         states, das = carry
@@ -273,8 +306,8 @@ def run_hmc_chains_checkpointed(
         return result, (result.final_state, result.final_da)
 
     zs, carry = _checkpoint_loop(
-        chunk_runner, keys, init_carry, config, ckpt_dir, chunk_size, resume,
-        _fingerprint(config, theta0), _mcmc_chunk_fields,
+        chunk_runner, keys, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, _fingerprint(config, theta0), _mcmc_chunk_fields,
     )
     return _assemble_mcmc(zs, config, carry, time_axis=1)
 
@@ -306,16 +339,26 @@ def run_nuts_checkpointed(
     mass = make_mass(inv_mass, theta0.shape[0])
     d = theta0.shape[0]
     windowed = config.adapt_mass and config.burn > 0
+    from .ops.mass import IdentityMass
+    from .samplers.hmc import init_chain_state
 
+    if config.adapt_mass and not isinstance(mass, (DiagMass, IdentityMass)):
+        # same contract as run_nuts: never silently discard a dense mass
+        raise ValueError(
+            "adapt_mass estimates a DIAGONAL inverse mass; combining it with "
+            "a dense or block inv_mass is not supported — pass a diagonal "
+            "inv_mass (used to seed the adaptation) or none."
+        )
     if isinstance(mass, DiagMass):
         inv_diag0 = jnp.asarray(mass.inv_diag, theta0.dtype)
     else:
         inv_diag0 = jnp.ones((d,), theta0.dtype)
-    init_carry = (
-        _init_chain_state(lp, data, theta0),
-        da_init(config.step_size, dtype=theta0.dtype),
-        (welford_init(d, theta0.dtype), inv_diag0, jnp.zeros((), jnp.int32)),
-    )
+    da0 = da_init(config.step_size, dtype=theta0.dtype)
+    warm0 = (welford_init(d, theta0.dtype), inv_diag0, jnp.zeros((), jnp.int32))
+    template = (_chain_state_template(theta0), da0, warm0)
+
+    def init_carry_fn():
+        return (init_chain_state(_bind_data(lp, data), theta0), da0, warm0)
 
     def chunk_runner(k, carry, n_done, cfg):
         state, da, warm = carry
@@ -330,8 +373,8 @@ def run_nuts_checkpointed(
         return result, (result.final_state, result.final_da, result.final_warm)
 
     zs, carry = _checkpoint_loop(
-        chunk_runner, key, init_carry, config, ckpt_dir, chunk_size, resume,
-        _fingerprint(config, theta0), _mcmc_chunk_fields,
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, _fingerprint(config, theta0), _mcmc_chunk_fields,
     )
     # NUTS has no MH reject: report the real statistic (mean leaf alpha)
     return _assemble_mcmc(zs, config, carry, acc_from_prob=True)
@@ -367,21 +410,28 @@ def run_chees_checkpointed(
     dtype = theta0.dtype
     windowed = config.adapt_mass and config.burn > 0
 
-    fn = lp if data is None else (lambda t: lp(t, data))
-    logps0, grads0 = jax.vmap(jax.value_and_grad(fn))(theta0)
     if isinstance(mass, DiagMass):
         inv_diag0 = jnp.asarray(mass.inv_diag, dtype)
     else:
         inv_diag0 = jnp.ones((d,), dtype)
     wf0 = welford_init(d, dtype)
-    init_carry = ChEESCarry(
-        thetas=theta0, logps=logps0, grads=grads0,
-        da=da_init(config.step_size, dtype=dtype),
-        log_t=jnp.log(jnp.asarray(config.init_trajectory_length, dtype)),
-        adam_m=jnp.zeros((), dtype), adam_v=jnp.zeros((), dtype),
-        wf_count=wf0.count, wf_mean=wf0.mean, wf_m2=wf0.m2,
-        inv_diag=inv_diag0, da_t=jnp.zeros((), jnp.int32),
-    )
+
+    def make_carry(logps, grads):
+        return ChEESCarry(
+            thetas=theta0, logps=logps, grads=grads,
+            da=da_init(config.step_size, dtype=dtype),
+            log_t=jnp.log(jnp.asarray(config.init_trajectory_length, dtype)),
+            adam_m=jnp.zeros((), dtype), adam_v=jnp.zeros((), dtype),
+            wf_count=wf0.count, wf_mean=wf0.mean, wf_m2=wf0.m2,
+            inv_diag=inv_diag0, da_t=jnp.zeros((), jnp.int32),
+        )
+
+    template = make_carry(jnp.zeros((c,), dtype), jnp.zeros_like(theta0))
+
+    def init_carry_fn():
+        fn = _bind_data(lp, data)
+        logps0, grads0 = jax.vmap(jax.value_and_grad(fn))(theta0)
+        return make_carry(logps0, grads0)
 
     def chunk_runner(k, carry, n_done, cfg):
         collect, end = schedule_flags(
@@ -400,8 +450,8 @@ def run_chees_checkpointed(
         return out
 
     zs, carry = _checkpoint_loop(
-        chunk_runner, key, init_carry, config, ckpt_dir, chunk_size, resume,
-        _fingerprint(config, theta0), save_chunk,
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, _fingerprint(config, theta0), save_chunk,
     )
     kept = config.num_samples
     samples = jnp.asarray(np.concatenate([z["samples"] for z in zs], axis=1))[:, :kept]

@@ -384,6 +384,10 @@ def _from_torch_fx(module) -> Callable:
         name: jnp.asarray(b.detach().cpu().numpy())
         for name, b in module.named_buffers()
     }
+    # get_attr nodes that resolve to nn.Parameters must index into the live
+    # params list (baking them in as constants would freeze them: sampling
+    # would explore the coordinate while the forward never saw it change)
+    param_attr_idx = {name: flat_ids[id(p)] for name, p in module.named_parameters()}
 
     def fn(params, off, x):
         env = {}
@@ -411,7 +415,9 @@ def _from_torch_fx(module) -> Callable:
                 env[node.name] = methods[node.target](*args, **kwargs)
             elif node.op == "get_attr":
                 target = node.target
-                if target in buffers:
+                if target in param_attr_idx:  # directly-read nn.Parameter
+                    env[node.name] = params[off + param_attr_idx[target]]
+                elif target in buffers:
                     env[node.name] = buffers[target]
                 else:  # constant attribute on the module
                     obj = module

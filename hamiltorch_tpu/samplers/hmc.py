@@ -115,7 +115,7 @@ def run_hmc_host_offload(
     chunk_size = max(thin, (chunk_size // thin) * thin)
     import dataclasses
 
-    host_samples, host_stats = [], []
+    host_samples, host_stats, chunk_accs = [], [], []
     n_done = 0
     while n_done < config.num_samples:
         this_chunk = min(chunk_size, config.num_samples - n_done)
@@ -126,6 +126,7 @@ def run_hmc_host_offload(
         )
         host_samples.append(jax.device_get(result.samples))
         host_stats.append(jax.device_get(result.stats))
+        chunk_accs.append((float(result.acc_rate), this_chunk))
         state, da = result.final_state, result.final_da
         n_done += this_chunk
 
@@ -136,11 +137,14 @@ def run_hmc_host_offload(
         *(np.concatenate([getattr(s, f) for s in host_stats])
           for f in MCMCStats._fields)
     )
+    # transition-weighted mean of exact per-chunk rates (with thin > 1 the
+    # stacked stats only carry each window's last transition)
+    acc_rate = sum(a * n for a, n in chunk_accs) / max(config.num_samples, 1)
     return MCMCResult(
         samples=samples,
         stats=stats,
         final_step_size=da.step_size,
-        acc_rate=jnp.asarray(np.mean(stats.accepted.astype(samples.dtype))),
+        acc_rate=jnp.asarray(acc_rate, samples.dtype),
         final_state=state,
         final_da=da,
     )

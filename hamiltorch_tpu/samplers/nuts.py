@@ -652,9 +652,11 @@ def run_nuts_ensemble(
     One shared step size and one shared diagonal mass adapt from ALL
     chains' statistics each draw; with ``adapt_mass=True`` the Welford
     variance estimate sees C observations per draw, so warmup needs ~C-fold
-    fewer draws than per-chain adaptation.  Returns (MCMCResult with a
-    leading chain axis in samples/stats, NUTSInfo); ``final_warm`` is the
-    adapted inverse-mass diagonal.
+    fewer draws than per-chain adaptation.  Returns (MCMCResult, NUTSInfo):
+    ``samples`` is (C, N, D) chain-major, while ``stats``/``NUTSInfo``
+    fields are TIME-major (N, C) as stacked by the scan (unlike
+    ``run_nuts_chains``, whose per-chain vmap puts the chain axis first).
+    ``final_warm`` is the adapted inverse-mass diagonal.
     """
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:

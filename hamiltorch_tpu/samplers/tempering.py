@@ -15,12 +15,15 @@ alternating even/odd pairings per draw (the deterministic-even-odd scheme,
 which mixes the ladder faster than random pair choice).
 
 Ladder adaptation (``adapt_ladder=True``): during burn the interior
-temperatures move by the Vousden, Farr & Mandel (2016) dynamics — the log
-gaps S_i = log(T_{i+1} - T_i) follow dS_i = kappa(n) (A_i - A_{i+1}) where
-A_i is an EMA of the swap acceptance of pair (i, i+1) — driving all
-adjacent swap rates toward a common value (uniform replica flow), with the
-endpoints T_0 = 1 and T_{K-1} = max_temp pinned.  The ladder freezes when
-burn ends; ``burn`` draws are dropped from the returned samples/stats.
+temperatures move by a mean-referenced variant of the Vousden, Farr &
+Mandel (2016) dynamics — the log gaps S_i = log(T_{i+1} - T_i) follow
+dS_i = kappa(n) (A_i - mean(A)) where A_i is an EMA of the swap acceptance
+of pair (i, i+1), and the gaps are renormalised each draw so BOTH
+endpoints stay pinned (T_0 = 1, T_{K-1} = max_temp; Vousden's original
+adjacent-difference form dS_i = kappa (A_i - A_{i+1}) pins only the
+bottom).  The fixed point is the same: all adjacent swap rates equal
+(uniform replica flow).  The ladder freezes when burn ends; ``burn`` draws
+are dropped from the returned samples/stats.
 """
 
 from __future__ import annotations
@@ -44,7 +47,7 @@ class PTConfig:
     num_temps: int = 8
     max_temp: float = 30.0
     burn: int = 0  # dropped from returned samples/stats; adaptation window
-    adapt_ladder: bool = False  # Vousden et al. swap-rate-equalising ladder
+    adapt_ladder: bool = False  # swap-rate-equalising ladder (see module docstring)
     ladder_t0: float = 10.0  # adaptation-decay offset kappa = t0/(nu(n+t0))
     ladder_nu: float = 1.0
 
@@ -160,8 +163,8 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None):
         swap_mask = do_swap[:-1] & adj_attempted
 
         if config.adapt_ladder and config.burn > 0:
-            # Vousden et al. 2016: log-gap dynamics driven by the difference
-            # between each pair's swap rate and the ladder average; EMA
+            # mean-referenced Vousden-style log-gap dynamics (see module
+            # docstring): each pair's rate vs the ladder average; EMA
             # smooths the per-draw acceptance of the pairs attempted
             alpha_pair = jnp.exp(jnp.minimum(0.0, log_swap[:-1]))
             alpha_pair = jnp.where(jnp.isfinite(alpha_pair), alpha_pair, 0.0)

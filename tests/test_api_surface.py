@@ -74,8 +74,9 @@ class TestFacadeExtensions:
         s = ht.sample(lp, jnp.zeros(2), num_samples=60, num_steps_per_sample=5,
                       step_size=0.3, thin=3, verbose=False,
                       key=__import__("jax").random.key(0))
-        # 60 transitions / thin 3 = 20 kept, plus the initial params
-        assert s.shape == (20, 2)
+        # 60 transitions / thin 3 = 20 kept rows (transitions 2,5,...,59 all
+        # post-burn for burn=0), plus the initial params
+        assert s.shape == (21, 2)
 
     def test_adapt_mass_through_sample(self):
         import jax
@@ -109,5 +110,6 @@ class TestFacadeExtensions:
         s = ht.sample(lp, jnp.zeros(2), num_samples=60, burn=30,
                       num_steps_per_sample=5, step_size=0.3, thin=3,
                       verbose=False, key=jax.random.key(0))
-        # kept draws = 60/3 = 20; burn removes the first 30/3 = 10; + init
-        assert s.shape == (10, 2)
+        # kept rows hold transitions 2,5,...,59; post-burn (>30) are
+        # 32,35,...,59 = 10 rows, plus the initial params
+        assert s.shape == (11, 2)

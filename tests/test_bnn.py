@@ -485,3 +485,33 @@ class TestTorchFxInterop:
 
         with pytest.raises(TypeError, match="flax"):
             from_torch_module(DataDependent())
+
+    def test_directly_read_parameter_is_live(self):
+        """A forward that reads a bare nn.Parameter must see the sampled
+        value, not a frozen trace-time constant (code-review regression)."""
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Scaled(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.lin = torch.nn.Linear(3, 2)
+                self.scale = torch.nn.Parameter(torch.tensor(2.0))
+
+            def forward(self, x):
+                return self.lin(x) * self.scale
+
+        torch.manual_seed(8)
+        net = Scaled().eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(8).randn(4, 3).astype(np.float32)
+        ref = net(torch.tensor(x)).detach().numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-5
+        )
+        # change the scale entry in the template -> output must respond
+        idx = [i for i, p in enumerate(net.parameters()) if p.ndim == 0][0]
+        template2 = list(template)
+        template2[idx] = jnp.asarray(5.0)
+        out2 = np.asarray(apply_fn(template2, jnp.asarray(x)))
+        np.testing.assert_allclose(out2, ref * 2.5, atol=1e-4)

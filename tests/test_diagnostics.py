@@ -240,3 +240,46 @@ class TestCheckpointReviewRegressions:
         r = run_hmc_checkpointed(key, lp, jnp.zeros(2), small, ck, chunk_size=10)
         assert r.samples.shape == (20, 2)
         assert r.stats.accepted.shape == (20,)
+
+
+class TestCheckpointCodeReviewFixes:
+    def lp(self, theta):
+        return -0.5 * jnp.dot(theta, theta)
+
+    def test_cosmetic_config_change_resumes(self, key, tmp_path):
+        """progress_every does not affect the stream; changing it between
+        resumes must not trip the fingerprint."""
+        from hamiltorch_tpu.checkpoint import run_hmc_checkpointed
+
+        ck = str(tmp_path / "ck")
+        a = MCMCConfig(num_samples=20, num_steps_per_sample=5, step_size=0.2)
+        b = MCMCConfig(num_samples=40, num_steps_per_sample=5, step_size=0.2,
+                       progress_every=0)
+        run_hmc_checkpointed(key, self.lp, jnp.zeros(2), a, ck, chunk_size=10)
+        r = run_hmc_checkpointed(key, self.lp, jnp.zeros(2), b, ck, chunk_size=10)
+        assert r.samples.shape == (40, 2)
+
+    def test_thin_acc_rate_matches_direct(self, key, tmp_path):
+        """With thin>1 the chunked acc_rate must equal the direct run's
+        all-transition rate, not a thin-fold subsample."""
+        from hamiltorch_tpu.checkpoint import run_hmc_checkpointed
+        from hamiltorch_tpu.samplers.hmc import run_hmc
+
+        config = MCMCConfig(num_samples=90, num_steps_per_sample=5,
+                            step_size=0.6, thin=3)
+        r_ck = run_hmc_checkpointed(key, self.lp, jnp.zeros(2), config,
+                                    str(tmp_path / "ck"), chunk_size=30)
+        r_direct = run_hmc(key, self.lp, jnp.zeros(2), config)
+        np.testing.assert_allclose(
+            float(r_ck.acc_rate), float(r_direct.acc_rate), atol=1e-6
+        )
+
+    def test_nuts_checkpointed_dense_mass_adapt_raises(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_nuts_checkpointed
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig
+
+        cfg = NUTSConfig(num_samples=20, burn=10, adapt_mass=True)
+        dense = np.eye(2, dtype=np.float32)
+        with pytest.raises(ValueError, match="DIAGONAL"):
+            run_nuts_checkpointed(key, self.lp, jnp.zeros(2), cfg,
+                                  str(tmp_path / "ck"), inv_mass=jnp.asarray(dense))
