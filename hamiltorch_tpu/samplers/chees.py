@@ -50,6 +50,24 @@ class ChEESConfig:
     # from Welford statistics over ALL chains (C observations per draw, so
     # the estimate converges C-fold faster than single-chain Stan warmup)
     adapt_mass: bool = False
+    # trajectory jitter u: "halton" uses the quasi-random van der Corput
+    # base-2 sequence over the draw index (the ChEES paper's choice —
+    # stratified u gives lower-variance criterion gradients than iid
+    # uniforms); "uniform" draws iid U(0,1)
+    trajectory_jitter: str = "uniform"
+
+
+def _vdc_base2(n):
+    """Van der Corput base-2 radical inverse of a traced int32 draw index:
+    bit-reverse then scale — a (0,1) quasi-random low-discrepancy point."""
+    u32 = jnp.uint32
+    x = (n + 1).astype(u32)
+    x = ((x & u32(0x55555555)) << 1) | ((x & u32(0xAAAAAAAA)) >> 1)
+    x = ((x & u32(0x33333333)) << 2) | ((x & u32(0xCCCCCCCC)) >> 2)
+    x = ((x & u32(0x0F0F0F0F)) << 4) | ((x & u32(0xF0F0F0F0)) >> 4)
+    x = ((x & u32(0x00FF00FF)) << 8) | ((x & u32(0xFF00FF00)) >> 8)
+    x = (x << 16) | (x >> 16)
+    return x.astype(jnp.float32) * jnp.float32(2.0**-32)
 
 
 class ChEESInfo(NamedTuple):
@@ -188,7 +206,10 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             )(kc)
 
         # shared trajectory jitter -> identical L for every chain this draw
-        u = jax.random.uniform(k_jit, (), dtype)
+        if config.trajectory_jitter == "halton":
+            u = _vdc_base2(n).astype(dtype)
+        else:
+            u = jax.random.uniform(k_jit, (), dtype)
         traj_t = u * jnp.exp(log_t)
         eps = da.step_size
         num_steps = jnp.maximum(

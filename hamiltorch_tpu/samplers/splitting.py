@@ -109,6 +109,37 @@ def run_split_hmc_stacked(
     )
 
 
+def run_split_hmc_chains(
+    key,
+    term_fn: Callable,
+    num_terms: int,
+    theta0,
+    config: MCMCConfig,
+    num_chains: int,
+    integrator: Integrator = Integrator.SPLITTING,
+    inv_mass=None,
+    data=None,
+    pass_grad=None,
+) -> MCMCResult:
+    """Vectorised independent split-HMC chains via vmap over (key, theta0).
+
+    Stacked-data contract as :func:`run_split_hmc_stacked`; the (M, B, ...)
+    minibatch arrays are shared (not vmapped) across chains, so on TPU the
+    chain axis batches every per-term matmul.
+    """
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    keys = jax.random.split(key, num_chains)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+    return jax.vmap(
+        lambda k, t: _run_split_jit(
+            k, t, term_fn, num_terms, config, integrator, mass, data,
+            raw_pass_grad=pass_grad,
+        )
+    )(keys, theta0)
+
+
 def grads_from_list(grad_fns: Sequence[Callable]) -> Callable:
     """Per-term gradient closures -> one ``grad_fn(theta, m)`` via switch."""
     fns = [lambda t, f=f: f(t) for f in grad_fns]

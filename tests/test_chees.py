@@ -77,3 +77,23 @@ class TestChEESMassAdaptation:
         result = run_chees(key, lp, jnp.zeros(2), config, num_chains=16)
         pooled = np.asarray(result.samples[:, 500:]).reshape(-1, 2)
         assert pooled.std(0)[1] < 16.0  # nowhere near 20
+
+
+class TestHaltonJitter:
+    def test_vdc_sequence_values(self):
+        from hamiltorch_tpu.samplers.chees import _vdc_base2
+
+        # radical inverse base 2 of 1..8
+        got = np.asarray([float(_vdc_base2(jnp.asarray(n))) for n in range(8)])
+        np.testing.assert_allclose(
+            got, [0.5, 0.25, 0.75, 0.125, 0.625, 0.375, 0.875, 0.0625],
+            atol=1e-9,
+        )
+
+    def test_halton_sampling_correct(self, key):
+        cfg = ChEESConfig(num_samples=600, burn=300, step_size=0.2,
+                          trajectory_jitter="halton")
+        result = run_chees(key, corr_gaussian, jnp.zeros(2), cfg, num_chains=16)
+        kept = np.asarray(result.samples[:, 300:]).reshape(-1, 2)
+        cov = np.cov(kept.T)
+        np.testing.assert_allclose(cov, np.asarray(COV), atol=0.15)

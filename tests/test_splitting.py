@@ -205,3 +205,25 @@ class TestTupleLogProb:
         np.testing.assert_allclose(
             np.asarray(s_tuple), np.asarray(s_plain), atol=1e-6
         )
+
+
+class TestSplitChains:
+    def test_vmapped_split_chains(self, key):
+        from hamiltorch_tpu.samplers.splitting import (
+            run_split_hmc_chains, run_split_hmc_stacked, terms_from_list,
+        )
+
+        terms = make_split_gaussian(4)
+        term_fn = terms_from_list(terms)
+        config = MCMCConfig(num_samples=60, num_steps_per_sample=5, step_size=0.25)
+        r = run_split_hmc_chains(key, term_fn, 4, jnp.zeros(2), config,
+                                 num_chains=8)
+        assert r.samples.shape == (8, 60, 2)
+        # chain 0 of the batch equals a single run with its key
+        k0 = jax.random.split(key, 8)[0]
+        r0 = run_split_hmc_stacked(k0, term_fn, 4, jnp.zeros(2), config)
+        np.testing.assert_allclose(
+            np.asarray(r.samples[0]), np.asarray(r0.samples), atol=1e-6
+        )
+        pooled = np.asarray(r.samples[:, 20:]).reshape(-1, 2)
+        np.testing.assert_allclose(pooled.std(0), [1, 1], atol=0.15)
