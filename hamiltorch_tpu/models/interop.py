@@ -21,11 +21,14 @@ Two translation paths:
   (reference: tests/test_util.py:64-95).
 
 Leaf layers: Linear, Conv2d, ConvTranspose2d, BatchNorm1d/2d, LayerNorm,
-Embedding, ReLU, Tanh, Sigmoid, GELU, ELU, LeakyReLU, Softmax, LogSoftmax,
-Flatten, Identity, Dropout (inference = identity), MaxPool2d, AvgPool2d.
-Not coverable: data-dependent Python control flow in ``forward`` and RNN
-modules (torch.fx cannot trace them) — define those in flax/JAX instead
-(``build_model`` accepts flax modules and plain apply functions).
+Embedding, RNN/LSTM/GRU (lax.scan recurrences; torch.fx keeps them atomic
+so they compose with custom forwards), ReLU, Tanh, Sigmoid, GELU, ELU,
+LeakyReLU, Softmax, LogSoftmax, Flatten, Identity, Dropout (inference =
+identity), MaxPool2d, AvgPool2d.  Custom-forward SUBmodules nest (the fx
+fallback recurses).  Not coverable: data-dependent Python control flow in
+``forward`` (untraceable by construction) — define those models in
+flax/JAX instead (``build_model`` accepts flax modules and plain apply
+functions).
 """
 
 from __future__ import annotations
@@ -178,8 +181,102 @@ def _embedding(mod):
     return fn
 
 
+def _rnn_family(mod):
+    """nn.RNN / nn.LSTM / nn.GRU as lax.scan recurrences.
+
+    The reference supports these through method re-binding in its Scope
+    rewriter (reference: hamiltorch/util.py:294-316).  Covers stacked
+    unidirectional layers, optional bias, batch_first either way; returns
+    (output, h_n) or (output, (h_n, c_n)) exactly like torch.  Weight
+    layout per layer follows torch: W_ih (G*H, I), W_hh (G*H, H) with gate
+    order i,f,g,o (LSTM) / r,z,n (GRU).
+    """
+    kind = type(mod).__name__
+    if getattr(mod, "bidirectional", False):
+        raise TypeError(f"bidirectional {kind} is not supported")
+    if getattr(mod, "proj_size", 0):
+        raise TypeError(f"{kind} with proj_size is not supported")
+    num_layers = mod.num_layers
+    hidden = mod.hidden_size
+    has_bias = mod.bias
+    batch_first = mod.batch_first
+    nonlin = jnp.tanh if getattr(mod, "nonlinearity", "tanh") == "tanh" else jax.nn.relu
+    per_layer = 4 if has_bias else 2
+
+    def cell_rnn(x_t, h, w_ih, w_hh, b_ih, b_hh):
+        a = x_t @ w_ih.T + h @ w_hh.T
+        if b_ih is not None:
+            a = a + b_ih + b_hh
+        return nonlin(a), None
+
+    def cell_lstm(x_t, hc, w_ih, w_hh, b_ih, b_hh):
+        h, c_ = hc
+        a = x_t @ w_ih.T + h @ w_hh.T
+        if b_ih is not None:
+            a = a + b_ih + b_hh
+        i, f, g, o = jnp.split(a, 4, axis=-1)
+        c_ = jax.nn.sigmoid(f) * c_ + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c_)
+        return h, c_
+
+    def cell_gru(x_t, h, w_ih, w_hh, b_ih, b_hh):
+        gi = x_t @ w_ih.T
+        gh = h @ w_hh.T
+        if b_ih is not None:
+            gi = gi + b_ih
+            gh = gh + b_hh
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)  # torch's GRU gates the HIDDEN term only
+        return (1.0 - z) * n + z * h, None
+
+    cell = {"RNN": cell_rnn, "LSTM": cell_lstm, "GRU": cell_gru}[kind]
+    is_lstm = kind == "LSTM"
+
+    def fn(params, off, x):
+        if batch_first:
+            x = jnp.swapaxes(x, 0, 1)  # (T, B, I) internally
+        t_b = x.shape[1:2]
+        h_layers, c_layers = [], []
+        seq = x
+        o = off
+        for _ in range(num_layers):
+            w_ih, w_hh = params[o], params[o + 1]
+            b_ih = params[o + 2] if has_bias else None
+            b_hh = params[o + 3] if has_bias else None
+            o += per_layer
+            h0 = jnp.zeros(t_b + (hidden,), x.dtype)
+            carry0 = (h0, h0) if is_lstm else h0
+
+            def step(carry, x_t, w_ih=w_ih, w_hh=w_hh, b_ih=b_ih, b_hh=b_hh):
+                if is_lstm:
+                    h, c_ = cell(x_t, carry, w_ih, w_hh, b_ih, b_hh)
+                    return (h, c_), h
+                h, _ = cell(x_t, carry, w_ih, w_hh, b_ih, b_hh)
+                return h, h
+
+            carry_f, seq = jax.lax.scan(step, carry0, seq)
+            if is_lstm:
+                h_layers.append(carry_f[0])
+                c_layers.append(carry_f[1])
+            else:
+                h_layers.append(carry_f)
+        out = jnp.swapaxes(seq, 0, 1) if batch_first else seq
+        h_n = jnp.stack(h_layers)
+        if is_lstm:
+            return (out, (h_n, jnp.stack(c_layers))), o
+        return (out, h_n), o
+
+    return fn
+
+
 _LEAF_HANDLERS = {
     "Linear": _linear,
+    "RNN": _rnn_family,
+    "LSTM": _rnn_family,
+    "GRU": _rnn_family,
     "Conv2d": _conv2d,
     "ConvTranspose2d": _conv_transpose2d,
     "BatchNorm1d": _batchnorm,
@@ -366,7 +463,11 @@ def _from_torch_fx(module) -> Callable:
     for node in gm.graph.nodes:
         if node.op == "call_module" and node.target not in handlers:
             sub = submods[node.target]
-            handlers[node.target] = _convert(sub)
+            try:
+                handlers[node.target] = _convert(sub)
+            except TypeError:
+                # nested custom-forward module: recurse through fx
+                handlers[node.target] = _from_torch_fx(sub)
             own = list(sub.parameters())
             offsets[node.target] = flat_ids[id(own[0])] if own else 0
         elif node.op == "call_function" and node.target not in functions:

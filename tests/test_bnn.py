@@ -515,3 +515,87 @@ class TestTorchFxInterop:
         template2[idx] = jnp.asarray(5.0)
         out2 = np.asarray(apply_fn(template2, jnp.asarray(x)))
         np.testing.assert_allclose(out2, ref * 2.5, atol=1e-4)
+
+
+class TestRNNInterop:
+    """RNN-family leaves (the reference re-binds RNN methods in its Scope
+    rewriter, util.py:294-316); here they are lax.scan recurrences."""
+
+    @pytest.mark.parametrize("kind", ["RNN", "LSTM", "GRU"])
+    @pytest.mark.parametrize("batch_first", [True, False])
+    def test_recurrence_matches_torch(self, kind, batch_first):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        torch.manual_seed(11)
+        cls = getattr(torch.nn, kind)
+        net = cls(input_size=3, hidden_size=5, num_layers=2,
+                  batch_first=batch_first).eval()
+        apply_fn, template = from_torch_module(net)
+        shape = (4, 7, 3) if batch_first else (7, 4, 3)
+        x = np.random.RandomState(11).randn(*shape).astype(np.float32)
+        with torch.no_grad():
+            out_t, hn_t = net(torch.tensor(x))
+        (out_j, hn_j), _ = apply_fn(template, jnp.asarray(x)), None
+        np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=1e-5)
+        if kind == "LSTM":
+            np.testing.assert_allclose(np.asarray(hn_j[0]), hn_t[0].numpy(), atol=1e-5)
+            np.testing.assert_allclose(np.asarray(hn_j[1]), hn_t[1].numpy(), atol=1e-5)
+        else:
+            np.testing.assert_allclose(np.asarray(hn_j), hn_t.numpy(), atol=1e-5)
+
+    def test_custom_forward_lstm_model(self):
+        """Custom forward calling an LSTM (the reference's RNN use case)."""
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class SeqNet(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.lstm = torch.nn.LSTM(3, 6, batch_first=True)
+                self.head = torch.nn.Linear(6, 2)
+
+            def forward(self, x):
+                out, _ = self.lstm(x)
+                return self.head(out[:, -1])
+
+        torch.manual_seed(12)
+        net = SeqNet().eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(12).randn(5, 9, 3).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        ours = np.asarray(apply_fn(template, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_nested_custom_forward_module(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Block(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.lin = torch.nn.Linear(4, 4)
+
+            def forward(self, x):
+                return x + torch.tanh(self.lin(x))  # residual custom forward
+
+        class Outer(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.b1 = Block()
+                self.b2 = Block()
+                self.head = torch.nn.Linear(4, 1)
+
+            def forward(self, x):
+                return self.head(self.b2(self.b1(x)))
+
+        torch.manual_seed(13)
+        net = Outer().eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(13).randn(6, 4).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-5
+        )
