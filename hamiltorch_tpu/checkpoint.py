@@ -16,7 +16,8 @@ counter; any chunking reproduces the identical stream.
 Covered: single-chain HMC (``run_hmc_checkpointed``), tree-NUTS including
 ``adapt_mass`` windowed warmup (``run_nuts_checkpointed``), the ChEES-HMC
 chain ensemble with its full adaptation carry (``run_chees_checkpointed``),
-and vmapped multi-chain HMC (``run_hmc_chains_checkpointed``).
+vmapped multi-chain HMC (``run_hmc_chains_checkpointed``), and parallel
+tempering with its adapted ladder (``run_pt_checkpointed``).
 
 Safety: the saved state embeds a fingerprint of the config, potential
 arity and chain shape/dtype; resuming against a directory written under
@@ -378,6 +379,72 @@ def run_nuts_checkpointed(
     )
     # NUTS has no MH reject: report the real statistic (mean leaf alpha)
     return _assemble_mcmc(zs, config, carry, acc_from_prob=True)
+
+
+def run_pt_checkpointed(
+    key,
+    log_prob_fn,
+    theta0,
+    config,  # PTConfig
+    ckpt_dir: str,
+    chunk_size: int = 100,
+    inv_mass=None,
+    resume: bool = True,
+):
+    """Parallel tempering with per-chunk checkpointing of the full ladder
+    carry (replica positions with cached potential evaluations, adapted
+    log temperature gaps, swap-rate EMA).  Returns a PTResult; the ladder
+    adaptation schedule and even/odd swap alternation continue across
+    chunks exactly as in an unchunked run (global draw indices drive both
+    the RNG stream and the pairing parity)."""
+    from .samplers.tempering import (
+        PTCarry,
+        assemble_pt_result,
+        init_pt_carry,
+        _run_pt_jit,
+    )
+
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (config.num_temps,) + theta0.shape)
+    # no burn < num_samples guard here: an interrupted run may legitimately
+    # stop inside the burn window; burn slicing happens only at assembly
+    lp, data = resolve_potential(log_prob_fn, None)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+    k_temps, d = theta0.shape
+    dtype = theta0.dtype
+
+    template = PTCarry(
+        thetas=theta0,
+        logps=jnp.zeros((k_temps,), dtype),
+        grads=jnp.zeros_like(theta0),
+        s=jnp.zeros((k_temps - 1,), dtype),
+        ema=jnp.zeros((k_temps - 1,), dtype),
+    )
+
+    def init_carry_fn():
+        return init_pt_carry(_bind_data(lp, data), theta0, config)
+
+    def chunk_runner(k, carry, n_done, cfg):
+        traj, alphas, swaps, carry_f = _run_pt_jit(
+            k, carry.thetas, lp, cfg, mass, data=data,
+            init_carry=carry, start_iter=n_done,
+        )
+        return (traj, alphas, swaps), carry_f
+
+    def save_chunk(result):
+        traj, alphas, swaps = result
+        return {"traj": traj, "alphas": alphas, "swaps": swaps}
+
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, _fingerprint(config, theta0), save_chunk,
+    )
+    kept = config.num_samples  # burn slicing happens in assemble_pt_result
+    traj = jnp.asarray(np.concatenate([z["traj"] for z in zs], axis=0))[:kept]
+    alphas = jnp.asarray(np.concatenate([z["alphas"] for z in zs], axis=0))[:kept]
+    swaps = jnp.asarray(np.concatenate([z["swaps"] for z in zs], axis=0))[:kept]
+    return assemble_pt_result(traj, alphas, swaps, carry, config)
 
 
 def run_chees_checkpointed(

@@ -84,8 +84,84 @@ def potential_scale_reduction(samples: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(var_plus / w)
 
 
+def _rank_normalize(samples: jnp.ndarray) -> jnp.ndarray:
+    """Fractional average ranks -> normal scores (Vehtari et al. 2021 §3.1).
+
+    Ranks are pooled over chains and draws per dimension, ties get the
+    average rank (rejected-draw duplicates are common in MCMC traces), and
+    ranks map to z-scores through the inverse normal CDF with the Blom
+    offset z = Phi^-1((r - 3/8) / (S + 1/4)).
+    """
+    c, n, d = samples.shape
+    flat = samples.reshape(c * n, d)
+    s = flat.shape[0]
+
+    def ranks_1d(x):
+        xs = jnp.sort(x)
+        lo = jnp.searchsorted(xs, x, side="left")
+        hi = jnp.searchsorted(xs, x, side="right")
+        return 0.5 * (lo + hi + 1.0)  # average rank, 1-based
+
+    r = jax.vmap(ranks_1d, in_axes=1, out_axes=1)(flat)
+    z = jax.scipy.special.ndtri((r - 0.375) / (s + 0.25))
+    return z.reshape(c, n, d).astype(samples.dtype)
+
+
+def rank_normalized_rhat(samples: jnp.ndarray) -> jnp.ndarray:
+    """Rank-normalized split-R-hat (Vehtari et al. 2021), per dimension.
+
+    max(split-R-hat of the rank-normal scores, split-R-hat of the FOLDED
+    scores |x - median|) — the folded half catches chains that agree in
+    mean but disagree in variance, which classic split-R-hat misses.
+    ``samples``: (num_chains, num_draws, D) or (num_draws, D).
+    """
+    if samples.ndim == 2:
+        samples = samples[None]
+    z_bulk = _rank_normalize(samples)
+    folded = jnp.abs(samples - jnp.median(samples, axis=(0, 1), keepdims=True))
+    z_fold = _rank_normalize(folded)
+    return jnp.maximum(
+        potential_scale_reduction(z_bulk), potential_scale_reduction(z_fold)
+    )
+
+
+def bulk_ess(samples: jnp.ndarray) -> jnp.ndarray:
+    """Rank-normalized ESS — mixing in the bulk of the distribution."""
+    if samples.ndim == 2:
+        samples = samples[None]
+    return effective_sample_size(_rank_normalize(samples))
+
+
+def tail_ess(samples: jnp.ndarray, prob: float = 0.05) -> jnp.ndarray:
+    """Tail ESS: min ESS of the 5%/95% quantile-exceedence indicators.
+
+    Sampling efficiency in the tails (Vehtari et al. 2021 §4.3) — step-size
+    pathologies that leave the bulk well-mixed but the tails sticky show up
+    here first.  ``samples``: (num_chains, num_draws, D) or (num_draws, D).
+    """
+    if samples.ndim == 2:
+        samples = samples[None]
+    dtype = samples.dtype
+
+    def ess_of_indicator(q):
+        quant = jnp.quantile(samples.reshape(-1, samples.shape[-1]), q, axis=0)
+        ind = (samples <= quant[None, None, :]).astype(dtype)
+        return effective_sample_size(ind)
+
+    return jnp.minimum(ess_of_indicator(prob), ess_of_indicator(1.0 - prob))
+
+
+def mcse_mean(samples: jnp.ndarray) -> jnp.ndarray:
+    """Monte Carlo standard error of the posterior mean: sd / sqrt(ESS)."""
+    if samples.ndim == 2:
+        samples = samples[None]
+    sd = jnp.std(samples.reshape(-1, samples.shape[-1]), axis=0, ddof=1)
+    return sd / jnp.sqrt(effective_sample_size(samples))
+
+
 def summary(samples: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """Per-dimension posterior summary: mean, std, ESS, split-R-hat."""
+    """Per-dimension posterior summary: mean, std, ESS (raw + bulk + tail),
+    split-R-hat (classic + rank-normalized), MCSE of the mean."""
     if samples.ndim == 2:
         samples = samples[None]
     flat = samples.reshape(-1, samples.shape[-1])
@@ -93,5 +169,9 @@ def summary(samples: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         "mean": jnp.mean(flat, axis=0),
         "std": jnp.std(flat, axis=0),
         "ess": effective_sample_size(samples),
+        "ess_bulk": bulk_ess(samples),
+        "ess_tail": tail_ess(samples),
         "r_hat": potential_scale_reduction(samples),
+        "r_hat_rank": rank_normalized_rhat(samples),
+        "mcse_mean": mcse_mean(samples),
     }

@@ -63,10 +63,45 @@ class PTResult(NamedTuple):
     samples: jnp.ndarray  # (N - burn, D) — the cold (beta=1) chain
     replica_samples: jnp.ndarray  # (N - burn, K, D) — full ladder
     info: PTInfo
+    final_carry: "PTCarry | None" = None  # resume state (see checkpoint.py)
+
+
+class PTCarry(NamedTuple):
+    """Full resume state of a tempering run (one ladder)."""
+
+    thetas: jnp.ndarray  # (K, D) replica positions
+    logps: jnp.ndarray  # (K,) cached UNtempered log-probs
+    grads: jnp.ndarray  # (K, D) cached gradients
+    s: jnp.ndarray  # (K-1,) log temperature gaps (ladder parameterisation)
+    ema: jnp.ndarray  # (K-1,) per-pair swap-acceptance EMA
+
+
+def init_pt_carry(log_prob_fn, theta0s, config: PTConfig) -> PTCarry:
+    k_temps, _ = theta0s.shape
+    dtype = theta0s.dtype
+    temps_geo = jnp.exp(
+        jnp.linspace(0.0, jnp.log(config.max_temp), k_temps)
+    ).astype(dtype)
+    logps0, grads0 = jax.vmap(jax.value_and_grad(log_prob_fn))(theta0s)
+    return PTCarry(
+        thetas=theta0s,
+        logps=logps0,
+        grads=grads0,
+        s=jnp.log(jnp.diff(temps_geo)),
+        ema=jnp.full((k_temps - 1,), 0.5, dtype),
+    )
 
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "config"))
-def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None):
+def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None,
+                init_carry=None, start_iter=0):
+    """One compiled tempering scan of ``config.num_samples`` draws.
+
+    ``init_carry``/``start_iter`` let chunked (checkpoint/resume) sampling
+    continue the ladder adaptation and RNG stream exactly where a previous
+    chunk stopped; the full (unburned) trajectory is returned and burn
+    slicing happens in the callers.
+    """
     lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
     vg = jax.vmap(jax.value_and_grad(lp))
     k_temps, d = theta0s.shape
@@ -75,10 +110,9 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None):
     # ladder parameterised by log temperature gaps S_i = log(T_{i+1}-T_i),
     # renormalised so T_0 = 1 and T_{K-1} = max_temp stay pinned no matter
     # how adaptation moves the interior — init = geometric ladder
-    temps_geo = jnp.exp(
-        jnp.linspace(0.0, jnp.log(config.max_temp), k_temps)
-    ).astype(dtype)
-    s0 = jnp.log(jnp.diff(temps_geo))  # (K-1,)
+    carry0 = init_carry if init_carry is not None else init_pt_carry(
+        lp, theta0s, config
+    )
 
     def betas_from_s(s):
         g = jnp.exp(s)
@@ -89,8 +123,6 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None):
 
     velocity = jax.vmap(mass.velocity)
     kinetic = jax.vmap(mass.kinetic)
-
-    logps0, grads0 = vg(theta0s)
 
     # even pairs (0,1),(2,3)... and odd pairs (1,2),(3,4)... as partner maps
     idx = jnp.arange(k_temps)
@@ -176,25 +208,12 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None):
             s = jnp.where(n < config.burn, s + ds, s)
 
         info_row = (alpha, swap_mask)
-        return (thetas, logps, grads, s, ema), (thetas, info_row)
+        return PTCarry(thetas, logps, grads, s, ema), (thetas, info_row)
 
-    ema0 = jnp.full((k_temps - 1,), 0.5, dtype)
-    (thetas_f, _, _, s_f, ema_f), (traj, (alphas, swaps)) = jax.lax.scan(
-        step,
-        (theta0s, logps0, grads0, s0, ema0),
-        jnp.arange(config.num_samples),
+    carry_f, (traj, (alphas, swaps)) = jax.lax.scan(
+        step, carry0, start_iter + jnp.arange(config.num_samples)
     )
-    burn = max(config.burn, 0)
-    return PTResult(
-        samples=traj[burn:, 0, :],
-        replica_samples=traj[burn:],
-        info=PTInfo(
-            accept_prob=alphas[burn:],
-            swap_accept=swaps[burn:],
-            betas=betas_from_s(s_f),
-            swap_rate_ema=ema_f,
-        ),
-    )
+    return traj, alphas, swaps, carry_f
 
 
 def run_parallel_tempering(
@@ -215,4 +234,27 @@ def run_parallel_tempering(
         theta0 = jnp.broadcast_to(theta0, (config.num_temps,) + theta0.shape)
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
-    return _run_pt_jit(key, theta0, lp, config, mass, data=data)
+    traj, alphas, swaps, carry_f = _run_pt_jit(key, theta0, lp, config, mass, data=data)
+    return assemble_pt_result(traj, alphas, swaps, carry_f, config)
+
+
+def assemble_pt_result(traj, alphas, swaps, carry_f: PTCarry,
+                       config: PTConfig) -> PTResult:
+    """Burn-slice a (possibly chunk-concatenated) trajectory into a PTResult."""
+    dtype = traj.dtype
+    g = jnp.exp(carry_f.s)
+    temps = 1.0 + jnp.concatenate(
+        [jnp.zeros((1,), dtype), jnp.cumsum(g)]
+    ) * ((config.max_temp - 1.0) / jnp.sum(g))
+    burn = max(config.burn, 0)
+    return PTResult(
+        samples=traj[burn:, 0, :],
+        replica_samples=traj[burn:],
+        info=PTInfo(
+            accept_prob=alphas[burn:],
+            swap_accept=swaps[burn:],
+            betas=1.0 / temps,
+            swap_rate_ema=carry_f.ema,
+        ),
+        final_carry=carry_f,
+    )

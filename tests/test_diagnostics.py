@@ -57,8 +57,75 @@ class TestRhat:
     def test_summary_keys(self, key):
         x = jax.random.normal(key, (2, 300, 3))
         s = summary(x)
-        assert set(s) == {"mean", "std", "ess", "r_hat"}
+        assert set(s) == {
+            "mean", "std", "ess", "ess_bulk", "ess_tail",
+            "r_hat", "r_hat_rank", "mcse_mean",
+        }
         assert s["mean"].shape == (3,)
+
+
+class TestRankNormalizedDiagnostics:
+    """Vehtari et al. 2021 rank-normalized R-hat / bulk-ESS / tail-ESS."""
+
+    def test_converged_chains_near_one(self, key):
+        from hamiltorch_tpu.diagnostics import bulk_ess, rank_normalized_rhat, tail_ess
+
+        x = jax.random.normal(key, (4, 500, 2))
+        assert np.all(np.asarray(rank_normalized_rhat(x)) < 1.05)
+        assert np.all(np.asarray(bulk_ess(x)) > 1000)
+        assert np.all(np.asarray(tail_ess(x)) > 500)
+
+    def test_variance_mismatch_caught_by_folded_rhat(self, key):
+        """Chains sharing a mean but not a variance: classic split-R-hat is
+        blind (between-chain variance of MEANS is zero), the folded
+        rank-normalized half must flag it."""
+        from hamiltorch_tpu.diagnostics import rank_normalized_rhat
+
+        x = np.array(jax.random.normal(key, (4, 800, 1)))
+        x *= np.asarray([0.2, 1.0, 3.0, 9.0])[:, None, None]
+        classic = float(potential_scale_reduction(jnp.asarray(x))[0])
+        ranked = float(rank_normalized_rhat(jnp.asarray(x))[0])
+        assert classic < 1.1  # the failure mode: classic looks converged
+        assert ranked > 1.2
+
+    def test_heavy_tail_robustness(self, key):
+        """Cauchy chains: moment-based R-hat is erratic (infinite variance);
+        rank normalization keeps the diagnostic meaningful and near 1 for
+        genuinely identical chains."""
+        from hamiltorch_tpu.diagnostics import rank_normalized_rhat
+
+        x = np.asarray(jax.random.cauchy(key, (4, 1000, 1)))
+        ranked = float(rank_normalized_rhat(jnp.asarray(x))[0])
+        assert ranked < 1.05
+
+    def test_sticky_tail_low_tail_ess(self, key):
+        """A chain that mixes in the bulk but freezes beyond the 90% quantile
+        should show tail-ESS far below bulk-ESS."""
+        from hamiltorch_tpu.diagnostics import bulk_ess, tail_ess
+
+        k1, k2 = jax.random.split(key)
+        x = np.array(jax.random.normal(k1, (2, 2000)))
+        q = 1.64  # ~95th percentile of N(0,1)
+        # freeze: once a draw exceeds q, hold it for 30 steps (sticky tail)
+        for c in range(2):
+            t = 0
+            while t < 2000:
+                if x[c, t] > q:
+                    x[c, t : t + 30] = x[c, t]
+                    t += 30
+                else:
+                    t += 1
+        x = jnp.asarray(x)[..., None]
+        assert float(tail_ess(x)[0]) < 0.75 * float(bulk_ess(x)[0])
+
+    def test_average_ranks_for_ties(self):
+        """Duplicate draws (MH rejections) must share an average rank: a
+        constant series rank-normalizes to all zeros, not a ramp."""
+        from hamiltorch_tpu.diagnostics import _rank_normalize
+
+        x = jnp.ones((1, 64, 1))
+        z = np.asarray(_rank_normalize(x))
+        np.testing.assert_allclose(z, 0.0, atol=1e-6)
 
 
 class TestCheckpoint:
@@ -202,6 +269,34 @@ class TestAdaptiveCheckpoint:
         assert r_resumed.samples.shape == (4, 40, 2)
         np.testing.assert_allclose(
             np.asarray(r_resumed.samples), np.asarray(r_vmap.samples), atol=1e-5
+        )
+
+    def test_pt_resume_matches_direct(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_pt_checkpointed
+        from hamiltorch_tpu.samplers.tempering import (
+            PTConfig,
+            run_parallel_tempering,
+        )
+
+        config = PTConfig(num_samples=60, num_steps_per_sample=5, step_size=0.3,
+                          num_temps=4, burn=30, adapt_ladder=True)
+        half = PTConfig(num_samples=25, num_steps_per_sample=5, step_size=0.3,
+                        num_temps=4, burn=30, adapt_ladder=True)
+        ck = str(tmp_path / "ck")
+        run_pt_checkpointed(key, self.lp, jnp.zeros(2), half, ck, chunk_size=10)
+        r_resumed = run_pt_checkpointed(key, self.lp, jnp.zeros(2), config, ck,
+                                        chunk_size=10)
+        # oracle: the UNCHUNKED sampler — ladder adaptation, swap parity and
+        # RNG stream must continue across the interrupt exactly
+        r_direct = run_parallel_tempering(key, self.lp, jnp.zeros(2), config)
+        assert r_resumed.samples.shape == (30, 2)
+        np.testing.assert_allclose(
+            np.asarray(r_resumed.replica_samples),
+            np.asarray(r_direct.replica_samples), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_resumed.info.betas), np.asarray(r_direct.info.betas),
+            rtol=1e-5,
         )
 
     def test_fingerprint_mismatch_raises(self, key, tmp_path):
