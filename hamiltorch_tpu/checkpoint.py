@@ -179,7 +179,18 @@ def _assemble_mcmc(zs, config, carry, time_axis: int = 0, acc_from_prob=False):
         for z in zs:
             rows = z["samples"].shape[time_axis]
             take = min(rows, remaining)
-            num = num + np.asarray(z["acc_rate"], np.float64) * take
+            if take == rows:
+                rate = np.asarray(z["acc_rate"], np.float64)  # (C,) or scalar
+            else:
+                # partially-consumed boundary chunk (directory holds MORE
+                # draws than this config requests): the per-chunk acc_rate
+                # covers transitions beyond the request, so recompute from
+                # the kept rows' accepted outcomes (exact for thin == 1;
+                # window-last transitions otherwise)
+                acc = np.asarray(z["accepted"], np.float64)
+                sl = (slice(None),) * time_axis + (slice(None, take),)
+                rate = np.mean(acc[sl], axis=time_axis)
+            num = num + rate * take
             den += take
             remaining -= take
             if remaining <= 0:
@@ -461,7 +472,13 @@ def run_chees_checkpointed(
     """ChEES-HMC with per-chunk checkpointing of the full adaptation carry
     (ensemble state, trajectory-length adam state, dual averaging, windowed
     Welford mass estimate).  Returns a ChEESResult."""
-    from .samplers.chees import ChEESCarry, ChEESInfo, ChEESResult, _run_chees_jit
+    from .samplers.chees import (
+        ChEESCarry,
+        ChEESInfo,
+        ChEESResult,
+        _run_chees_jit,
+        validate_chees,
+    )
     from .samplers.warmup import schedule_flags, welford_init
     from .ops.mass import DiagMass
 
@@ -473,6 +490,7 @@ def run_chees_checkpointed(
         )
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
+    validate_chees(config, mass)  # same contract as run_chees
     c, d = theta0.shape
     dtype = theta0.dtype
     windowed = config.adapt_mass and config.burn > 0

@@ -73,7 +73,28 @@ def _conv2d(mod):
     return fn
 
 
+def _check_pool_semantics(ceil_mode=False, dilation=1, count_include_pad=True,
+                          divisor_override=None):
+    """Refuse pooling options the bridge does not translate — silently
+    ignoring them would change output shapes/values with no error."""
+    d = dilation if isinstance(dilation, tuple) else (dilation,) * 2
+    if ceil_mode:
+        raise NotImplementedError("pooling with ceil_mode=True is not supported by the torch bridge")
+    if d != (1, 1):
+        raise NotImplementedError("pooling with dilation != 1 is not supported by the torch bridge")
+    if not count_include_pad:
+        raise NotImplementedError("avg_pool2d count_include_pad=False is not supported by the torch bridge")
+    if divisor_override is not None:
+        raise NotImplementedError("avg_pool2d divisor_override is not supported by the torch bridge")
+
+
 def _pool(mod, reducer, init, is_avg):
+    _check_pool_semantics(
+        ceil_mode=getattr(mod, "ceil_mode", False),
+        dilation=getattr(mod, "dilation", 1),
+        count_include_pad=getattr(mod, "count_include_pad", True),
+        divisor_override=getattr(mod, "divisor_override", None),
+    )
     k = mod.kernel_size if isinstance(mod.kernel_size, tuple) else (mod.kernel_size,) * 2
     s = mod.stride if mod.stride is not None else k
     s = s if isinstance(s, tuple) else (s,) * 2
@@ -235,20 +256,33 @@ def _rnn_family(mod):
     cell = {"RNN": cell_rnn, "LSTM": cell_lstm, "GRU": cell_gru}[kind]
     is_lstm = kind == "LSTM"
 
-    def fn(params, off, x):
-        if batch_first:
+    def fn(params, off, x, hx=None):
+        # torch (>=1.11) also accepts UNBATCHED (T, I) input -> (T, H) output
+        # (batch_first is ignored for unbatched input); run it as batch 1
+        unbatched = x.ndim == 2
+        if unbatched:
+            x = x[:, None, :]
+        elif batch_first:
             x = jnp.swapaxes(x, 0, 1)  # (T, B, I) internally
         t_b = x.shape[1:2]
+
+        def init_h(layer, which):
+            if hx is None:
+                return jnp.zeros(t_b + (hidden,), x.dtype)
+            h = hx[which][layer] if is_lstm else hx[layer]
+            return h[None] if h.ndim == 1 else h  # unbatched hx -> batch 1
+
         h_layers, c_layers = [], []
         seq = x
         o = off
-        for _ in range(num_layers):
+        for layer in range(num_layers):
             w_ih, w_hh = params[o], params[o + 1]
             b_ih = params[o + 2] if has_bias else None
             b_hh = params[o + 3] if has_bias else None
             o += per_layer
-            h0 = jnp.zeros(t_b + (hidden,), x.dtype)
-            carry0 = (h0, h0) if is_lstm else h0
+            carry0 = (
+                (init_h(layer, 0), init_h(layer, 1)) if is_lstm else init_h(layer, 0)
+            )
 
             def step(carry, x_t, w_ih=w_ih, w_hh=w_hh, b_ih=b_ih, b_hh=b_hh):
                 if is_lstm:
@@ -263,10 +297,16 @@ def _rnn_family(mod):
                 c_layers.append(carry_f[1])
             else:
                 h_layers.append(carry_f)
-        out = jnp.swapaxes(seq, 0, 1) if batch_first else seq
-        h_n = jnp.stack(h_layers)
+        if unbatched:
+            out = seq[:, 0, :]
+            h_n = jnp.stack(h_layers)[:, 0, :]
+            c_n = jnp.stack(c_layers)[:, 0, :] if is_lstm else None
+        else:
+            out = jnp.swapaxes(seq, 0, 1) if batch_first else seq
+            h_n = jnp.stack(h_layers)
+            c_n = jnp.stack(c_layers) if is_lstm else None
         if is_lstm:
-            return (out, (h_n, jnp.stack(c_layers))), o
+            return (out, (h_n, c_n)), o
         return (out, h_n), o
 
     return fn
@@ -338,20 +378,37 @@ def _fx_tables():
 
         return h
 
-    def _pool2d(reducer, init, is_avg):
-        def h(x, kernel_size, stride=None, padding=0, **kw):
-            k = kernel_size if isinstance(kernel_size, tuple) else (kernel_size,) * 2
-            s = stride if stride is not None else k
-            s = s if isinstance(s, tuple) else (s,) * 2
-            p = padding if isinstance(padding, tuple) else (padding,) * 2
-            y = jax.lax.reduce_window(
-                x, init, reducer,
-                window_dimensions=(1, 1) + k, window_strides=(1, 1) + s,
-                padding=((0, 0), (0, 0)) + tuple((pi, pi) for pi in p),
-            )
-            return y / (k[0] * k[1]) if is_avg else y
+    def _pool2d_core(x, kernel_size, stride, padding, reducer, init, is_avg):
+        k = kernel_size if isinstance(kernel_size, tuple) else (kernel_size,) * 2
+        s = stride if stride is not None else k
+        s = s if isinstance(s, tuple) else (s,) * 2
+        p = padding if isinstance(padding, tuple) else (padding,) * 2
+        y = jax.lax.reduce_window(
+            x, init, reducer,
+            window_dimensions=(1, 1) + k, window_strides=(1, 1) + s,
+            padding=((0, 0), (0, 0)) + tuple((pi, pi) for pi in p),
+        )
+        return y / (k[0] * k[1]) if is_avg else y
 
-        return h
+    # torch's exact positional signatures — a shared signature would
+    # mis-bind positional ceil_mode/dilation between the two flavours
+    def _max_pool2d(x, kernel_size, stride=None, padding=0, dilation=1,
+                    ceil_mode=False, return_indices=False):
+        if return_indices:
+            raise NotImplementedError(
+                "max_pool2d return_indices=True is not supported by the torch bridge"
+            )
+        _check_pool_semantics(ceil_mode=ceil_mode, dilation=dilation)
+        return _pool2d_core(x, kernel_size, stride, padding,
+                            jax.lax.max, -jnp.inf, is_avg=False)
+
+    def _avg_pool2d(x, kernel_size, stride=None, padding=0, ceil_mode=False,
+                    count_include_pad=True, divisor_override=None):
+        _check_pool_semantics(ceil_mode=ceil_mode,
+                              count_include_pad=count_include_pad,
+                              divisor_override=divisor_override)
+        return _pool2d_core(x, kernel_size, stride, padding,
+                            jax.lax.add, 0.0, is_avg=True)
 
     functions = {
         F.relu: lambda x, inplace=False: jax.nn.relu(x),
@@ -368,8 +425,8 @@ def _fx_tables():
         F.softmax: _softmaxish(jax.nn.softmax),
         F.log_softmax: _softmaxish(jax.nn.log_softmax),
         F.dropout: lambda x, p=0.5, training=False, inplace=False: x,
-        F.max_pool2d: _pool2d(jax.lax.max, -jnp.inf, is_avg=False),
-        F.avg_pool2d: _pool2d(jax.lax.add, 0.0, is_avg=True),
+        F.max_pool2d: _max_pool2d,
+        F.avg_pool2d: _avg_pool2d,
         torch.flatten: lambda x, start_dim=0, end_dim=-1: _flatten_dims(x, start_dim, end_dim),
         torch.cat: lambda tensors, dim=0: jnp.concatenate(tensors, axis=dim),
         torch.stack: lambda tensors, dim=0: jnp.stack(tensors, axis=dim),
@@ -453,23 +510,50 @@ def _from_torch_fx(module) -> Callable:
             f"accepts flax modules and plain apply functions)."
         ) from e
 
-    # every leaf submodule's first parameter's index in module.parameters()
-    # order (a leaf's own params are contiguous in the flat order)
+    # each parameter's index in module.parameters() order.  Per-submodule
+    # index LISTS (not a base offset) keep the mapping correct under weight
+    # tying, where torch deduplicates the flat order and a tied leaf's
+    # parameters are no longer contiguous in it.
     flat_ids = {id(p): i for i, p in enumerate(module.parameters())}
     submods = dict(module.named_modules())
-    handlers, offsets = {}, {}
+    handlers, param_idx, rnn_targets = {}, {}, set()
     functions, methods = _fx_tables()
 
+    n_placeholders = sum(1 for n in gm.graph.nodes if n.op == "placeholder")
+    if n_placeholders != 1:
+        raise TypeError(
+            f"torch.fx forward takes {n_placeholders} tensor inputs; the "
+            "bridge translates single-input forwards only (close over extra "
+            "inputs, or define the model in flax/JAX)"
+        )
+
     for node in gm.graph.nodes:
-        if node.op == "call_module" and node.target not in handlers:
-            sub = submods[node.target]
-            try:
-                handlers[node.target] = _convert(sub)
-            except TypeError:
-                # nested custom-forward module: recurse through fx
-                handlers[node.target] = _from_torch_fx(sub)
-            own = list(sub.parameters())
-            offsets[node.target] = flat_ids[id(own[0])] if own else 0
+        if node.op == "call_module":
+            if node.target not in handlers:
+                sub = submods[node.target]
+                try:
+                    handlers[node.target] = _convert(sub)
+                except TypeError:
+                    # nested custom-forward module: recurse through fx
+                    handlers[node.target] = _from_torch_fx(sub)
+                param_idx[node.target] = [flat_ids[id(p)] for p in sub.parameters()]
+                if type(sub).__name__ in ("RNN", "LSTM", "GRU"):
+                    rnn_targets.add(node.target)
+            # only the RNN family takes a 2nd argument (the initial hidden
+            # state); silently dropping extra args would compute wrong
+            # results with no error
+            if node.kwargs:
+                raise TypeError(
+                    f"submodule call {node.target!r} passes keyword arguments "
+                    f"{sorted(node.kwargs)}; the bridge supports positional "
+                    "tensor inputs only"
+                )
+            if len(node.args) > (2 if node.target in rnn_targets else 1):
+                raise TypeError(
+                    f"submodule call {node.target!r} passes {len(node.args)} "
+                    "arguments; only RNN/LSTM/GRU submodules accept a second "
+                    "(initial hidden state) argument"
+                )
         elif node.op == "call_function" and node.target not in functions:
             raise TypeError(
                 f"torch.fx node calls unsupported function {node.target}; "
@@ -506,9 +590,8 @@ def _from_torch_fx(module) -> Callable:
             args = map_arg(node.args, load)
             kwargs = map_arg(node.kwargs, load)
             if node.op == "call_module":
-                y, _ = handlers[node.target](
-                    params, off + offsets[node.target], args[0]
-                )
+                sub_params = [params[off + i] for i in param_idx[node.target]]
+                y, _ = handlers[node.target](sub_params, 0, *args)
                 env[node.name] = y
             elif node.op == "call_function":
                 env[node.name] = functions[node.target](*args, **kwargs)

@@ -212,6 +212,9 @@ def run_chees_sharded(
         )
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
+    from ..samplers.chees import validate_chees
+
+    validate_chees(config, mass)
     n_dev = len(mesh.devices.flatten())
     if num_chains % n_dev:
         raise ValueError(f"num_chains={num_chains} not divisible by {n_dev} devices")
@@ -286,6 +289,9 @@ def sample_chees_sharded(
             k_init, (num_chains, theta0.shape[0]), theta0.dtype
         )
     mass = make_mass(inv_mass, theta0.shape[-1])
+    from ..samplers.chees import validate_chees
+
+    validate_chees(config, mass)
     n_chain_shards = mesh.shape["chains"]
     if num_chains % n_chain_shards:
         raise ValueError(

@@ -57,6 +57,27 @@ class ChEESConfig:
     trajectory_jitter: str = "uniform"
 
 
+def validate_chees(config: ChEESConfig, mass) -> None:
+    """Reject configurations that would otherwise be silently ignored.
+
+    Shared by every ChEES entry point (direct, checkpointed, sharded).
+    """
+    if config.trajectory_jitter not in ("uniform", "halton"):
+        raise ValueError(
+            f"trajectory_jitter={config.trajectory_jitter!r}; expected "
+            "'uniform' or 'halton'"
+        )
+    if config.adapt_mass and config.burn > 0:
+        from ..ops.mass import DiagMass, IdentityMass
+
+        if not isinstance(mass, (DiagMass, IdentityMass)):
+            raise ValueError(
+                "adapt_mass estimates a DIAGONAL inverse mass; combining it "
+                "with a dense or block inv_mass is not supported — pass a "
+                "diagonal inv_mass (used to seed the adaptation) or none."
+            )
+
+
 def _vdc_base2(n):
     """Van der Corput base-2 radical inverse of a traced int32 draw index:
     bit-reverse then scale — a (0,1) quasi-random low-discrepancy point."""
@@ -372,4 +393,5 @@ def run_chees(
         )
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
+    validate_chees(config, mass)
     return _run_chees_jit(key, theta0, lp, config, mass, data=data)

@@ -76,6 +76,18 @@ class PTCarry(NamedTuple):
     ema: jnp.ndarray  # (K-1,) per-pair swap-acceptance EMA
 
 
+def betas_from_log_gaps(s: jnp.ndarray, max_temp: float) -> jnp.ndarray:
+    """Ladder parameterisation: log temperature gaps S_i = log(T_{i+1}-T_i),
+    renormalised so T_0 = 1 and T_{K-1} = max_temp stay pinned no matter how
+    adaptation moves the interior.  Returns inverse temperatures (K,)."""
+    dtype = s.dtype
+    g = jnp.exp(s)
+    temps = 1.0 + jnp.concatenate(
+        [jnp.zeros((1,), dtype), jnp.cumsum(g)]
+    ) * ((max_temp - 1.0) / jnp.sum(g))
+    return 1.0 / temps
+
+
 def init_pt_carry(log_prob_fn, theta0s, config: PTConfig) -> PTCarry:
     k_temps, _ = theta0s.shape
     dtype = theta0s.dtype
@@ -114,13 +126,6 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None,
         lp, theta0s, config
     )
 
-    def betas_from_s(s):
-        g = jnp.exp(s)
-        temps = 1.0 + jnp.concatenate(
-            [jnp.zeros((1,), dtype), jnp.cumsum(g)]
-        ) * ((config.max_temp - 1.0) / jnp.sum(g))
-        return 1.0 / temps
-
     velocity = jax.vmap(mass.velocity)
     kinetic = jax.vmap(mass.kinetic)
 
@@ -136,7 +141,7 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None,
 
     def step(carry, n):
         thetas, logps, grads, s, ema = carry
-        betas = betas_from_s(s)
+        betas = betas_from_log_gaps(s, config.max_temp)
         eps_k = config.step_size / jnp.sqrt(betas)  # wider steps when hotter
         kn = jax.random.fold_in(key, n)
         k_mom, k_mh, k_swap = jax.random.split(kn, 3)
@@ -241,11 +246,6 @@ def run_parallel_tempering(
 def assemble_pt_result(traj, alphas, swaps, carry_f: PTCarry,
                        config: PTConfig) -> PTResult:
     """Burn-slice a (possibly chunk-concatenated) trajectory into a PTResult."""
-    dtype = traj.dtype
-    g = jnp.exp(carry_f.s)
-    temps = 1.0 + jnp.concatenate(
-        [jnp.zeros((1,), dtype), jnp.cumsum(g)]
-    ) * ((config.max_temp - 1.0) / jnp.sum(g))
     burn = max(config.burn, 0)
     return PTResult(
         samples=traj[burn:, 0, :],
@@ -253,7 +253,7 @@ def assemble_pt_result(traj, alphas, swaps, carry_f: PTCarry,
         info=PTInfo(
             accept_prob=alphas[burn:],
             swap_accept=swaps[burn:],
-            betas=1.0 / temps,
+            betas=betas_from_log_gaps(carry_f.s, config.max_temp),
             swap_rate_ema=carry_f.ema,
         ),
         final_carry=carry_f,

@@ -599,3 +599,117 @@ class TestRNNInterop:
         np.testing.assert_allclose(
             np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-5
         )
+
+
+class TestInteropContracts:
+    """Review-driven contracts: the bridge must either translate torch
+    semantics exactly or raise — never silently compute something else."""
+
+    @pytest.mark.parametrize("kind", ["RNN", "LSTM", "GRU"])
+    def test_unbatched_rnn_input(self, kind):
+        """torch >= 1.11 accepts unbatched (T, I) RNN input -> (T, H)."""
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        torch.manual_seed(21)
+        net = getattr(torch.nn, kind)(input_size=3, hidden_size=5,
+                                      num_layers=2).eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(21).randn(7, 3).astype(np.float32)
+        with torch.no_grad():
+            out_t, hn_t = net(torch.tensor(x))
+        out_j, hn_j = apply_fn(template, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(), atol=1e-5)
+        if kind == "LSTM":
+            np.testing.assert_allclose(np.asarray(hn_j[0]), hn_t[0].numpy(), atol=1e-5)
+        else:
+            np.testing.assert_allclose(np.asarray(hn_j), hn_t.numpy(), atol=1e-5)
+
+    def test_lstm_with_initial_state(self):
+        """A custom forward passing (h0, c0) must use them, not zeros."""
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Net(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.lstm = torch.nn.LSTM(3, 6, batch_first=True)
+                self.register_buffer("h0", torch.randn(1, 5, 6))
+                self.register_buffer("c0", torch.randn(1, 5, 6))
+
+            def forward(self, x):
+                out, _ = self.lstm(x, (self.h0, self.c0))
+                return out[:, -1]
+
+        torch.manual_seed(22)
+        net = Net().eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(22).randn(5, 9, 3).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        ours = np.asarray(apply_fn(template, jnp.asarray(x)))
+        np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    def test_weight_tying(self):
+        """Tied weights break flat-order contiguity: torch deduplicates
+        module.parameters(), so the tied layer's params are scattered."""
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Tied(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.enc = torch.nn.Linear(4, 4, bias=False)
+                self.mid = torch.nn.Linear(4, 4)
+                self.dec = torch.nn.Linear(4, 4)
+                self.dec.weight = self.enc.weight  # tie
+
+            def forward(self, x):
+                return self.dec(torch.relu(self.mid(torch.relu(self.enc(x)))))
+
+        torch.manual_seed(23)
+        net = Tied().eval()
+        assert len(list(net.parameters())) == 4  # dedup: enc.w, mid.w, mid.b, dec.b
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(23).randn(6, 4).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-5
+        )
+
+    def test_pool_ceil_mode_raises(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        net = torch.nn.Sequential(torch.nn.MaxPool2d(2, ceil_mode=True))
+        with pytest.raises(NotImplementedError, match="ceil_mode"):
+            from_torch_module(net)
+
+    def test_fx_pool_kwargs_raise(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Net(torch.nn.Module):
+            def forward(self, x):
+                return F.avg_pool2d(x, 2, count_include_pad=False)
+
+        apply_fn, template = from_torch_module(Net().eval())
+        with pytest.raises(NotImplementedError, match="count_include_pad"):
+            apply_fn(template, jnp.ones((1, 1, 4, 4)))
+
+    def test_multi_input_forward_raises(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class TwoInput(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.lin = torch.nn.Linear(4, 4)
+
+            def forward(self, x, mask):
+                return self.lin(x) * mask
+
+        with pytest.raises(TypeError, match="tensor inputs"):
+            from_torch_module(TwoInput().eval())

@@ -97,3 +97,21 @@ class TestHaltonJitter:
         kept = np.asarray(result.samples[:, 300:]).reshape(-1, 2)
         cov = np.cov(kept.T)
         np.testing.assert_allclose(cov, np.asarray(COV), atol=0.15)
+
+
+class TestChEESValidation:
+    def test_bad_jitter_name_raises(self, key):
+        from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
+
+        cfg = ChEESConfig(num_samples=4, trajectory_jitter="Halton")
+        with pytest.raises(ValueError, match="trajectory_jitter"):
+            run_chees(key, lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2), cfg)
+
+    def test_dense_mass_with_adapt_mass_raises(self, key):
+        from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
+
+        cfg = ChEESConfig(num_samples=8, burn=4, adapt_mass=True)
+        dense = jnp.eye(2) + 0.1
+        with pytest.raises(ValueError, match="DIAGONAL"):
+            run_chees(key, lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2), cfg,
+                      inv_mass=dense)

@@ -378,3 +378,26 @@ class TestCheckpointCodeReviewFixes:
         with pytest.raises(ValueError, match="DIAGONAL"):
             run_nuts_checkpointed(key, self.lp, jnp.zeros(2), cfg,
                                   str(tmp_path / "ck"), inv_mass=jnp.asarray(dense))
+
+
+class TestPartialDirectoryReuse:
+    def lp(self, theta):
+        return -0.5 * jnp.dot(theta, theta)
+
+    def test_shorter_request_acc_rate_uncontaminated(self, key, tmp_path):
+        """A directory from a longer completed run, re-read with a smaller
+        num_samples: acc_rate must cover ONLY the requested transitions."""
+        from hamiltorch_tpu.checkpoint import run_hmc_checkpointed
+
+        ck = str(tmp_path / "ck")
+        long_cfg = MCMCConfig(num_samples=60, num_steps_per_sample=5, step_size=0.2)
+        short_cfg = MCMCConfig(num_samples=40, num_steps_per_sample=5, step_size=0.2)
+        run_hmc_checkpointed(key, self.lp, jnp.zeros(2), long_cfg, ck, chunk_size=25)
+        r_short = run_hmc_checkpointed(key, self.lp, jnp.zeros(2), short_cfg, ck,
+                                       chunk_size=25)
+        r_direct = run_hmc_checkpointed(key, self.lp, jnp.zeros(2), short_cfg,
+                                        str(tmp_path / "ck2"), chunk_size=25)
+        assert r_short.samples.shape == (40, 2)
+        np.testing.assert_allclose(
+            float(r_short.acc_rate), float(r_direct.acc_rate), atol=1e-6
+        )
