@@ -392,3 +392,79 @@ def run_hmc_chains_sharded(
         check_vma=False,
     )
     return jax.jit(shard)(keys, theta0)
+
+
+def run_pt_sharded(
+    key,
+    log_prob_fn: Callable,
+    theta0,
+    config,  # PTConfig
+    mesh: Mesh,
+    num_ensembles: int,
+    inv_mass=None,
+):
+    """Independent parallel-tempering ladders sharded over the whole mesh.
+
+    Embarrassingly parallel at the ensemble level (no collectives): each
+    device runs its slice of the E ladders, each ladder a K-replica batched
+    scan, so the mesh multiplies cold-chain throughput for multimodal
+    targets.  Returns a PTResult with a leading ensemble axis, as
+    ``run_pt_chains``.
+    """
+    from ..samplers.tempering import (
+        PTInfo,
+        PTResult,
+        _run_pt_jit,
+        betas_from_log_gaps,
+    )
+
+    if config.burn >= config.num_samples:
+        raise RuntimeError("burn must be less than num_samples.")
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(
+            theta0, (num_ensembles, config.num_temps) + theta0.shape
+        )
+    elif theta0.ndim == 2:
+        theta0 = jnp.broadcast_to(theta0, (num_ensembles,) + theta0.shape)
+    lp, data = resolve_potential(log_prob_fn, None)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+    n_dev = len(mesh.devices.flatten())
+    if num_ensembles % n_dev:
+        raise ValueError(
+            f"num_ensembles={num_ensembles} not divisible by {n_dev} devices"
+        )
+    keys = jax.random.split(key, num_ensembles)
+    axes = tuple(mesh.axis_names)
+
+    def local(keys_l, thetas_l, data_l):
+        return jax.vmap(
+            lambda k, t: _run_pt_jit(k, t, lp, config, mass, data=data_l)
+        )(keys_l, thetas_l)
+
+    local_e = num_ensembles // n_dev
+    out_specs = _leading_axis_specs(
+        jax.eval_shape(local, keys[:local_e], theta0[:local_e], data), axes
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes), P(axes, None, None), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    traj, alphas, swaps, carry_f = jax.jit(shard)(keys, theta0, data)
+    burn = max(config.burn, 0)
+    return PTResult(
+        samples=traj[:, burn:, 0, :],
+        replica_samples=traj[:, burn:],
+        info=PTInfo(
+            accept_prob=alphas[:, burn:],
+            swap_accept=swaps[:, burn:],
+            betas=jax.vmap(
+                lambda s: betas_from_log_gaps(s, config.max_temp)
+            )(carry_f.s),
+            swap_rate_ema=carry_f.ema,
+        ),
+        final_carry=carry_f,
+    )

@@ -258,3 +258,54 @@ def assemble_pt_result(traj, alphas, swaps, carry_f: PTCarry,
         ),
         final_carry=carry_f,
     )
+
+
+def run_pt_chains(
+    key,
+    log_prob_fn,
+    theta0,
+    config: PTConfig,
+    num_ensembles: int,
+    inv_mass=None,
+) -> PTResult:
+    """``num_ensembles`` independent replica-exchange ladders, vmapped.
+
+    On TPU the ensemble axis is just one more batch dimension: E ladders x
+    K replicas run as E*K fused lanes in a single compiled scan.  Multiple
+    independent cold chains are what the multimodal convergence diagnostics
+    need (split/rank R-hat across E cold chains of a bimodal posterior
+    detects a mode a single ladder never visited).
+
+    Returns a PTResult with a leading ensemble axis: ``samples``
+    (E, N - burn, D) cold chains, ``replica_samples`` (E, N - burn, K, D),
+    per-ensemble info and carries.
+    """
+    if config.burn >= config.num_samples:
+        raise RuntimeError("burn must be less than num_samples.")
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(
+            theta0, (num_ensembles, config.num_temps) + theta0.shape
+        )
+    elif theta0.ndim == 2:
+        theta0 = jnp.broadcast_to(theta0, (num_ensembles,) + theta0.shape)
+    lp, data = resolve_potential(log_prob_fn, None)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+    keys = jax.random.split(key, num_ensembles)
+    traj, alphas, swaps, carry_f = jax.vmap(
+        lambda k, t: _run_pt_jit(k, t, lp, config, mass, data=data)
+    )(keys, theta0)
+    burn = max(config.burn, 0)
+    return PTResult(
+        samples=traj[:, burn:, 0, :],
+        replica_samples=traj[:, burn:],
+        info=PTInfo(
+            accept_prob=alphas[:, burn:],
+            swap_accept=swaps[:, burn:],
+            betas=jax.vmap(
+                lambda s: betas_from_log_gaps(s, config.max_temp)
+            )(carry_f.s),
+            swap_rate_ema=carry_f.ema,
+        ),
+        final_carry=carry_f,
+    )

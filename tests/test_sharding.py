@@ -260,3 +260,29 @@ class TestMultihostHelpers:
         r = run_hmc_chains_sharded(key, std_normal, jnp.zeros(2), config, mesh,
                                    num_chains=8)
         assert r.samples.shape == (8, 10, 2)
+
+
+class TestPTSharding:
+    def test_sharded_matches_vmapped(self, key):
+        """Mesh-sharded ensembles == the single-device vmapped runner."""
+        from hamiltorch_tpu.parallel.sharding import make_mesh, run_pt_sharded
+        from hamiltorch_tpu.samplers.tempering import PTConfig, run_pt_chains
+
+        lp = lambda t: jnp.logaddexp(
+            -0.5 * jnp.sum((t - 2.0) ** 2), -0.5 * jnp.sum((t + 2.0) ** 2)
+        )
+        cfg = PTConfig(num_samples=24, num_steps_per_sample=5, step_size=0.3,
+                       num_temps=4, burn=8, adapt_ladder=True)
+        mesh = make_mesh(chains=8)
+        r_sharded = run_pt_sharded(key, lp, jnp.zeros(2), cfg, mesh,
+                                   num_ensembles=8)
+        r_vmap = run_pt_chains(key, lp, jnp.zeros(2), cfg, num_ensembles=8)
+        assert r_sharded.samples.shape == (8, 16, 2)
+        np.testing.assert_allclose(
+            np.asarray(r_sharded.replica_samples),
+            np.asarray(r_vmap.replica_samples), atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_sharded.info.betas), np.asarray(r_vmap.info.betas),
+            rtol=1e-5,
+        )

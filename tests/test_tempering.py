@@ -99,3 +99,45 @@ class TestLadderAdaptation:
         cold = np.asarray(r.samples[500:])
         np.testing.assert_allclose(cold.mean(0), [0, 0], atol=0.12)
         np.testing.assert_allclose(cold.std(0), [1, 1], atol=0.12)
+
+
+class TestEnsemblePT:
+    def lp(self, t):
+        return jnp.logaddexp(
+            -0.5 * jnp.sum((t - 2.0) ** 2), -0.5 * jnp.sum((t + 2.0) ** 2)
+        )
+
+    def test_matches_per_ensemble_runs(self, key):
+        """vmapped ladders == the same ladders run one at a time."""
+        from hamiltorch_tpu.samplers.tempering import run_pt_chains, _run_pt_jit
+        from hamiltorch_tpu.ops.mass import make_mass
+
+        cfg = PTConfig(num_samples=30, num_steps_per_sample=5, step_size=0.3,
+                       num_temps=4, burn=10)
+        r = run_pt_chains(key, self.lp, jnp.zeros(2), cfg, num_ensembles=3)
+        assert r.samples.shape == (3, 20, 2)
+        assert r.replica_samples.shape == (3, 20, 4, 2)
+        keys = jax.random.split(key, 3)
+        mass = make_mass(None, 2)
+        theta0s = jnp.zeros((4, 2))
+        for e in range(3):
+            traj, _, _, _ = _run_pt_jit(keys[e], theta0s, self.lp, cfg, mass)
+            np.testing.assert_allclose(
+                np.asarray(r.replica_samples[e]), np.asarray(traj[10:]),
+                atol=1e-5,
+            )
+
+    def test_cross_ensemble_rhat_on_bimodal(self, key):
+        """E independent cold chains feed the multimodal convergence check
+        that a single ladder cannot provide."""
+        from hamiltorch_tpu.diagnostics import potential_scale_reduction
+        from hamiltorch_tpu.samplers.tempering import run_pt_chains
+
+        cfg = PTConfig(num_samples=1200, num_steps_per_sample=8, step_size=0.3,
+                       num_temps=6, max_temp=50.0, burn=200)
+        r = run_pt_chains(key, self.lp, jnp.zeros(2), cfg, num_ensembles=4)
+        rhat = np.asarray(potential_scale_reduction(r.samples))
+        assert np.all(rhat < 1.2), rhat
+        # every ensemble's cold chain visits both modes
+        frac_pos = np.asarray((r.samples[..., 0] > 0).mean(axis=1))
+        assert np.all(frac_pos > 0.15) and np.all(frac_pos < 0.85), frac_pos
