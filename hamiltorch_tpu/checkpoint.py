@@ -342,31 +342,29 @@ def run_nuts_checkpointed(
     of the GLOBAL warmup window schedule.  (Stats only; the per-draw
     NUTSInfo beyond MCMCStats is not persisted.)
     """
-    from .samplers.nuts import _run_nuts_jit
-    from .samplers.warmup import schedule_flags, welford_init
+    from .samplers.nuts import _run_nuts_jit, init_dense_metric, validate_nuts_mass
+    from .samplers.warmup import schedule_flags, welford_cov_init, welford_init
     from .ops.mass import DiagMass
 
     theta0 = jnp.asarray(theta0)
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[0])
     d = theta0.shape[0]
-    windowed = config.adapt_mass and config.burn > 0
-    from .ops.mass import IdentityMass
+    windowed = bool(config.adapt_mass) and config.burn > 0
     from .samplers.hmc import init_chain_state
 
-    if config.adapt_mass and not isinstance(mass, (DiagMass, IdentityMass)):
-        # same contract as run_nuts: never silently discard a dense mass
-        raise ValueError(
-            "adapt_mass estimates a DIAGONAL inverse mass; combining it with "
-            "a dense or block inv_mass is not supported — pass a diagonal "
-            "inv_mass (used to seed the adaptation) or none."
-        )
-    if isinstance(mass, DiagMass):
-        inv_diag0 = jnp.asarray(mass.inv_diag, theta0.dtype)
+    validate_nuts_mass(config, mass)  # same contract as run_nuts
+    if config.adapt_mass == "dense":
+        metric0 = init_dense_metric(mass, d, theta0.dtype)
+        wf0 = welford_cov_init(d, theta0.dtype)
     else:
-        inv_diag0 = jnp.ones((d,), theta0.dtype)
+        if isinstance(mass, DiagMass):
+            metric0 = jnp.asarray(mass.inv_diag, theta0.dtype)
+        else:
+            metric0 = jnp.ones((d,), theta0.dtype)
+        wf0 = welford_init(d, theta0.dtype)
     da0 = da_init(config.step_size, dtype=theta0.dtype)
-    warm0 = (welford_init(d, theta0.dtype), inv_diag0, jnp.zeros((), jnp.int32))
+    warm0 = (wf0, metric0, jnp.zeros((), jnp.int32))
     template = (_chain_state_template(theta0), da0, warm0)
 
     def init_carry_fn():

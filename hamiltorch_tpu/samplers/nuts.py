@@ -48,9 +48,13 @@ class NUTSConfig:
     max_tree_depth: int = 10
     adapt_step_size: bool = True
     desired_accept_rate: float = 0.8
-    # Stan-style windowed warmup: diagonal inverse mass from in-scan Welford
-    # variance estimates over doubling slow windows (samplers/warmup.py).
-    adapt_mass: bool = False
+    # Stan-style windowed warmup (samplers/warmup.py): False/True/"diag"
+    # estimates a diagonal inverse mass from in-scan Welford variances over
+    # doubling slow windows (True == "diag"); "dense" estimates the FULL
+    # posterior covariance (regularised toward a small identity) and runs
+    # with a dense metric — the right choice for strongly correlated
+    # targets, at O(D^2) memory and an O(D^3) factorisation per window.
+    adapt_mass: bool | str = False
 
 
 class _End(NamedTuple):
@@ -330,16 +334,20 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
         logp0, grad0 = vg(theta0)
     da0 = init_da if init_da is not None else da_init(config.step_size, dtype=theta0.dtype)
 
-    from ..ops.mass import DiagMass
+    from ..ops.mass import DenseMass, DiagMass
     from .warmup import (
         schedule_flags,
+        welford_cov_init,
+        welford_cov_update,
+        welford_covariance,
         welford_init,
         welford_update,
         welford_variance,
     )
 
     d = theta0.shape[0]
-    windowed = config.adapt_mass and config.burn > 0
+    windowed = bool(config.adapt_mass) and config.burn > 0
+    dense = windowed and config.adapt_mass == "dense"
     if collect_flags is None:
         if windowed:
             collect_flags, end_flags = schedule_flags(config.burn, 0, config.num_samples)
@@ -349,14 +357,16 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
 
     def step(carry, xs):
         n, collect, window_end = xs
-        theta, logp, grad, da, wf, inv_diag, da_t = carry
+        theta, logp, grad, da, wf, metric, da_t = carry
+        if dense:
+            cur_mass = DenseMass(inv_mass=metric[0], chol_mass=metric[1])
+        elif windowed:
+            cur_mass = DiagMass(inv_diag=metric)
+        else:
+            cur_mass = mass
         # per-draw key from (base key, global index): chunk-transparent
         sub = jax.random.fold_in(key, n)
-        transition = nuts_transition(
-            vg,
-            DiagMass(inv_diag=inv_diag) if windowed else mass,
-            config.max_tree_depth,
-        )
+        transition = nuts_transition(vg, cur_mass, config.max_tree_depth)
         theta_prev = theta
         theta, logp, grad, info = transition(sub, theta, logp, grad, da.step_size)
         # real per-draw outcome: did the multinomial selection move the chain
@@ -389,17 +399,34 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
             )
 
         if windowed:
-            wf_upd = welford_update(wf, theta)
+            wf_upd = (welford_cov_update if dense else welford_update)(wf, theta)
             wf = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(collect, a, b), wf_upd, wf
             )
             # at a slow-window boundary: adopt the variance estimate, reset
             # the accumulator, restart dual averaging around the current eps
-            inv_diag = jnp.where(window_end, welford_variance(wf), inv_diag)
-            wf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(window_end, a, b),
-                welford_init(d, theta.dtype), wf,
-            )
+            if dense:
+                # the O(D^3) inverse + Cholesky run only at boundaries
+                def adopt(args):
+                    wf_, _ = args
+                    inv_cov = welford_covariance(wf_)
+                    m = jnp.linalg.inv(inv_cov)
+                    chol = jnp.linalg.cholesky(0.5 * (m + m.T))
+                    return inv_cov, chol
+
+                metric = jax.lax.cond(
+                    window_end, adopt, lambda args: args[1], (wf, metric)
+                )
+                wf = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(window_end, a, b),
+                    welford_cov_init(d, theta.dtype), wf,
+                )
+            else:
+                metric = jnp.where(window_end, welford_variance(wf), metric)
+                wf = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(window_end, a, b),
+                    welford_init(d, theta.dtype), wf,
+                )
             da_reset = DualAveragingState(
                 step_size=da.step_size,
                 log_eps_bar=jnp.zeros_like(da.log_eps_bar),
@@ -411,26 +438,30 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
             )
 
         da_t = jnp.where(window_end, 0, da_t + 1)
-        return (theta, logp, grad, da, wf, inv_diag, da_t), (theta, info, moved)
+        return (theta, logp, grad, da, wf, metric, da_t), (theta, info, moved)
 
-    # seed the adaptive diagonal from the user's mass (identity -> ones)
+    # seed the adaptive metric from the user's mass (identity -> ones / I)
     from ..ops.mass import DiagMass as _DiagMass
 
     if init_warm is not None:
-        wf0, inv_diag0, da_t0 = init_warm
+        wf0, metric0, da_t0 = init_warm
     else:
-        if isinstance(mass, _DiagMass):
-            inv_diag0 = jnp.asarray(mass.inv_diag, theta0.dtype)
+        if dense:
+            metric0 = init_dense_metric(mass, d, theta0.dtype)
+            wf0 = welford_cov_init(d, theta0.dtype)
         else:
-            inv_diag0 = jnp.ones((d,), theta0.dtype)
-        wf0 = welford_init(d, theta0.dtype)
+            if isinstance(mass, _DiagMass):
+                metric0 = jnp.asarray(mass.inv_diag, theta0.dtype)
+            else:
+                metric0 = jnp.ones((d,), theta0.dtype)
+            wf0 = welford_init(d, theta0.dtype)
         da_t0 = jnp.zeros((), jnp.int32)
     (
-        (theta_f, logp_f, grad_f, da_f, wf_f, inv_diag_f, da_t_f),
+        (theta_f, logp_f, grad_f, da_f, wf_f, metric_f, da_t_f),
         (thetas, infos, moved),
     ) = jax.lax.scan(
         step,
-        (theta0, logp0, grad0, da0, wf0, inv_diag0, da_t0),
+        (theta0, logp0, grad0, da0, wf0, metric0, da_t0),
         (start_iter + jnp.arange(config.num_samples), collect_flags, end_flags),
     )
     stats = MCMCStats(
@@ -453,10 +484,28 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
             acc_rate=jnp.mean(infos.accept_prob),
             final_state=ChainState(theta_f, logp_f, grad_f),
             final_da=da_f,
-            final_warm=(wf_f, inv_diag_f, da_t_f),
+            final_warm=(wf_f, metric_f, da_t_f),
         ),
         infos,
     )
+
+
+def init_dense_metric(mass, d: int, dtype):
+    """(inv_cov, chol_mass) seed for dense windowed warmup, from the user's
+    mass operator: dense -> as given; diagonal -> diag embedding; identity
+    -> (I, I)."""
+    from ..ops.mass import DenseMass, DiagMass
+
+    if isinstance(mass, DenseMass):
+        return (
+            jnp.asarray(mass.inv_mass, dtype),
+            jnp.asarray(mass.chol_mass, dtype),
+        )
+    if isinstance(mass, DiagMass):
+        inv_diag = jnp.asarray(mass.inv_diag, dtype)
+        return jnp.diag(inv_diag), jnp.diag(jax.lax.rsqrt(inv_diag))
+    eye = jnp.eye(d, dtype=dtype)
+    return eye, eye
 
 
 def run_nuts(
@@ -477,15 +526,33 @@ def run_nuts(
     theta0 = jnp.asarray(theta0)
     lp, data = resolve_potential(log_prob_fn, pass_grad)
     mass = make_mass(inv_mass, theta0.shape[0])
-    from ..ops.mass import DiagMass, IdentityMass
+    validate_nuts_mass(config, mass)
+    return _run_nuts_jit(key, theta0, lp, config, mass, data=data)
 
-    if config.adapt_mass and not isinstance(mass, (DiagMass, IdentityMass)):
+
+def validate_nuts_mass(config: NUTSConfig, mass) -> None:
+    """adapt_mass mode vs user inv_mass compatibility (shared with the
+    checkpointed runner)."""
+    from ..ops.mass import DenseMass, DiagMass, IdentityMass
+
+    if config.adapt_mass not in (False, True, "diag", "dense"):
+        raise ValueError(
+            f"adapt_mass={config.adapt_mass!r}; expected False, True, "
+            "'diag' or 'dense'"
+        )
+    if config.adapt_mass == "dense":
+        if not isinstance(mass, (DenseMass, DiagMass, IdentityMass)):
+            raise ValueError(
+                "adapt_mass='dense' cannot seed from a block-diagonal "
+                "inv_mass — pass a dense or diagonal inv_mass, or none."
+            )
+    elif config.adapt_mass and not isinstance(mass, (DiagMass, IdentityMass)):
         raise ValueError(
             "adapt_mass estimates a DIAGONAL inverse mass; combining it with "
             "a dense or block inv_mass is not supported — pass a diagonal "
-            "inv_mass (used to seed the adaptation) or none."
+            "inv_mass (used to seed the adaptation), none, or "
+            "adapt_mass='dense'."
         )
-    return _run_nuts_jit(key, theta0, lp, config, mass, data=data)
 
 
 def run_nuts_chains(
@@ -507,6 +574,7 @@ def run_nuts_chains(
     keys = jax.random.split(key, num_chains)
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
+    validate_nuts_mass(config, mass)
     return jax.vmap(
         lambda k, t: _run_nuts_jit(k, t, lp, config, mass, data=data)
     )(keys, theta0)

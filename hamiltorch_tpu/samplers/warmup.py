@@ -74,6 +74,43 @@ def welford_variance(state: WelfordState) -> jnp.ndarray:
     return (n / (n + 5.0)) * var + 1e-3 * (5.0 / (n + 5.0))
 
 
+class WelfordCovState(NamedTuple):
+    """Full-covariance accumulator for DENSE metric warmup."""
+
+    count: jnp.ndarray  # scalar
+    mean: jnp.ndarray  # (D,)
+    m2: jnp.ndarray  # (D, D) sum of outer-product deviations
+
+
+def welford_cov_init(dim: int, dtype=jnp.float32) -> WelfordCovState:
+    return WelfordCovState(
+        count=jnp.zeros((), dtype),
+        mean=jnp.zeros((dim,), dtype),
+        m2=jnp.zeros((dim, dim), dtype),
+    )
+
+
+def welford_cov_update(state: WelfordCovState, x: jnp.ndarray) -> WelfordCovState:
+    count = state.count + 1.0
+    delta = x - state.mean
+    mean = state.mean + delta / count
+    m2 = state.m2 + jnp.outer(delta, x - mean)
+    return WelfordCovState(count, mean, m2)
+
+
+def welford_covariance(state: WelfordCovState) -> jnp.ndarray:
+    """Stan's regularised dense estimate:
+    (n/(n+5))*cov + 1e-3*(5/(n+5))*I — shrinkage toward a small identity
+    keeps the metric SPD through early windows with few draws."""
+    n = jnp.maximum(state.count, 2.0)
+    cov = state.m2 / (n - 1.0)
+    cov = 0.5 * (cov + cov.T)
+    d = cov.shape[0]
+    return (n / (n + 5.0)) * cov + (1e-3 * 5.0 / (n + 5.0)) * jnp.eye(
+        d, dtype=cov.dtype
+    )
+
+
 def build_schedule(
     burn: int,
     init_buffer: int = 75,

@@ -244,3 +244,75 @@ class TestEnsembleNUTS:
         ss = np.asarray(result.stats.step_size)
         assert ss.shape == (400, 8)
         np.testing.assert_array_equal(ss, np.broadcast_to(ss[:, :1], ss.shape))
+
+
+class TestDenseMassWarmup:
+    """adapt_mass='dense': full-covariance Stan-style windowed warmup."""
+
+    def setup_method(self):
+        cov = jnp.asarray([[1.0, 0.95], [0.95, 1.0]])
+        self.prec = jnp.linalg.inv(cov)
+
+    def lp(self, t):
+        return -0.5 * t @ self.prec @ t
+
+    def test_learns_correlation_and_beats_diag(self, key):
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts
+
+        dense_cfg = NUTSConfig(num_samples=700, step_size=0.2, burn=400,
+                               adapt_mass="dense")
+        diag_cfg = NUTSConfig(num_samples=700, step_size=0.2, burn=400,
+                              adapt_mass=True)
+        r, info = run_nuts(key, self.lp, jnp.zeros(2), dense_cfg)
+        rd, infod = run_nuts(key, self.lp, jnp.zeros(2), diag_cfg)
+        _, metric, _ = r.final_warm
+        inv_cov = np.asarray(metric[0])
+        # the adapted metric is the posterior covariance: strong off-diagonal
+        corr = inv_cov[0, 1] / np.sqrt(inv_cov[0, 0] * inv_cov[1, 1])
+        assert corr > 0.8, corr
+        # a metric matched to the correlation needs far shorter trajectories
+        leap_dense = float(jnp.mean(info.num_leapfrogs[400:]))
+        leap_diag = float(jnp.mean(infod.num_leapfrogs[400:]))
+        assert leap_dense < 0.6 * leap_diag, (leap_dense, leap_diag)
+        kept = np.asarray(r.samples[400:])
+        assert np.all(np.isfinite(kept))
+
+    def test_dense_resume_matches_direct(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_nuts_checkpointed
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts
+
+        full = NUTSConfig(num_samples=220, step_size=0.3, burn=180,
+                          adapt_mass="dense")
+        half = NUTSConfig(num_samples=90, step_size=0.3, burn=180,
+                          adapt_mass="dense")
+        ck = str(tmp_path / "ck")
+        run_nuts_checkpointed(key, self.lp, jnp.zeros(2), half, ck, chunk_size=40)
+        r_resumed = run_nuts_checkpointed(key, self.lp, jnp.zeros(2), full, ck,
+                                          chunk_size=40)
+        r_direct, _ = run_nuts(key, self.lp, jnp.zeros(2), full)
+        np.testing.assert_allclose(
+            np.asarray(r_resumed.samples), np.asarray(r_direct.samples),
+            atol=1e-5,
+        )
+        _, m_res, _ = r_resumed.final_warm
+        _, m_dir, _ = r_direct.final_warm
+        np.testing.assert_allclose(
+            np.asarray(m_res[0]), np.asarray(m_dir[0]), rtol=1e-5
+        )
+
+    def test_validation(self, key):
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts
+
+        with pytest.raises(ValueError, match="expected False"):
+            run_nuts(key, self.lp, jnp.zeros(2),
+                     NUTSConfig(num_samples=4, burn=2, adapt_mass="banana"))
+        dense_seed = jnp.asarray([[1.0, 0.2], [0.2, 1.0]])
+        with pytest.raises(ValueError, match="DIAGONAL"):
+            run_nuts(key, self.lp, jnp.zeros(2),
+                     NUTSConfig(num_samples=4, burn=2, adapt_mass=True),
+                     inv_mass=dense_seed)
+        # dense adaptation SEEDS from a dense inv_mass instead of rejecting
+        r, _ = run_nuts(key, self.lp, jnp.zeros(2),
+                        NUTSConfig(num_samples=8, burn=4, adapt_mass="dense"),
+                        inv_mass=dense_seed)
+        assert bool(jnp.all(jnp.isfinite(r.samples)))
