@@ -342,9 +342,8 @@ def run_nuts_checkpointed(
     of the GLOBAL warmup window schedule.  (Stats only; the per-draw
     NUTSInfo beyond MCMCStats is not persisted.)
     """
-    from .samplers.nuts import _run_nuts_jit, init_dense_metric, validate_nuts_mass
-    from .samplers.warmup import schedule_flags, welford_cov_init, welford_init
-    from .ops.mass import DiagMass
+    from .samplers.nuts import _run_nuts_jit, init_metric_seed, validate_nuts_mass
+    from .samplers.warmup import schedule_flags
 
     theta0 = jnp.asarray(theta0)
     lp, data = resolve_potential(log_prob_fn, None)
@@ -354,15 +353,11 @@ def run_nuts_checkpointed(
     from .samplers.hmc import init_chain_state
 
     validate_nuts_mass(config, mass)  # same contract as run_nuts
-    if config.adapt_mass == "dense":
-        metric0 = init_dense_metric(mass, d, theta0.dtype)
-        wf0 = welford_cov_init(d, theta0.dtype)
-    else:
-        if isinstance(mass, DiagMass):
-            metric0 = jnp.asarray(mass.inv_diag, theta0.dtype)
-        else:
-            metric0 = jnp.ones((d,), theta0.dtype)
-        wf0 = welford_init(d, theta0.dtype)
+    # the SAME seed the sampler computes: resume must adapt from the
+    # identical metric an uninterrupted run would
+    wf0, metric0 = init_metric_seed(
+        mass, d, theta0.dtype, dense=config.adapt_mass == "dense"
+    )
     da0 = da_init(config.step_size, dtype=theta0.dtype)
     warm0 = (wf0, metric0, jnp.zeros((), jnp.int32))
     template = (_chain_state_template(theta0), da0, warm0)

@@ -152,11 +152,14 @@ def run_nuts_chains_sharded(
     """
     from ..samplers.nuts import _run_nuts_jit
 
+    from ..samplers.nuts import validate_nuts_mass
+
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
     keys = jax.random.split(key, num_chains)
     mass = make_mass(inv_mass, theta0.shape[-1])
+    validate_nuts_mass(config, mass)
     n_dev = len(mesh.devices.flatten())
     if num_chains % n_dev:
         raise ValueError(f"num_chains={num_chains} not divisible by {n_dev} devices")
@@ -412,10 +415,9 @@ def run_pt_sharded(
     ``run_pt_chains``.
     """
     from ..samplers.tempering import (
-        PTInfo,
-        PTResult,
         _run_pt_jit,
-        betas_from_log_gaps,
+        assemble_pt_ensemble_result,
+        check_num_temps,
     )
 
     if config.burn >= config.num_samples:
@@ -427,6 +429,7 @@ def run_pt_sharded(
         )
     elif theta0.ndim == 2:
         theta0 = jnp.broadcast_to(theta0, (num_ensembles,) + theta0.shape)
+    check_num_temps(theta0, config)
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
     n_dev = len(mesh.devices.flatten())
@@ -454,17 +457,4 @@ def run_pt_sharded(
         check_vma=False,
     )
     traj, alphas, swaps, carry_f = jax.jit(shard)(keys, theta0, data)
-    burn = max(config.burn, 0)
-    return PTResult(
-        samples=traj[:, burn:, 0, :],
-        replica_samples=traj[:, burn:],
-        info=PTInfo(
-            accept_prob=alphas[:, burn:],
-            swap_accept=swaps[:, burn:],
-            betas=jax.vmap(
-                lambda s: betas_from_log_gaps(s, config.max_temp)
-            )(carry_f.s),
-            swap_rate_ema=carry_f.ema,
-        ),
-        final_carry=carry_f,
-    )
+    return assemble_pt_ensemble_result(traj, alphas, swaps, carry_f, config)

@@ -233,8 +233,12 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             u = jax.random.uniform(k_jit, (), dtype)
         traj_t = u * jnp.exp(log_t)
         eps = da.step_size
-        num_steps = jnp.maximum(
-            1, jnp.ceil(traj_t / eps).astype(jnp.int32)
+        # capped HERE so info.num_leapfrog records the steps actually
+        # executed (dual averaging can shrink eps after log_t was clipped,
+        # pushing the raw ceil past max_leapfrog_steps)
+        num_steps = jnp.minimum(
+            jnp.maximum(1, jnp.ceil(traj_t / eps).astype(jnp.int32)),
+            config.max_leapfrog_steps,
         )
 
         ps = jax.vmap(lambda k: cur_mass.sample(k, dtype=dtype))(mom_keys)

@@ -440,21 +440,10 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
         da_t = jnp.where(window_end, 0, da_t + 1)
         return (theta, logp, grad, da, wf, metric, da_t), (theta, info, moved)
 
-    # seed the adaptive metric from the user's mass (identity -> ones / I)
-    from ..ops.mass import DiagMass as _DiagMass
-
     if init_warm is not None:
         wf0, metric0, da_t0 = init_warm
     else:
-        if dense:
-            metric0 = init_dense_metric(mass, d, theta0.dtype)
-            wf0 = welford_cov_init(d, theta0.dtype)
-        else:
-            if isinstance(mass, _DiagMass):
-                metric0 = jnp.asarray(mass.inv_diag, theta0.dtype)
-            else:
-                metric0 = jnp.ones((d,), theta0.dtype)
-            wf0 = welford_init(d, theta0.dtype)
+        wf0, metric0 = init_metric_seed(mass, d, theta0.dtype, dense)
         da_t0 = jnp.zeros((), jnp.int32)
     (
         (theta_f, logp_f, grad_f, da_f, wf_f, metric_f, da_t_f),
@@ -488,6 +477,22 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
         ),
         infos,
     )
+
+
+def init_metric_seed(mass, d: int, dtype, dense: bool):
+    """(wf0, metric0) warmup seed from the user's mass operator.
+
+    Shared by the in-sampler scans and the checkpointed runner — the two
+    must agree bit-exactly or a resumed run would adapt from a different
+    metric than an uninterrupted one."""
+    from ..ops.mass import DiagMass
+    from .warmup import welford_cov_init, welford_init
+
+    if dense:
+        return welford_cov_init(d, dtype), init_dense_metric(mass, d, dtype)
+    if isinstance(mass, DiagMass):
+        return welford_init(d, dtype), jnp.asarray(mass.inv_diag, dtype)
+    return welford_init(d, dtype), jnp.ones((d,), dtype)
 
 
 def init_dense_metric(mass, d: int, dtype):
@@ -613,10 +618,7 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
     else:
         collect_flags = jnp.zeros(config.num_samples, bool)
         end_flags = jnp.zeros(config.num_samples, bool)
-    if isinstance(mass, DiagMass):
-        inv_diag0 = jnp.asarray(mass.inv_diag, dtype)
-    else:
-        inv_diag0 = jnp.ones((d,), dtype)
+    _, inv_diag0 = init_metric_seed(mass, d, dtype, dense=False)
     chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), c)
 
     def step(carry, xs):
@@ -731,11 +733,11 @@ def run_nuts_ensemble(
         theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
-    from ..ops.mass import DiagMass, IdentityMass
-
-    if config.adapt_mass and not isinstance(mass, (DiagMass, IdentityMass)):
-        raise ValueError(
-            "adapt_mass estimates a DIAGONAL inverse mass; pass a diagonal "
-            "inv_mass (used to seed the adaptation) or none."
+    if config.adapt_mass == "dense":
+        raise NotImplementedError(
+            "run_nuts_ensemble pools a DIAGONAL Welford estimate across "
+            "chains; adapt_mass='dense' is supported by run_nuts / "
+            "run_nuts_chains / run_nuts_checkpointed."
         )
+    validate_nuts_mass(config, mass)
     return _run_nuts_ensemble_jit(key, theta0, lp, config, mass, data=data)

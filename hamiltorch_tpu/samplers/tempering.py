@@ -76,6 +76,17 @@ class PTCarry(NamedTuple):
     ema: jnp.ndarray  # (K-1,) per-pair swap-acceptance EMA
 
 
+def check_num_temps(theta0: jnp.ndarray, config: PTConfig) -> None:
+    """A 2-d/3-d theta0's replica axis must agree with config.num_temps —
+    otherwise the array shape would silently override the configured ladder."""
+    if theta0.ndim >= 2 and theta0.shape[-2] != config.num_temps:
+        raise ValueError(
+            f"theta0 provides {theta0.shape[-2]} replicas but "
+            f"config.num_temps={config.num_temps}; the replica axis sets the "
+            "ladder size — make them agree."
+        )
+
+
 def betas_from_log_gaps(s: jnp.ndarray, max_temp: float) -> jnp.ndarray:
     """Ladder parameterisation: log temperature gaps S_i = log(T_{i+1}-T_i),
     renormalised so T_0 = 1 and T_{K-1} = max_temp stay pinned no matter how
@@ -237,6 +248,7 @@ def run_parallel_tempering(
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(theta0, (config.num_temps,) + theta0.shape)
+    check_num_temps(theta0, config)
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
     traj, alphas, swaps, carry_f = _run_pt_jit(key, theta0, lp, config, mass, data=data)
@@ -289,12 +301,21 @@ def run_pt_chains(
         )
     elif theta0.ndim == 2:
         theta0 = jnp.broadcast_to(theta0, (num_ensembles,) + theta0.shape)
+    check_num_temps(theta0, config)
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
     keys = jax.random.split(key, num_ensembles)
     traj, alphas, swaps, carry_f = jax.vmap(
         lambda k, t: _run_pt_jit(k, t, lp, config, mass, data=data)
     )(keys, theta0)
+    return assemble_pt_ensemble_result(traj, alphas, swaps, carry_f, config)
+
+
+def assemble_pt_ensemble_result(traj, alphas, swaps, carry_f: PTCarry,
+                                config: PTConfig) -> PTResult:
+    """Ensemble-axis variant of :func:`assemble_pt_result`: burn-slice
+    (E, N, K, D) trajectories into a PTResult with a leading ensemble axis.
+    Shared by the vmapped and mesh-sharded runners."""
     burn = max(config.burn, 0)
     return PTResult(
         samples=traj[:, burn:, 0, :],

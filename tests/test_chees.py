@@ -115,3 +115,14 @@ class TestChEESValidation:
         with pytest.raises(ValueError, match="DIAGONAL"):
             run_chees(key, lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2), cfg,
                       inv_mass=dense)
+
+
+class TestLeapfrogCapReporting:
+    def test_num_leapfrog_never_exceeds_cap(self, key):
+        """info.num_leapfrog must report EXECUTED steps, <= the cap."""
+        cfg = ChEESConfig(num_samples=40, burn=20, step_size=0.001,
+                          init_trajectory_length=5.0, max_leapfrog_steps=25)
+        r = run_chees(key, lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2), cfg,
+                      num_chains=8)
+        assert int(jnp.max(r.info.num_leapfrog)) <= 25
+        assert int(jnp.max(r.info.num_leapfrog)) >= 25  # cap actually binds here

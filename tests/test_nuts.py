@@ -316,3 +316,33 @@ class TestDenseMassWarmup:
                         NUTSConfig(num_samples=8, burn=4, adapt_mass="dense"),
                         inv_mass=dense_seed)
         assert bool(jnp.all(jnp.isfinite(r.samples)))
+
+
+class TestEntryPointValidation:
+    def test_ensemble_rejects_dense_mode(self, key):
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
+
+        with pytest.raises(NotImplementedError, match="dense"):
+            run_nuts_ensemble(key, lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2),
+                              NUTSConfig(num_samples=4, burn=2, adapt_mass="dense"),
+                              num_chains=4)
+
+    def test_ensemble_rejects_bad_string(self, key):
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
+
+        with pytest.raises(ValueError, match="expected False"):
+            run_nuts_ensemble(key, lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2),
+                              NUTSConfig(num_samples=4, burn=2, adapt_mass="Dense"),
+                              num_chains=4)
+
+    def test_sharded_chains_reject_dense_seed_with_diag_mode(self, key):
+        from hamiltorch_tpu.parallel.sharding import make_mesh, run_nuts_chains_sharded
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig
+
+        mesh = make_mesh(chains=8)
+        dense = jnp.eye(2) + 0.1
+        with pytest.raises(ValueError, match="DIAGONAL"):
+            run_nuts_chains_sharded(key, lambda t: -0.5 * jnp.sum(t**2),
+                                    jnp.zeros(2),
+                                    NUTSConfig(num_samples=4, burn=2, adapt_mass=True),
+                                    mesh, num_chains=8, inv_mass=dense)

@@ -141,3 +141,19 @@ class TestEnsemblePT:
         # every ensemble's cold chain visits both modes
         frac_pos = np.asarray((r.samples[..., 0] > 0).mean(axis=1))
         assert np.all(frac_pos > 0.15) and np.all(frac_pos < 0.85), frac_pos
+
+
+class TestPTValidation:
+    def test_replica_axis_mismatch_raises(self, key):
+        cfg = PTConfig(num_samples=8, num_temps=8)
+        with pytest.raises(ValueError, match="replicas"):
+            run_parallel_tempering(key, lambda t: -0.5 * jnp.sum(t**2),
+                                   jnp.zeros((4, 2)), cfg)
+
+    def test_ensemble_replica_axis_mismatch_raises(self, key):
+        from hamiltorch_tpu.samplers.tempering import run_pt_chains
+
+        cfg = PTConfig(num_samples=8, num_temps=8)
+        with pytest.raises(ValueError, match="replicas"):
+            run_pt_chains(key, lambda t: -0.5 * jnp.sum(t**2),
+                          jnp.zeros((3, 4, 2)), cfg, num_ensembles=3)
