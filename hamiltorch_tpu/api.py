@@ -100,6 +100,20 @@ def sample(
             "thin is not supported for Sampler.NUTS through sample(); use "
             "run_nuts and slice the result."
         )
+    if progress_every and sampler == Sampler.NUTS:
+        raise RuntimeError(
+            "progress_every is not supported for Sampler.NUTS through "
+            "sample(); ignoring it silently would leave a long run looking "
+            "hung — use run_nuts (or chunked run_nuts_checkpointed) instead."
+        )
+    if not store_on_GPU and (
+        sampler in (Sampler.NUTS, Sampler.RMHMC) or integrator in _SPLITTING
+    ):
+        raise RuntimeError(
+            "store_on_GPU=False (host offload of the trace) is implemented "
+            "for the plain-HMC paths only; for long NUTS runs use "
+            "checkpoint.run_nuts_checkpointed, which streams per chunk."
+        )
     if adapt_mass and sampler != Sampler.NUTS:
         raise RuntimeError(
             "adapt_mass (windowed mass warmup) is available for Sampler.NUTS "

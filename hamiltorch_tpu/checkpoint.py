@@ -404,6 +404,7 @@ def run_pt_checkpointed(
     from .samplers.tempering import (
         PTCarry,
         assemble_pt_result,
+        check_num_temps,
         init_pt_carry,
         _run_pt_jit,
     )
@@ -411,6 +412,7 @@ def run_pt_checkpointed(
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(theta0, (config.num_temps,) + theta0.shape)
+    check_num_temps(theta0, config)
     # no burn < num_samples guard here: an interrupted run may legitimately
     # stop inside the burn window; burn slicing happens only at assembly
     lp, data = resolve_potential(log_prob_fn, None)

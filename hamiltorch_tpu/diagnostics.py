@@ -107,17 +107,20 @@ def _rank_normalize(samples: jnp.ndarray) -> jnp.ndarray:
     return z.reshape(c, n, d).astype(samples.dtype)
 
 
-def rank_normalized_rhat(samples: jnp.ndarray) -> jnp.ndarray:
+def rank_normalized_rhat(samples: jnp.ndarray, z_bulk=None) -> jnp.ndarray:
     """Rank-normalized split-R-hat (Vehtari et al. 2021), per dimension.
 
     max(split-R-hat of the rank-normal scores, split-R-hat of the FOLDED
     scores |x - median|) — the folded half catches chains that agree in
     mean but disagree in variance, which classic split-R-hat misses.
     ``samples``: (num_chains, num_draws, D) or (num_draws, D).
+    ``z_bulk`` optionally passes precomputed ``_rank_normalize(samples)``
+    (``summary`` shares it with ``bulk_ess``).
     """
     if samples.ndim == 2:
         samples = samples[None]
-    z_bulk = _rank_normalize(samples)
+    if z_bulk is None:
+        z_bulk = _rank_normalize(samples)
     folded = jnp.abs(samples - jnp.median(samples, axis=(0, 1), keepdims=True))
     z_fold = _rank_normalize(folded)
     return jnp.maximum(
@@ -125,11 +128,13 @@ def rank_normalized_rhat(samples: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def bulk_ess(samples: jnp.ndarray) -> jnp.ndarray:
+def bulk_ess(samples: jnp.ndarray, z_bulk=None) -> jnp.ndarray:
     """Rank-normalized ESS — mixing in the bulk of the distribution."""
     if samples.ndim == 2:
         samples = samples[None]
-    return effective_sample_size(_rank_normalize(samples))
+    if z_bulk is None:
+        z_bulk = _rank_normalize(samples)
+    return effective_sample_size(z_bulk)
 
 
 def tail_ess(samples: jnp.ndarray, prob: float = 0.05) -> jnp.ndarray:
@@ -151,27 +156,34 @@ def tail_ess(samples: jnp.ndarray, prob: float = 0.05) -> jnp.ndarray:
     return jnp.minimum(ess_of_indicator(prob), ess_of_indicator(1.0 - prob))
 
 
-def mcse_mean(samples: jnp.ndarray) -> jnp.ndarray:
+def mcse_mean(samples: jnp.ndarray, ess=None) -> jnp.ndarray:
     """Monte Carlo standard error of the posterior mean: sd / sqrt(ESS)."""
     if samples.ndim == 2:
         samples = samples[None]
     sd = jnp.std(samples.reshape(-1, samples.shape[-1]), axis=0, ddof=1)
-    return sd / jnp.sqrt(effective_sample_size(samples))
+    if ess is None:
+        ess = effective_sample_size(samples)
+    return sd / jnp.sqrt(ess)
 
 
 def summary(samples: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """Per-dimension posterior summary: mean, std, ESS (raw + bulk + tail),
-    split-R-hat (classic + rank-normalized), MCSE of the mean."""
+    split-R-hat (classic + rank-normalized), MCSE of the mean.
+
+    The FFT-ESS and rank-normalization passes dominate the cost (O(C*D*
+    N log N)); each is computed once and shared across the statistics."""
     if samples.ndim == 2:
         samples = samples[None]
     flat = samples.reshape(-1, samples.shape[-1])
+    ess = effective_sample_size(samples)
+    z_bulk = _rank_normalize(samples)
     return {
         "mean": jnp.mean(flat, axis=0),
         "std": jnp.std(flat, axis=0),
-        "ess": effective_sample_size(samples),
-        "ess_bulk": bulk_ess(samples),
+        "ess": ess,
+        "ess_bulk": bulk_ess(samples, z_bulk=z_bulk),
         "ess_tail": tail_ess(samples),
         "r_hat": potential_scale_reduction(samples),
-        "r_hat_rank": rank_normalized_rhat(samples),
-        "mcse_mean": mcse_mean(samples),
+        "r_hat_rank": rank_normalized_rhat(samples, z_bulk=z_bulk),
+        "mcse_mean": mcse_mean(samples, ess=ess),
     }

@@ -201,11 +201,20 @@ def define_model_log_prob(
     return log_prob_func, flat_init, unravel
 
 
-def _as_batches(train_loader, num_splits: Optional[int] = None):
+def _as_batches(train_loader, num_splits: Optional[int] = None,
+                keep_tail: bool = False):
     """Materialise (x, y) batches from a torch DataLoader or any iterable of
-    pairs; equal-size batches only (ragged tails are dropped, mirroring the
-    reference's 'ensure each batch is the same length' requirement,
-    samplers.py:1221-1222)."""
+    pairs.
+
+    Default (training / splitting): equal-size batches only — ragged tails
+    are dropped, mirroring the reference's 'ensure each batch is the same
+    length' requirement for SPLIT training (samplers.py:1221-1222).
+
+    ``keep_tail=True`` (prediction): returns ``(xs, ys, tail)`` where
+    xs/ys stack the leading equal-size run for a ``lax.scan`` and ``tail``
+    lists the remaining (differently-sized) batches in loader order —
+    prediction must cover the WHOLE test set, ragged final batch included.
+    """
     import numpy as np
 
     xs, ys = [], []
@@ -219,6 +228,18 @@ def _as_batches(train_loader, num_splits: Optional[int] = None):
     if not xs:
         raise ValueError("train_loader yielded no batches")
     n0 = xs[0].shape[0]
+    if keep_tail:
+        cut = len(xs)
+        for i in range(len(xs)):
+            if xs[i].shape[0] != n0:
+                cut = i
+                break
+        tail = [
+            (jnp.asarray(xs[i]), jnp.asarray(ys[i])) for i in range(cut, len(xs))
+        ]
+        xs_s = jnp.stack([jnp.asarray(b) for b in xs[:cut]])
+        ys_s = jnp.stack([jnp.asarray(b) for b in ys[:cut]])
+        return xs_s, ys_s, tail
     keep = [i for i in range(len(xs)) if xs[i].shape[0] == n0]
     xs = jnp.stack([jnp.asarray(xs[i]) for i in keep])
     ys = jnp.stack([jnp.asarray(ys[i]) for i in keep])
@@ -419,18 +440,20 @@ def predict_model(
     samples = jnp.stack(list(samples)) if not isinstance(samples, jnp.ndarray) else samples
 
     if test_loader is not None:
-        xs, ys = _as_batches(test_loader, None)  # (M, B, ...) stacked batches
+        # stacked equal-size run + ragged remainder (usually the final
+        # batch) — prediction covers the WHOLE test set, unlike split
+        # training where ragged batches are rejected
+        xs, ys, tail = _as_batches(test_loader, None, keep_tail=True)
         log_prob_func, _, _ = define_model_log_prob(
             model, model_loss, xs[0], ys[0], tau_list=tau_list, tau_out=tau_out,
             predict=True, params_template=params_template,
         )
         raw = log_prob_func._raw_fn
-        m_batches = int(xs.shape[0])
 
         @jax.jit
         def batched_stream(thetas, xs_, ys_):
-            # each raw(theta, batch) counts the prior once; the total
-            # log-prob over M batches must count it exactly once
+            # each raw(theta, batch) counts the prior once; correction to
+            # count it exactly once happens after the tail batches
             priors = jax.vmap(lambda t: raw(t, None))(thetas)
 
             def per_batch(acc, xy):
@@ -440,14 +463,22 @@ def predict_model(
             lls, outs = jax.lax.scan(
                 per_batch, jnp.zeros(thetas.shape[:1], thetas.dtype), (xs_, ys_)
             )
-            lps = lls - (m_batches - 1) * priors
             # outs: (M, S, B, O) -> (S, M*B, O)
             preds = jnp.swapaxes(outs, 0, 1).reshape(
                 (thetas.shape[0], -1) + outs.shape[3:]
             )
-            return preds, lps
+            return preds, lls, priors
 
-        return batched_stream(samples, xs, ys)
+        preds, lls, priors = batched_stream(samples, xs, ys)
+        parts = [preds]
+        n_batches = int(xs.shape[0])
+        for bx, by in tail:
+            lp_b, out_b = jax.vmap(lambda t: raw(t, (bx, by)))(samples)
+            lls = lls + lp_b
+            parts.append(out_b)
+            n_batches += 1
+        lps = lls - (n_batches - 1) * priors
+        return jnp.concatenate(parts, axis=1), lps
 
     if x is None or y is None:
         raise RuntimeError("Val data not defined (pass x,y or test_loader)")

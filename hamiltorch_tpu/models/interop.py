@@ -52,7 +52,17 @@ def _linear(mod):
     return fn
 
 
+def _check_padding_mode(mod):
+    if getattr(mod, "padding_mode", "zeros") != "zeros":
+        raise NotImplementedError(
+            f"Conv padding_mode={mod.padding_mode!r} is not supported by the "
+            "torch bridge (only 'zeros'); silently zero-padding would change "
+            "every border value with no error."
+        )
+
+
 def _conv2d(mod):
+    _check_padding_mode(mod)
     has_bias = mod.bias is not None
     stride = tuple(mod.stride)
     padding = tuple((p, p) for p in mod.padding) if not isinstance(mod.padding, str) else mod.padding
@@ -148,6 +158,7 @@ def _conv_transpose2d(mod):
     """ConvTranspose2d via lax.conv_transpose with transpose_kernel=True
     (flips spatial dims and swaps I/O — exactly torch's gradient-of-conv
     semantics for the (I, O, KH, KW) torch weight layout)."""
+    _check_padding_mode(mod)
     if mod.groups != 1:
         raise TypeError("ConvTranspose2d with groups != 1 is not supported")
     has_bias = mod.bias is not None
@@ -326,14 +337,15 @@ _LEAF_HANDLERS = {
     "ReLU": _elementwise(lambda m, x: jax.nn.relu(x)),
     "Tanh": _elementwise(lambda m, x: jnp.tanh(x)),
     "Sigmoid": _elementwise(lambda m, x: jax.nn.sigmoid(x)),
-    "GELU": _elementwise(lambda m, x: jax.nn.gelu(x)),
+    "GELU": _elementwise(lambda m, x: jax.nn.gelu(
+        x, approximate=getattr(m, "approximate", "none") != "none")),
     "ELU": _elementwise(lambda m, x: jax.nn.elu(x, alpha=m.alpha)),
     "LeakyReLU": _elementwise(lambda m, x: jax.nn.leaky_relu(x, negative_slope=m.negative_slope)),
     "Softmax": _elementwise(lambda m, x: jax.nn.softmax(x, axis=m.dim if m.dim is not None else -1)),
     "LogSoftmax": _elementwise(lambda m, x: jax.nn.log_softmax(x, axis=m.dim if m.dim is not None else -1)),
     "Identity": _elementwise(lambda m, x: x),
     "Dropout": _elementwise(lambda m, x: x),  # inference semantics
-    "Flatten": _elementwise(lambda m, x: x.reshape(x.shape[0], -1)),
+    "Flatten": _elementwise(lambda m, x: _flatten_dims(x, m.start_dim, m.end_dim)),
     "MaxPool2d": lambda m: _pool(m, jax.lax.max, -jnp.inf, is_avg=False),
     "AvgPool2d": lambda m: _pool(m, jax.lax.add, 0.0, is_avg=True),
 }
@@ -343,9 +355,18 @@ def _convert(module) -> Callable:
     name = type(module).__name__
     if name in _LEAF_HANDLERS:
         return _LEAF_HANDLERS[name](module)
-    children = list(module.children())
     if name in ("Sequential", "ModuleList"):
-        child_fns = [_convert(c) for c in children]
+        # iterate the container itself: .children() deduplicates repeated
+        # submodule OBJECTS, silently dropping reuses of a shared layer
+        entries = list(module)
+        if len({id(m) for m in entries}) != len(entries):
+            # a shared layer breaks the sequential parameter-offset scheme
+            # (module.parameters() dedups); the fx path maps parameters per
+            # submodule by identity and handles sharing correctly
+            raise TypeError(
+                f"{name} reuses a submodule object; falling back to torch.fx"
+            )
+        child_fns = [_convert(c) for c in entries]
 
         def fn(params, off, x):
             for cf in child_fns:
@@ -515,7 +536,9 @@ def _from_torch_fx(module) -> Callable:
     # tying, where torch deduplicates the flat order and a tied leaf's
     # parameters are no longer contiguous in it.
     flat_ids = {id(p): i for i, p in enumerate(module.parameters())}
-    submods = dict(module.named_modules())
+    # remove_duplicate=False: a shared layer reachable under two names
+    # must resolve for BOTH call_module targets
+    submods = dict(module.named_modules(remove_duplicate=False))
     handlers, param_idx, rnn_targets = {}, {}, set()
     functions, methods = _fx_tables()
 

@@ -30,13 +30,19 @@ def setup_chain(sampler: Callable, prior: Callable, kwargs: dict) -> Callable:
     style, drawing from its own source of randomness).
     """
 
+    import inspect
+
+    # signature-based dispatch: catching TypeError would swallow errors
+    # raised INSIDE a keyed prior and silently retry it with no arguments
+    try:
+        takes_key = len(inspect.signature(prior).parameters) >= 1
+    except (TypeError, ValueError):  # builtins/partials without signatures
+        takes_key = True
+
     def chain(seed):
         key = jax.random.key(seed) if not hasattr(seed, "dtype") else seed
         k_init, k_run = jax.random.split(key)
-        try:
-            params_init = prior(k_init)
-        except TypeError:
-            params_init = prior()
+        params_init = prior(k_init) if takes_key else prior()
         return sampler(params_init=params_init, key=k_run, **kwargs)
 
     return chain

@@ -36,10 +36,18 @@ def annotate(name: str):
 
 @contextlib.contextmanager
 def timed():
-    """Yield a dict whose 'seconds' is filled on exit (device-synced)."""
+    """Yield a dict whose 'seconds' is filled on exit, device-synced.
+
+    Exit enqueues a trivial op and blocks on it: per-device execution is
+    in-order, so it completes only after every previously dispatched
+    computation — without it the timer would measure async DISPATCH time
+    (milliseconds for a minutes-long run)."""
+    import jax.numpy as jnp
+
     out = {}
     t0 = time.perf_counter()
     yield out
+    jax.block_until_ready(jnp.zeros(()) + 1.0)
     out["seconds"] = time.perf_counter() - t0
 
 

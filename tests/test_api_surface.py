@@ -1,5 +1,8 @@
 """Public API surface guard: everything the README/PARITY promise exists."""
 
+import jax.numpy as jnp
+import pytest
+
 import hamiltorch_tpu as ht
 
 
@@ -113,3 +116,24 @@ class TestFacadeExtensions:
         # kept rows hold transitions 2,5,...,59; post-burn (>30) are
         # 32,35,...,59 = 10 rows, plus the initial params
         assert s.shape == (11, 2)
+
+
+class TestLoudUnsupportedOptions:
+    """sample() must reject option/sampler combinations it cannot honour
+    instead of silently ignoring them."""
+
+    def test_nuts_progress_every_raises(self, key):
+        import hamiltorch_tpu as ht
+
+        with pytest.raises(RuntimeError, match="progress_every"):
+            ht.sample(lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2),
+                      num_samples=8, burn=2, sampler=ht.Sampler.NUTS,
+                      progress_every=2, key=key)
+
+    def test_nuts_host_offload_raises(self, key):
+        import hamiltorch_tpu as ht
+
+        with pytest.raises(RuntimeError, match="store_on_GPU"):
+            ht.sample(lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2),
+                      num_samples=8, burn=2, sampler=ht.Sampler.NUTS,
+                      store_on_GPU=False, key=key)

@@ -713,3 +713,74 @@ class TestInteropContracts:
 
         with pytest.raises(TypeError, match="tensor inputs"):
             from_torch_module(TwoInput().eval())
+
+
+class TestBridgeSemantics:
+    """Review round 3: exact-translation contracts in the torch bridge."""
+
+    def test_shared_layer_sequential(self):
+        """children() dedups repeated objects; the bridge must apply a
+        shared layer at EVERY position it appears."""
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        torch.manual_seed(31)
+        lin = torch.nn.Linear(4, 4)
+        seq = torch.nn.Sequential(lin, torch.nn.ReLU(), lin).eval()
+        apply_fn, template = from_torch_module(seq)
+        assert len(template) == 2  # shared weights appear once in the flat order
+        x = np.random.RandomState(31).randn(5, 4).astype(np.float32)
+        with torch.no_grad():
+            ref = seq(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-5
+        )
+
+    def test_gelu_exact_form(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        net = torch.nn.Sequential(torch.nn.GELU()).eval()  # approximate='none'
+        apply_fn, template = from_torch_module(net)
+        x = np.linspace(-3, 3, 101).astype(np.float32)[:, None]
+        ref = net(torch.tensor(x)).detach().numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-6
+        )
+
+    def test_flatten_start_dim(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        net = torch.nn.Sequential(torch.nn.Flatten(start_dim=2)).eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(0).randn(2, 3, 4, 5).astype(np.float32)
+        assert np.asarray(apply_fn(template, jnp.asarray(x))).shape == (2, 3, 20)
+
+    def test_conv_padding_mode_raises(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        net = torch.nn.Sequential(
+            torch.nn.Conv2d(1, 1, 3, padding=1, padding_mode="circular")
+        )
+        with pytest.raises(NotImplementedError, match="padding_mode"):
+            from_torch_module(net)
+
+    def test_predict_model_covers_ragged_final_batch(self):
+        """A 10-point loader with batch_size 4 (4+4+2) must predict all 10."""
+        torch = pytest.importorskip("torch")
+        from torch.utils.data import DataLoader, TensorDataset
+        from hamiltorch_tpu.models.bnn import predict_model
+
+        torch.manual_seed(32)
+        net = torch.nn.Sequential(torch.nn.Linear(3, 1)).eval()
+        x = torch.randn(10, 3)
+        y = torch.randn(10, 1)
+        loader = DataLoader(TensorDataset(x, y), batch_size=4, shuffle=False)
+        samples = jnp.stack([jnp.zeros(4), 0.1 * jnp.ones(4)])
+        preds, lps = predict_model(net, samples, test_loader=loader,
+                                   model_loss="regression")
+        assert preds.shape == (2, 10, 1), preds.shape
+        assert lps.shape == (2,)
+        assert bool(jnp.all(jnp.isfinite(preds)))

@@ -157,3 +157,13 @@ class TestPTValidation:
         with pytest.raises(ValueError, match="replicas"):
             run_pt_chains(key, lambda t: -0.5 * jnp.sum(t**2),
                           jnp.zeros((3, 4, 2)), cfg, num_ensembles=3)
+
+
+class TestPTCheckpointValidation:
+    def test_checkpointed_replica_axis_mismatch_raises(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_pt_checkpointed
+
+        cfg = PTConfig(num_samples=8, num_temps=8)
+        with pytest.raises(ValueError, match="replicas"):
+            run_pt_checkpointed(key, lambda t: -0.5 * jnp.sum(t**2),
+                                jnp.zeros((4, 2)), cfg, str(tmp_path / "ck"))

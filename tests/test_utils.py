@@ -152,3 +152,25 @@ class TestCompatArbitraryTorchModule:
         np.testing.assert_allclose(np.asarray(flat), ref, atol=1e-6)
         parts = unflatten(net, flat)
         assert parts[0].shape == (2, 3)
+
+
+class TestSetupChainPriorDispatch:
+    def test_internal_type_error_propagates(self):
+        """A keyed prior whose body raises TypeError must NOT be silently
+        retried with no arguments."""
+        from hamiltorch_tpu.parallel.chains import setup_chain
+
+        def buggy_prior(key):
+            raise TypeError("bug inside the prior")
+
+        chain = setup_chain(lambda params_init, key: params_init, buggy_prior, {})
+        with pytest.raises(TypeError, match="bug inside the prior"):
+            chain(0)
+
+    def test_zero_arg_prior_supported(self):
+        from hamiltorch_tpu.parallel.chains import setup_chain
+
+        chain = setup_chain(
+            lambda params_init, key: params_init, lambda: jnp.ones(2), {}
+        )
+        np.testing.assert_allclose(np.asarray(chain(0)), 1.0)
