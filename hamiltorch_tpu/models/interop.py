@@ -52,12 +52,17 @@ def _linear(mod):
     return fn
 
 
+# torch padding_mode -> jnp.pad mode (the padded conv then runs VALID)
+_PAD_MODES = {"circular": "wrap", "reflect": "reflect", "replicate": "edge"}
+
+
 def _check_padding_mode(mod):
-    if getattr(mod, "padding_mode", "zeros") != "zeros":
+    pm = getattr(mod, "padding_mode", "zeros")
+    if pm != "zeros" and pm not in _PAD_MODES:
         raise NotImplementedError(
             f"Conv padding_mode={mod.padding_mode!r} is not supported by the "
-            "torch bridge (only 'zeros'); silently zero-padding would change "
-            "every border value with no error."
+            "torch bridge; silently zero-padding would change every border "
+            "value with no error."
         )
 
 
@@ -68,11 +73,20 @@ def _conv2d(mod):
     padding = tuple((p, p) for p in mod.padding) if not isinstance(mod.padding, str) else mod.padding
     dilation = tuple(mod.dilation)
     groups = mod.groups
+    pad_mode = getattr(mod, "padding_mode", "zeros")
 
     def fn(params, off, x):
+        pads = padding
+        if pad_mode != "zeros" and not isinstance(padding, str):
+            # non-zero border semantics: materialise the border with jnp.pad
+            # and run the conv unpadded
+            x = jnp.pad(
+                x, ((0, 0), (0, 0)) + tuple(padding), mode=_PAD_MODES[pad_mode]
+            )
+            pads = "VALID"
         w = params[off]  # (O, I/groups, KH, KW), torch layout
         y = jax.lax.conv_general_dilated(
-            x, w, window_strides=stride, padding=padding,
+            x, w, window_strides=stride, padding=pads,
             rhs_dilation=dilation, feature_group_count=groups,
             dimension_numbers=("NCHW", "OIHW", "NCHW"),
         )
@@ -459,6 +473,29 @@ def _fx_tables():
         torch.sum: lambda x, dim=None, keepdim=False: jnp.sum(x, axis=dim, keepdims=keepdim),
         torch.exp: jnp.exp,
         torch.log: jnp.log,
+        torch.abs: jnp.abs,
+        torch.sqrt: jnp.sqrt,
+        torch.erf: jax.scipy.special.erf,
+        torch.pow: jnp.power,
+        torch.clamp: lambda x, min=None, max=None: jnp.clip(x, min, max),
+        torch.transpose: lambda x, a, b: jnp.swapaxes(x, a, b),
+        torch.squeeze: lambda x, dim=None: jnp.squeeze(x, axis=dim),
+        torch.unsqueeze: lambda x, dim: jnp.expand_dims(x, dim),
+        torch.bmm: jnp.matmul,
+        torch.chunk: lambda x, chunks, dim=0: tuple(
+            jnp.array_split(x, chunks, axis=dim)
+        ),
+        torch.split: lambda x, size, dim=0: _split(x, size, dim),
+        torch.max: lambda x, dim=None, keepdim=False: _min_max(jnp.max, jnp.argmax, x, dim, keepdim),
+        torch.min: lambda x, dim=None, keepdim=False: _min_max(jnp.min, jnp.argmin, x, dim, keepdim),
+        torch.where: jnp.where,
+        F.linear: lambda x, w, b=None: (x @ w.T) if b is None else (x @ w.T + b),
+        F.conv2d: lambda x, w, bias=None, stride=1, padding=0, dilation=1, groups=1: _f_conv2d(
+            x, w, bias, stride, padding, dilation, groups
+        ),
+        F.normalize: lambda x, p=2.0, dim=1, eps=1e-12: x
+        / jnp.maximum(jnp.linalg.norm(x, ord=p, axis=dim, keepdims=True), eps),
+        operator.pow: operator.pow,
         operator.add: operator.add,
         operator.sub: operator.sub,
         operator.mul: operator.mul,
@@ -466,6 +503,17 @@ def _fx_tables():
         operator.matmul: jnp.matmul,
         operator.neg: operator.neg,
         operator.getitem: lambda x, idx: x[idx],
+        # comparisons / mask algebra (mask-and-where patterns)
+        operator.gt: operator.gt,
+        operator.lt: operator.lt,
+        operator.ge: operator.ge,
+        operator.le: operator.le,
+        operator.eq: operator.eq,
+        operator.ne: operator.ne,
+        operator.and_: operator.and_,
+        operator.or_: operator.or_,
+        operator.xor: operator.xor,
+        operator.invert: operator.invert,
     }
 
     methods = {
@@ -489,8 +537,80 @@ def _fx_tables():
         "log": jnp.log,
         "t": lambda x: x.T,
         "size": lambda x, dim=None: x.shape if dim is None else x.shape[dim],
+        "abs": jnp.abs,
+        "sqrt": jnp.sqrt,
+        "pow": jnp.power,
+        "clamp": lambda x, min=None, max=None: jnp.clip(x, min, max),
+        "matmul": jnp.matmul,
+        "chunk": lambda x, chunks, dim=0: tuple(jnp.array_split(x, chunks, axis=dim)),
+        "split": lambda x, size, dim=0: _split(x, size, dim),
+        "repeat": lambda x, *reps: jnp.tile(x, _shape_args(reps)),
+        "expand": lambda x, *shape: _expand(x, _shape_args(shape)),
+        "masked_fill": lambda x, mask, value: jnp.where(mask, value, x),
+        "softmax": lambda x, dim=-1: jax.nn.softmax(x, axis=dim),
+        "log_softmax": lambda x, dim=-1: jax.nn.log_softmax(x, axis=dim),
+        "argmax": lambda x, dim=None, keepdim=False: jnp.argmax(x, axis=dim, keepdims=keepdim),
+        "max": lambda x, dim=None, keepdim=False: _min_max(jnp.max, jnp.argmax, x, dim, keepdim),
+        "min": lambda x, dim=None, keepdim=False: _min_max(jnp.min, jnp.argmin, x, dim, keepdim),
+        "mul": operator.mul,
+        "add": operator.add,
+        "sub": operator.sub,
+        "div": operator.truediv,
+        "neg": operator.neg,
     }
     return functions, methods
+
+
+def _min_max(reduce_fn, arg_fn, x, dim, keepdim):
+    """torch.max/min: whole-tensor reduction without dim, (values, indices)
+    pair with dim — fx ``getitem`` nodes index the returned tuple."""
+    if dim is None:
+        return reduce_fn(x)
+    return (
+        reduce_fn(x, axis=dim, keepdims=keepdim),
+        arg_fn(x, axis=dim, keepdims=keepdim),
+    )
+
+
+def _split(x, size, dim):
+    """torch.split: int size -> equal chunks (+ragged tail); list -> sizes."""
+    import numpy as np
+
+    if isinstance(size, (list, tuple)):
+        idx = np.cumsum(size[:-1]).tolist()
+    else:
+        idx = list(range(size, x.shape[dim], size))
+    return tuple(jnp.split(x, idx, axis=dim))
+
+
+def _expand(x, shape):
+    """torch.expand: -1 keeps the existing dimension; leading dims may be
+    added on the left."""
+    nd = len(shape)
+    x = x.reshape((1,) * (nd - x.ndim) + x.shape)
+    target = tuple(
+        x.shape[i] if s == -1 else s for i, s in enumerate(shape)
+    )
+    return jnp.broadcast_to(x, target)
+
+
+def _f_conv2d(x, w, bias, stride, padding, dilation, groups):
+    """torch.nn.functional.conv2d with live weight/bias tensors."""
+    s = stride if isinstance(stride, tuple) else (stride,) * 2
+    d = dilation if isinstance(dilation, tuple) else (dilation,) * 2
+    if isinstance(padding, str):
+        p = padding.upper()
+    else:
+        pp = padding if isinstance(padding, tuple) else (padding,) * 2
+        p = tuple((pi, pi) for pi in pp)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=s, padding=p, rhs_dilation=d,
+        feature_group_count=groups,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    if bias is not None:
+        y = y + bias[None, :, None, None]
+    return y
 
 
 def _shape_args(shape):

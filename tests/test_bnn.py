@@ -757,16 +757,6 @@ class TestBridgeSemantics:
         x = np.random.RandomState(0).randn(2, 3, 4, 5).astype(np.float32)
         assert np.asarray(apply_fn(template, jnp.asarray(x))).shape == (2, 3, 20)
 
-    def test_conv_padding_mode_raises(self):
-        torch = pytest.importorskip("torch")
-        from hamiltorch_tpu.models.interop import from_torch_module
-
-        net = torch.nn.Sequential(
-            torch.nn.Conv2d(1, 1, 3, padding=1, padding_mode="circular")
-        )
-        with pytest.raises(NotImplementedError, match="padding_mode"):
-            from_torch_module(net)
-
     def test_predict_model_covers_ragged_final_batch(self):
         """A 10-point loader with batch_size 4 (4+4+2) must predict all 10."""
         torch = pytest.importorskip("torch")
@@ -784,3 +774,91 @@ class TestBridgeSemantics:
         assert preds.shape == (2, 10, 1), preds.shape
         assert lps.shape == (2,)
         assert bool(jnp.all(jnp.isfinite(preds)))
+
+
+class TestBridgeBreadth:
+    """Non-zero conv padding modes and the widened fx op tables."""
+
+    @pytest.mark.parametrize("mode", ["circular", "reflect", "replicate"])
+    def test_conv_padding_modes(self, mode):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        torch.manual_seed(41)
+        net = torch.nn.Sequential(
+            torch.nn.Conv2d(2, 3, 3, padding=1, padding_mode=mode)
+        ).eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(41).randn(2, 2, 6, 6).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-5
+        )
+
+    def test_functional_linear_and_conv(self):
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Net(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.w = torch.nn.Parameter(torch.randn(4, 18))
+                self.b = torch.nn.Parameter(torch.randn(4))
+                self.cw = torch.nn.Parameter(0.3 * torch.randn(2, 2, 3, 3))
+
+            def forward(self, x):
+                h = F.conv2d(x, self.cw, stride=1, padding=1)
+                h = torch.clamp(h, min=-1.0)
+                return F.linear(h.flatten(1), self.w, self.b)
+
+        torch.manual_seed(42)
+        net = Net().eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(42).randn(5, 2, 3, 3).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-5
+        )
+
+    def test_tensor_method_zoo(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Net(torch.nn.Module):
+            def forward(self, x):
+                a, b = x.chunk(2, dim=1)
+                m = a.abs().sqrt().clamp(max=2.0)
+                top, idx = torch.max(b, dim=1, keepdim=True)
+                e = m.masked_fill(m > 1.0, 0.5) + top
+                return e.softmax(dim=1)
+
+        net = Net().eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(43).randn(4, 6).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-5
+        )
+
+    def test_expand_and_split(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Net(torch.nn.Module):
+            def forward(self, x):
+                a, b, c = torch.split(x, [1, 2, 3], dim=1)
+                base = a.expand(-1, 3)
+                return base + b.sum(dim=1, keepdim=True) + c.mean(dim=1, keepdim=True)
+
+        net = Net().eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(44).randn(4, 6).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-5
+        )
