@@ -100,12 +100,6 @@ def sample(
             "thin is not supported for Sampler.NUTS through sample(); use "
             "run_nuts and slice the result."
         )
-    if progress_every and sampler == Sampler.NUTS:
-        raise RuntimeError(
-            "progress_every is not supported for Sampler.NUTS through "
-            "sample(); ignoring it silently would leave a long run looking "
-            "hung — use run_nuts (or chunked run_nuts_checkpointed) instead."
-        )
     if not store_on_GPU and (
         sampler in (Sampler.NUTS, Sampler.RMHMC) or integrator in _SPLITTING
     ):
@@ -172,6 +166,7 @@ def sample(
             adapt_step_size=burn > 0,
             desired_accept_rate=desired_accept_rate,
             adapt_mass=adapt_mass,
+            progress_every=progress_every,
         )
         result, _ = run_nuts(
             key, log_prob_func, params_init, nuts_config,

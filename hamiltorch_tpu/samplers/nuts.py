@@ -55,6 +55,8 @@ class NUTSConfig:
     # with a dense metric — the right choice for strongly correlated
     # targets, at O(D^2) memory and an O(D^3) factorisation per window.
     adapt_mass: bool | str = False
+    # host progress line every N draws (0 = silent), as the HMC driver's
+    progress_every: int = 0
 
 
 class _End(NamedTuple):
@@ -355,9 +357,17 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
             collect_flags = jnp.zeros(config.num_samples, bool)
             end_flags = jnp.zeros(config.num_samples, bool)
 
+    progress_hook = None
+    if config.progress_every > 0:
+        from ..utils.progress import scan_progress
+
+        progress_hook = scan_progress(config.num_samples, config.progress_every)
+
     def step(carry, xs):
         n, collect, window_end = xs
         theta, logp, grad, da, wf, metric, da_t = carry
+        if progress_hook is not None:
+            progress_hook(n - start_iter)  # bar is sized per-run, not global
         if dense:
             cur_mass = DenseMass(inv_mass=metric[0], chol_mass=metric[1])
         elif windowed:

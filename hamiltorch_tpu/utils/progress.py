@@ -69,10 +69,59 @@ class ProgressBar:
             print(message)
 
 
+_CALLBACK_SUPPORT: dict[str, bool] = {}
+
+
+def _callbacks_supported() -> bool:
+    """Probe (once per backend) whether the platform can run host callbacks.
+
+    Some PJRT plugins (e.g. the axon TPU tunnel) reject jax.debug.callback
+    with UNIMPLEMENTED at execution time; without this probe an opted-in
+    progress bar would crash the whole sampling run mid-scan.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.default_backend()
+    hit = _CALLBACK_SUPPORT.get(platform)
+    if hit is not None:
+        return hit
+
+    def probe(x):
+        jax.debug.callback(lambda v: None, x, ordered=False)
+        return x + 1
+
+    try:
+        # scan_progress is typically called at trace time (inside a jitted
+        # sampler); without the eval guard jit-of-jit would inline the probe
+        # into the enclosing trace, embedding its callback there and
+        # "succeeding" without ever executing.
+        with jax.ensure_compile_time_eval():
+            jax.block_until_ready(jax.jit(probe)(jnp.zeros(())))
+        ok = True
+    except Exception:
+        ok = False
+    _CALLBACK_SUPPORT[platform] = ok
+    return ok
+
+
 def scan_progress(num_samples: int, every: int = 50, message: str = "Sampling"):
     """Return a callable to fold into a scan body: emits host-side progress
-    every ``every`` draws via jax.debug.callback."""
+    every ``every`` draws via jax.debug.callback.
+
+    On backends without host-callback support the bar cannot exist; a
+    one-line warning is printed and the returned hook is a no-op, so the
+    run proceeds silently instead of dying inside the scan."""
     import jax
+
+    if not _callbacks_supported():
+        print(
+            f"[hamiltorch_tpu] progress reporting needs host callbacks, which "
+            f"backend '{jax.default_backend()}' does not support; sampling "
+            f"will run without a progress bar.",
+            file=sys.stderr,
+        )
+        return lambda n: None
 
     bar = ProgressBar(message, num_samples)
 

@@ -122,13 +122,13 @@ class TestLoudUnsupportedOptions:
     """sample() must reject option/sampler combinations it cannot honour
     instead of silently ignoring them."""
 
-    def test_nuts_progress_every_raises(self, key):
+    def test_nuts_progress_every_supported(self, key, capfd):
         import hamiltorch_tpu as ht
 
-        with pytest.raises(RuntimeError, match="progress_every"):
-            ht.sample(lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2),
-                      num_samples=8, burn=2, sampler=ht.Sampler.NUTS,
-                      progress_every=2, key=key)
+        out = ht.sample(lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2),
+                        num_samples=8, burn=2, sampler=ht.Sampler.NUTS,
+                        progress_every=2, key=key, verbose=False)
+        assert out.shape[0] >= 1  # ran; the bar writes to the host stream
 
     def test_nuts_host_offload_raises(self, key):
         import hamiltorch_tpu as ht
