@@ -614,31 +614,37 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
     logps0, grads0 = jax.vmap(vg)(theta0s)
     da0 = da_init(config.step_size, dtype=dtype)
 
-    from ..ops.mass import DiagMass
+    from ..ops.mass import DenseMass, DiagMass
     from .warmup import (
         schedule_flags,
+        welford_cov_init,
+        welford_cov_merge_batch,
+        welford_covariance,
         welford_init,
         welford_merge_batch,
         welford_variance,
     )
 
     windowed = config.adapt_mass and config.burn > 0
+    dense = windowed and config.adapt_mass == "dense"
     if windowed:
         collect_flags, end_flags = schedule_flags(config.burn, 0, config.num_samples)
     else:
         collect_flags = jnp.zeros(config.num_samples, bool)
         end_flags = jnp.zeros(config.num_samples, bool)
-    _, inv_diag0 = init_metric_seed(mass, d, dtype, dense=False)
+    wf0, metric0 = init_metric_seed(mass, d, dtype, dense)
     chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), c)
 
     def step(carry, xs):
         n, collect, window_end = xs
-        thetas, logps, grads, da, wf, inv_diag, da_t = carry
-        transition = nuts_transition(
-            vg,
-            DiagMass(inv_diag=inv_diag) if windowed else mass,
-            config.max_tree_depth,
-        )
+        thetas, logps, grads, da, wf, metric, da_t = carry
+        if dense:
+            cur_mass = DenseMass(inv_mass=metric[0], chol_mass=metric[1])
+        elif windowed:
+            cur_mass = DiagMass(inv_diag=metric)
+        else:
+            cur_mass = mass
+        transition = nuts_transition(vg, cur_mass, config.max_tree_depth)
         keys_n = jax.vmap(lambda ck: jax.random.fold_in(ck, n))(chain_keys)
         thetas_prev = thetas
         thetas, logps, grads, info = jax.vmap(
@@ -666,15 +672,34 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
             )
 
         if windowed:
-            wf_upd = welford_merge_batch(wf, thetas)
+            wf_upd = (welford_cov_merge_batch if dense else welford_merge_batch)(
+                wf, thetas
+            )
             wf = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(collect, a, b), wf_upd, wf
             )
-            inv_diag = jnp.where(window_end, welford_variance(wf), inv_diag)
-            wf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(window_end, a, b),
-                welford_init(d, dtype), wf,
-            )
+            if dense:
+                # the O(D^3) inverse + Cholesky run only at boundaries
+                def adopt(args):
+                    wf_, _ = args
+                    inv_cov = welford_covariance(wf_)
+                    m = jnp.linalg.inv(inv_cov)
+                    chol = jnp.linalg.cholesky(0.5 * (m + m.T))
+                    return inv_cov, chol
+
+                metric = jax.lax.cond(
+                    window_end, adopt, lambda args: args[1], (wf, metric)
+                )
+                wf = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(window_end, a, b),
+                    welford_cov_init(d, dtype), wf,
+                )
+            else:
+                metric = jnp.where(window_end, welford_variance(wf), metric)
+                wf = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(window_end, a, b),
+                    welford_init(d, dtype), wf,
+                )
             da_reset = DualAveragingState(
                 step_size=da.step_size,
                 log_eps_bar=jnp.zeros_like(da.log_eps_bar),
@@ -686,11 +711,11 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
             )
 
         da_t = jnp.where(window_end, 0, da_t + 1)
-        return (thetas, logps, grads, da, wf, inv_diag, da_t), (thetas, info, moved)
+        return (thetas, logps, grads, da, wf, metric, da_t), (thetas, info, moved)
 
-    carry0 = (theta0s, logps0, grads0, da0, welford_init(d, dtype), inv_diag0,
+    carry0 = (theta0s, logps0, grads0, da0, wf0, metric0,
               jnp.zeros((), jnp.int32))
-    (thetas_f, logps_f, grads_f, da_f, _, inv_diag_f, _), (thetas, infos, moved) = jax.lax.scan(
+    (thetas_f, logps_f, grads_f, da_f, _, metric_f, _), (thetas, infos, moved) = jax.lax.scan(
         step, carry0, (jnp.arange(config.num_samples), collect_flags, end_flags)
     )
     stats = MCMCStats(
@@ -713,7 +738,7 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
             acc_rate=jnp.mean(infos.accept_prob),
             final_state=ChainState(thetas_f, logps_f, grads_f),
             final_da=da_f,
-            final_warm=inv_diag_f,
+            final_warm=metric_f,
         ),
         infos,
     )
@@ -729,25 +754,21 @@ def run_nuts_ensemble(
 ):
     """NUTS chain ensemble with pooled (cross-chain) adaptation.
 
-    One shared step size and one shared diagonal mass adapt from ALL
-    chains' statistics each draw; with ``adapt_mass=True`` the Welford
-    variance estimate sees C observations per draw, so warmup needs ~C-fold
-    fewer draws than per-chain adaptation.  Returns (MCMCResult, NUTSInfo):
-    ``samples`` is (C, N, D) chain-major, while ``stats``/``NUTSInfo``
-    fields are TIME-major (N, C) as stacked by the scan (unlike
-    ``run_nuts_chains``, whose per-chain vmap puts the chain axis first).
-    ``final_warm`` is the adapted inverse-mass diagonal.
+    One shared step size and one shared mass matrix adapt from ALL chains'
+    statistics each draw; with ``adapt_mass=True`` (diagonal) or
+    ``adapt_mass='dense'`` (full covariance, Chan-merged across the
+    ensemble) the Welford estimate sees C observations per draw, so warmup
+    needs ~C-fold fewer draws than per-chain adaptation.  Returns
+    (MCMCResult, NUTSInfo): ``samples`` is (C, N, D) chain-major, while
+    ``stats``/``NUTSInfo`` fields are TIME-major (N, C) as stacked by the
+    scan (unlike ``run_nuts_chains``, whose per-chain vmap puts the chain
+    axis first).  ``final_warm`` is the adapted inverse-mass diagonal, or
+    the ``(inv_mass, chol_mass)`` pair for the dense metric.
     """
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
-    if config.adapt_mass == "dense":
-        raise NotImplementedError(
-            "run_nuts_ensemble pools a DIAGONAL Welford estimate across "
-            "chains; adapt_mass='dense' is supported by run_nuts / "
-            "run_nuts_chains / run_nuts_checkpointed."
-        )
     validate_nuts_mass(config, mass)
     return _run_nuts_ensemble_jit(key, theta0, lp, config, mass, data=data)

@@ -98,6 +98,31 @@ def welford_cov_update(state: WelfordCovState, x: jnp.ndarray) -> WelfordCovStat
     return WelfordCovState(count, mean, m2)
 
 
+def welford_cov_merge_batch(state: WelfordCovState, xs: jnp.ndarray,
+                            gsum=None, count=None) -> WelfordCovState:
+    """Chan parallel merge of a (B, D) batch into the covariance stats.
+
+    ``gsum``/``count`` generalise to a device-sharded batch exactly as in
+    :func:`welford_merge_batch`: ``gsum`` must reduce over the batch axis
+    across all shards and ``count`` is the global batch size.
+    """
+    if gsum is None:
+        gsum = lambda x: jnp.sum(x, axis=0)
+    n_b = (
+        jnp.asarray(float(xs.shape[0]), state.count.dtype)
+        if count is None
+        else jnp.asarray(count, state.count.dtype)
+    )
+    mean_b = gsum(xs) / n_b
+    dev = xs - mean_b
+    m2_b = gsum(dev[:, :, None] * dev[:, None, :])
+    n_new = state.count + n_b
+    delta = mean_b - state.mean
+    mean = state.mean + delta * n_b / n_new
+    m2 = state.m2 + m2_b + jnp.outer(delta, delta) * state.count * n_b / n_new
+    return WelfordCovState(n_new, mean, m2)
+
+
 def welford_covariance(state: WelfordCovState) -> jnp.ndarray:
     """Stan's regularised dense estimate:
     (n/(n+5))*cov + 1e-3*(5/(n+5))*I — shrinkage toward a small identity

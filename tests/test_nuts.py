@@ -230,6 +230,33 @@ class TestEnsembleNUTS:
         kept = np.asarray(result.samples[:, 160:]).reshape(-1, 3)
         np.testing.assert_allclose(kept.std(0), np.asarray(scales), rtol=0.35)
 
+    def test_pooled_dense_warmup_learns_correlation_fast(self, key):
+        """adapt_mass='dense' pools the FULL-covariance Welford estimate
+        across the ensemble: 8 chains x 160 burn draws resolve a rho=0.95
+        metric that a single chain needs ~400 draws for."""
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
+
+        cov = jnp.asarray([[1.0, 0.95], [0.95, 1.0]])
+        prec = jnp.linalg.inv(cov)
+        lp = lambda t: -0.5 * t @ prec @ t
+        dense_cfg = NUTSConfig(num_samples=400, step_size=0.2, burn=160,
+                               adapt_mass="dense")
+        diag_cfg = NUTSConfig(num_samples=400, step_size=0.2, burn=160,
+                              adapt_mass=True)
+        r, info = run_nuts_ensemble(key, lp, jnp.zeros(2), dense_cfg,
+                                    num_chains=8)
+        rg, infog = run_nuts_ensemble(key, lp, jnp.zeros(2), diag_cfg,
+                                      num_chains=8)
+        inv_cov = np.asarray(r.final_warm[0])
+        corr = inv_cov[0, 1] / np.sqrt(inv_cov[0, 0] * inv_cov[1, 1])
+        assert corr > 0.8, corr
+        # the matched metric needs far shorter trajectories post-warmup
+        leap_dense = float(jnp.mean(info.num_leapfrogs[160:]))
+        leap_diag = float(jnp.mean(infog.num_leapfrogs[160:]))
+        assert leap_dense < 0.6 * leap_diag, (leap_dense, leap_diag)
+        pooled = np.asarray(r.samples[:, 160:]).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(pooled.T), np.asarray(cov), atol=0.2)
+
     def test_ensemble_moments_match_target(self, key):
         from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
 
@@ -319,14 +346,6 @@ class TestDenseMassWarmup:
 
 
 class TestEntryPointValidation:
-    def test_ensemble_rejects_dense_mode(self, key):
-        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
-
-        with pytest.raises(NotImplementedError, match="dense"):
-            run_nuts_ensemble(key, lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2),
-                              NUTSConfig(num_samples=4, burn=2, adapt_mass="dense"),
-                              num_chains=4)
-
     def test_ensemble_rejects_bad_string(self, key):
         from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
 
