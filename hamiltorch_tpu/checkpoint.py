@@ -15,9 +15,11 @@ counter; any chunking reproduces the identical stream.
 
 Covered: single-chain HMC (``run_hmc_checkpointed``), tree-NUTS including
 ``adapt_mass`` windowed warmup (``run_nuts_checkpointed``), the ChEES-HMC
-chain ensemble with its full adaptation carry (``run_chees_checkpointed``),
-vmapped multi-chain HMC (``run_hmc_chains_checkpointed``), and parallel
-tempering with its adapted ladder (``run_pt_checkpointed``).
+chain ensemble with its full adaptation carry (``run_chees_checkpointed``
+— optionally sharded over a device mesh via ``mesh=``, so long multi-chip
+runs survive preemption), vmapped multi-chain HMC
+(``run_hmc_chains_checkpointed``), and parallel tempering with its adapted
+ladder (``run_pt_checkpointed``).
 
 Safety: the saved state embeds a fingerprint of the config, potential
 arity and chain shape/dtype; resuming against a directory written under
@@ -463,10 +465,20 @@ def run_chees_checkpointed(
     chunk_size: int = 100,
     inv_mass=None,
     resume: bool = True,
+    mesh=None,
 ):
     """ChEES-HMC with per-chunk checkpointing of the full adaptation carry
     (ensemble state, trajectory-length adam state, dual averaging, windowed
-    Welford mass estimate).  Returns a ChEESResult."""
+    Welford mass estimate).  Returns a ChEESResult.
+
+    ``mesh``: a `jax.sharding.Mesh` shards the chain ensemble over all mesh
+    axes per chunk (the ``run_chees_sharded`` communicating sampler), making
+    long multi-chip runs preemption-safe.  The sharded random stream derives
+    from per-chain keys, so sharded and unsharded checkpoints are not
+    interchangeable (the fingerprint enforces this); resuming on a mesh of a
+    DIFFERENT shape continues the same stream but cross-chain psum
+    reductions may differ in final-ulp rounding.
+    """
     from .samplers.chees import (
         ChEESCarry,
         ChEESInfo,
@@ -513,25 +525,86 @@ def run_chees_checkpointed(
         logps0, grads0 = jax.vmap(jax.value_and_grad(fn))(theta0)
         return make_carry(logps0, grads0)
 
-    def chunk_runner(k, carry, n_done, cfg):
-        collect, end = schedule_flags(
-            config.burn if windowed else 0, n_done, cfg.num_samples
+    if mesh is None:
+
+        def chunk_runner(k, carry, n_done, cfg):
+            collect, end = schedule_flags(
+                config.burn if windowed else 0, n_done, cfg.num_samples
+            )
+            result = _run_chees_jit(
+                k, carry.thetas, lp, cfg, mass, data=data,
+                init_carry=carry, start_iter=n_done,
+                collect_flags=collect, end_flags=end,
+            )
+            return result, result.final_carry
+
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from .samplers.adaptation import DualAveragingState
+
+        n_dev = len(mesh.devices.flatten())
+        if c % n_dev:
+            raise ValueError(
+                f"num_chains={c} not divisible by {n_dev} devices"
+            )
+        axes = tuple(mesh.axis_names)
+        axis_name = axes if len(axes) > 1 else axes[0]
+        cax = P(axes)
+        carry_specs = ChEESCarry(
+            thetas=P(axes, None), logps=cax, grads=P(axes, None),
+            da=DualAveragingState(P(), P(), P(), P()),
+            log_t=P(), adam_m=P(), adam_v=P(),
+            wf_count=P(), wf_mean=P(), wf_m2=P(),
+            inv_diag=P(), da_t=P(),
         )
-        result = _run_chees_jit(
-            k, carry.thetas, lp, cfg, mass, data=data,
-            init_carry=carry, start_iter=n_done,
-            collect_flags=collect, end_flags=end,
+        out_specs = ChEESResult(
+            samples=P(axes, None, None),
+            info=ChEESInfo(
+                accept_prob=P(None, axes),
+                trajectory_length=P(),
+                num_leapfrog=P(),
+                step_size=P(),
+                divergent=P(None, axes),
+            ),
+            final_step_size=P(),
+            final_trajectory_length=P(),
+            final_carry=carry_specs,
         )
-        return result, result.final_carry
+
+        def chunk_runner(k, carry, n_done, cfg):
+            collect, end = schedule_flags(
+                config.burn if windowed else 0, n_done, cfg.num_samples
+            )
+            # same per-chain key derivation as run_chees_sharded, recomputed
+            # from the persisted base key so any chunking yields one stream
+            chain_keys = jax.random.split(jax.random.fold_in(k, 0x5EED), c)
+
+            def local(bk, keys_l, carry_l, data_l, col, endf):
+                return _run_chees_jit(
+                    bk, carry_l.thetas, lp, cfg, mass, data=data_l,
+                    chain_keys=keys_l, axis_name=axis_name,
+                    init_carry=carry_l, start_iter=n_done,
+                    collect_flags=col, end_flags=endf,
+                )
+
+            shard = jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), cax, carry_specs, P(), P(), P()),
+                out_specs=out_specs, check_vma=False,
+            )
+            result = jax.jit(shard)(k, chain_keys, carry, data, collect, end)
+            return result, result.final_carry
 
     def save_chunk(result):
         out = {"samples": result.samples}
         out.update({f: getattr(result.info, f) for f in ChEESInfo._fields})
         return out
 
+    fp = _fingerprint(config, theta0) + ("-sharded" if mesh is not None else "")
     zs, carry = _checkpoint_loop(
         chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
-        chunk_size, resume, _fingerprint(config, theta0), save_chunk,
+        chunk_size, resume, fp, save_chunk,
     )
     kept = config.num_samples
     samples = jnp.asarray(np.concatenate([z["samples"] for z in zs], axis=1))[:, :kept]

@@ -140,6 +140,43 @@ class TestChEESSharding:
             rtol=0.05,
         )
 
+    def test_sharded_chees_checkpoint_resume_matches_direct(self, key, tmp_path):
+        """run_chees_checkpointed(mesh=...): chunked + resumed sharded runs
+        reproduce the uninterrupted run_chees_sharded stream, and a sharded
+        checkpoint refuses to resume into an unsharded run."""
+        import pytest
+
+        from hamiltorch_tpu.checkpoint import run_chees_checkpointed
+        from hamiltorch_tpu.parallel.sharding import run_chees_sharded
+        from hamiltorch_tpu.samplers.chees import ChEESConfig
+
+        full = ChEESConfig(num_samples=60, burn=30, step_size=0.2)
+        half = ChEESConfig(num_samples=25, burn=30, step_size=0.2)
+        mesh = make_mesh(chains=4, data=2)
+        theta0 = 0.1 * jax.random.normal(jax.random.key(42), (8, 3))
+        ck = str(tmp_path / "ck")
+        # interrupted run, then resume to completion in 25-draw chunks
+        run_chees_checkpointed(key, std_normal, theta0, half, ck,
+                               num_chains=8, chunk_size=25, mesh=mesh)
+        r_resumed = run_chees_checkpointed(key, std_normal, theta0, full, ck,
+                                           num_chains=8, chunk_size=25,
+                                           mesh=mesh)
+        r_direct = run_chees_sharded(key, std_normal, theta0, full, mesh,
+                                     num_chains=8)
+        np.testing.assert_allclose(
+            np.asarray(r_resumed.samples), np.asarray(r_direct.samples),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(r_resumed.final_trajectory_length),
+            float(r_direct.final_trajectory_length),
+            rtol=1e-5,
+        )
+        # the sharded stream is NOT the unsharded stream: refuse the splice
+        with pytest.raises(ValueError, match="fingerprint"):
+            run_chees_checkpointed(key, std_normal, theta0, full, ck,
+                                   num_chains=8, chunk_size=25)
+
     def test_sharded_chees_adapt_mass_moments(self, key):
         """Windowed cross-chain mass adaptation under the mesh: the Welford
         merge psums across devices; the badly scaled target still mixes."""
