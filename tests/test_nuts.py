@@ -148,6 +148,30 @@ class TestWindowedWarmup:
         reg = (200 / 205) * var_np + 1e-3 * (5 / 205)
         np.testing.assert_allclose(np.asarray(welford_variance(st)), reg, rtol=1e-4)
 
+    def test_welford_cov_batch_merge_matches_sequential(self, key):
+        """Chan batch merges (the ensemble pooling path) must agree with
+        one-observation-at-a-time covariance updates."""
+        from hamiltorch_tpu.samplers.warmup import (
+            welford_cov_init,
+            welford_cov_merge_batch,
+            welford_cov_update,
+        )
+
+        xs = np.asarray(jax.random.normal(key, (96, 3))) * np.array([0.5, 1, 2])
+        seq = welford_cov_init(3)
+        for x in xs:
+            seq = welford_cov_update(seq, jnp.asarray(x))
+        merged = welford_cov_init(3)
+        for chunk in np.split(xs, 8):  # 8 batches of 12, as 8 chains/draw
+            merged = welford_cov_merge_batch(merged, jnp.asarray(chunk))
+        np.testing.assert_allclose(float(merged.count), float(seq.count))
+        np.testing.assert_allclose(
+            np.asarray(merged.mean), np.asarray(seq.mean), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(merged.m2), np.asarray(seq.m2), rtol=1e-4, atol=1e-4
+        )
+
     def test_mass_adaptation_fixes_bad_scaling(self, key):
         """On a badly scaled Gaussian, windowed warmup should recover both
         scales; without it the narrow direction dominates the step size."""
