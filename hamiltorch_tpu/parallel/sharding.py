@@ -184,6 +184,82 @@ def run_nuts_chains_sharded(
     return jax.jit(shard)(keys, theta0)
 
 
+def run_nuts_ensemble_sharded(
+    key,
+    log_prob_fn: Callable,
+    theta0,
+    config,  # NUTSConfig
+    mesh: Mesh,
+    num_chains: int,
+    inv_mass=None,
+):
+    """Ensemble NUTS with POOLED adaptation sharded over the whole mesh.
+
+    A communicating sampler, unlike ``run_nuts_chains_sharded``: the shared
+    dual-averaging statistic (ensemble-mean leaf acceptance) and the pooled
+    Welford mass estimate (diagonal or dense) psum across the mesh each
+    draw, so C chains spread over N chips still warm up ~C-fold faster
+    than per-chain adaptation.  Returns (MCMCResult, NUTSInfo) in
+    ``run_nuts_ensemble``'s layout: ``samples`` chain-major (C, N, D),
+    stats/info TIME-major (N, C).
+    """
+    from ..samplers.adaptation import DualAveragingState
+    from ..samplers.driver import ChainState, MCMCStats
+    from ..samplers.nuts import (
+        NUTSInfo,
+        _run_nuts_ensemble_jit,
+        init_metric_seed,
+        validate_nuts_mass,
+    )
+
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    lp, data = resolve_potential(log_prob_fn, None)
+    d = theta0.shape[-1]
+    mass = make_mass(inv_mass, d)
+    validate_nuts_mass(config, mass)
+    n_dev = len(mesh.devices.flatten())
+    if num_chains % n_dev:
+        raise ValueError(f"num_chains={num_chains} not divisible by {n_dev} devices")
+    axes = tuple(mesh.axis_names)
+    axis_name = axes if len(axes) > 1 else axes[0]
+    chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), num_chains)
+
+    def local(base_key, keys_l, thetas_l, data_l):
+        return _run_nuts_ensemble_jit(
+            base_key, thetas_l, lp, config, mass, data=data_l,
+            chain_keys=keys_l, axis_name=axis_name,
+        )
+
+    # pooled adaptation makes every adaptation product replicated; only the
+    # per-chain leaves (samples, per-draw stats, final chain state) shard
+    dense = bool(config.adapt_mass) and config.burn > 0 \
+        and config.adapt_mass == "dense"
+    _, metric0 = init_metric_seed(mass, d, theta0.dtype, dense)
+    tm = P(None, axes)  # time-major (N, C) stat block
+    out_specs = (
+        MCMCResult(
+            samples=P(axes, None, None),
+            stats=MCMCStats(*(tm,) * len(MCMCStats._fields)),
+            final_step_size=P(),
+            acc_rate=P(),
+            final_state=ChainState(P(axes, None), P(axes), P(axes, None)),
+            final_da=DualAveragingState(P(), P(), P(), P()),
+            final_warm=jax.tree_util.tree_map(lambda _: P(), metric0),
+        ),
+        NUTSInfo(*(tm,) * len(NUTSInfo._fields)),
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axes), P(axes, None), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(shard)(key, chain_keys, theta0, data)
+
+
 def run_chees_sharded(
     key,
     log_prob_fn: Callable,

@@ -595,9 +595,9 @@ def run_nuts_chains(
     )(keys, theta0)
 
 
-@partial(jax.jit, static_argnames=("log_prob_fn", "config"))
+@partial(jax.jit, static_argnames=("log_prob_fn", "config", "axis_name"))
 def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
-                           data=None):
+                           data=None, chain_keys=None, axis_name=None):
     """NUTS over a (C, D) chain ensemble with POOLED adaptation.
 
     Per draw every chain runs an independent tree-doubling transition
@@ -606,6 +606,11 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
     windowed Welford mass estimate merges all C chains per draw — the
     variance estimate converges C-fold faster than single-chain warmup
     (the same cross-chain design as ChEES-HMC; no reference counterpart).
+
+    ``axis_name`` (static): when set, the ensemble extends across a mesh
+    axis (or axis tuple) and the pooled statistics — the mean acceptance
+    for dual averaging and the Welford batch moments — psum over it;
+    ``chain_keys`` must then carry per-chain keys sharded like ``theta0s``.
     """
     lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
     vg = jax.value_and_grad(lp)
@@ -633,7 +638,16 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
         collect_flags = jnp.zeros(config.num_samples, bool)
         end_flags = jnp.zeros(config.num_samples, bool)
     wf0, metric0 = init_metric_seed(mass, d, dtype, dense)
-    chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), c)
+    if chain_keys is None:
+        chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), c)
+    if axis_name is None:
+        gmean = jnp.mean
+        gsum, gcount = None, None
+    else:
+        n_shards = jax.lax.psum(1, axis_name)
+        gmean = lambda x: jax.lax.pmean(jnp.mean(x), axis_name)
+        gsum = lambda x: jax.lax.psum(jnp.sum(x, axis=0), axis_name)
+        gcount = c * n_shards
 
     def step(carry, xs):
         n, collect, window_end = xs
@@ -655,7 +669,7 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
         if config.adapt_step_size and config.burn > 0:
             da_upd = da_update(
                 da,
-                jnp.log(jnp.maximum(jnp.mean(info.accept_prob), 1e-10)),
+                jnp.log(jnp.maximum(gmean(info.accept_prob), 1e-10)),
                 da_t if windowed else n,
                 desired_accept_rate=config.desired_accept_rate,
             )
@@ -673,7 +687,7 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
 
         if windowed:
             wf_upd = (welford_cov_merge_batch if dense else welford_merge_batch)(
-                wf, thetas
+                wf, thetas, gsum=gsum, count=gcount
             )
             wf = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(collect, a, b), wf_upd, wf
@@ -735,7 +749,7 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
             samples=jnp.swapaxes(thetas, 0, 1),  # (C, N, D)
             stats=stats,
             final_step_size=da_f.step_size,
-            acc_rate=jnp.mean(infos.accept_prob),
+            acc_rate=gmean(infos.accept_prob),
             final_state=ChainState(thetas_f, logps_f, grads_f),
             final_da=da_f,
             final_warm=metric_f,

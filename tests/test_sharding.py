@@ -267,6 +267,58 @@ class TestNUTSSharding:
         )
         assert depths_equal > 0.9
 
+    def test_sharded_ensemble_matches_local(self, key):
+        """Same per-chain keys -> same pooled-adaptation stream: the mesh
+        run only swaps local reductions for psums."""
+        from hamiltorch_tpu.ops.mass import make_mass
+        from hamiltorch_tpu.parallel.sharding import run_nuts_ensemble_sharded
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, _run_nuts_ensemble_jit
+
+        config = NUTSConfig(num_samples=60, step_size=0.3, burn=30,
+                            adapt_mass=True)
+        mesh = make_mesh(chains=8, data=1)
+        theta0 = 0.1 * jax.random.normal(jax.random.key(5), (8, 3))
+        r_shard, i_shard = run_nuts_ensemble_sharded(
+            key, std_normal, theta0, config, mesh, num_chains=8
+        )
+        chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), 8)
+        r_local, i_local = _run_nuts_ensemble_jit(
+            key, theta0, std_normal, config, make_mass(None, 3),
+            chain_keys=chain_keys,
+        )
+        # early draws agree to f32 reduction-order noise (psum vs local sum);
+        # later draws drift as the shared adaptive step size amplifies it
+        np.testing.assert_allclose(
+            np.asarray(r_shard.samples[:, :10]),
+            np.asarray(r_local.samples[:, :10]),
+            atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_shard.final_warm), np.asarray(r_local.final_warm),
+            rtol=0.05,
+        )
+
+    def test_sharded_ensemble_pooled_dense_adaptation(self, key):
+        """adapt_mass='dense' across the mesh: the psum'd covariance merge
+        learns a rho=0.95 metric from 8 chains x 160 burn draws."""
+        from hamiltorch_tpu.parallel.sharding import run_nuts_ensemble_sharded
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig
+
+        cov = jnp.asarray([[1.0, 0.95], [0.95, 1.0]])
+        prec = jnp.linalg.inv(cov)
+        lp = lambda t: -0.5 * t @ prec @ t
+        config = NUTSConfig(num_samples=300, step_size=0.2, burn=160,
+                            adapt_mass="dense")
+        mesh = make_mesh(chains=8, data=1)
+        r, info = run_nuts_ensemble_sharded(
+            key, lp, jnp.zeros(2), config, mesh, num_chains=16
+        )
+        inv_cov = np.asarray(r.final_warm[0])
+        corr = inv_cov[0, 1] / np.sqrt(inv_cov[0, 0] * inv_cov[1, 1])
+        assert corr > 0.8, corr
+        kept = np.asarray(r.samples[:, 160:]).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(kept.T), np.asarray(cov), atol=0.2)
+
 
 class TestMultihostHelpers:
     """Single-process-exercisable surface of parallel/multihost.py (the
