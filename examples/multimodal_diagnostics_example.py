@@ -34,10 +34,6 @@ def mixture_log_prob(t):
     )
 
 
-def fmt(s):
-    return {k: np.round(np.asarray(v), 3).tolist() for k, v in s.items()}
-
-
 def main():
     key = jax.random.key(0)
 

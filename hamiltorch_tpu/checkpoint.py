@@ -32,6 +32,7 @@ import dataclasses
 import hashlib
 import json
 import os
+import time
 from typing import Callable
 
 import jax
@@ -133,9 +134,18 @@ def _checkpoint_loop(
     thin = max(getattr(config, "thin", 1), 1)
     chunk_size = max(thin, (chunk_size // thin) * thin)
 
+    progress = getattr(config, "progress_every", 0)
+    t0 = time.time()
+    n_start = n_done
     while n_done < config.num_samples:
         this_chunk = min(chunk_size, config.num_samples - n_done)
-        cfg = dataclasses.replace(config, num_samples=this_chunk)
+        overrides = {"num_samples": this_chunk}
+        if progress:
+            # in-scan callbacks stay out of chunked programs (DESIGN.md
+            # "host-side observability"); the loop reports per completed
+            # chunk from the host instead
+            overrides["progress_every"] = 0
+        cfg = dataclasses.replace(config, **overrides)
         result, carry = chunk_runner(base_key, carry, n_done, cfg)
         jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
         np.savez(
@@ -144,6 +154,12 @@ def _checkpoint_loop(
         )
         n_done += this_chunk
         _save_state(state_path, carry, base_key, n_done, fingerprint)
+        if progress:
+            rate = (n_done - n_start) / max(time.time() - t0, 1e-9)
+            print(
+                f"checkpoint: {n_done}/{config.num_samples} draws saved "
+                f"({rate:,.1f} draws/sec incl. compile)"
+            )
 
     chunks = sorted(
         f for f in os.listdir(ckpt_dir) if f.startswith("chunk_") and f.endswith(".npz")
@@ -541,36 +557,40 @@ def run_chees_checkpointed(
     else:
         from jax.sharding import PartitionSpec as P
 
-        from .samplers.adaptation import DualAveragingState
+        from .parallel.sharding import (
+            chees_carry_specs,
+            chees_result_specs,
+            derive_chain_keys,
+            mesh_chain_layout,
+        )
 
-        n_dev = len(mesh.devices.flatten())
-        if c % n_dev:
-            raise ValueError(
-                f"num_chains={c} not divisible by {n_dev} devices"
-            )
-        axes = tuple(mesh.axis_names)
-        axis_name = axes if len(axes) > 1 else axes[0]
-        cax = P(axes)
-        carry_specs = ChEESCarry(
-            thetas=P(axes, None), logps=cax, grads=P(axes, None),
-            da=DualAveragingState(P(), P(), P(), P()),
-            log_t=P(), adam_m=P(), adam_v=P(),
-            wf_count=P(), wf_mean=P(), wf_m2=P(),
-            inv_diag=P(), da_t=P(),
-        )
-        out_specs = ChEESResult(
-            samples=P(axes, None, None),
-            info=ChEESInfo(
-                accept_prob=P(None, axes),
-                trajectory_length=P(),
-                num_leapfrog=P(),
-                step_size=P(),
-                divergent=P(None, axes),
-            ),
-            final_step_size=P(),
-            final_trajectory_length=P(),
-            final_carry=carry_specs,
-        )
+        axes, axis_name = mesh_chain_layout(mesh, c)
+
+        # the compiled sharded program is built once per distinct chunk
+        # LENGTH (normally two: the chunk size and the final remainder);
+        # start_iter rides in as a replicated operand so successive chunks
+        # hit the jit cache instead of recompiling the whole mesh program
+        shard_cache: dict[int, Callable] = {}
+
+        def shard_for(this_chunk: int):
+            if this_chunk not in shard_cache:
+                cfg = dataclasses.replace(config, num_samples=this_chunk)
+
+                def local(bk, keys_l, carry_l, data_l, col, endf, n0):
+                    return _run_chees_jit(
+                        bk, carry_l.thetas, lp, cfg, mass, data=data_l,
+                        chain_keys=keys_l, axis_name=axis_name,
+                        init_carry=carry_l, start_iter=n0,
+                        collect_flags=col, end_flags=endf,
+                    )
+
+                shard_cache[this_chunk] = jax.jit(jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(), P(axes), chees_carry_specs(axes),
+                              P(), P(), P(), P()),
+                    out_specs=chees_result_specs(axes), check_vma=False,
+                ))
+            return shard_cache[this_chunk]
 
         def chunk_runner(k, carry, n_done, cfg):
             collect, end = schedule_flags(
@@ -578,22 +598,11 @@ def run_chees_checkpointed(
             )
             # same per-chain key derivation as run_chees_sharded, recomputed
             # from the persisted base key so any chunking yields one stream
-            chain_keys = jax.random.split(jax.random.fold_in(k, 0x5EED), c)
-
-            def local(bk, keys_l, carry_l, data_l, col, endf):
-                return _run_chees_jit(
-                    bk, carry_l.thetas, lp, cfg, mass, data=data_l,
-                    chain_keys=keys_l, axis_name=axis_name,
-                    init_carry=carry_l, start_iter=n_done,
-                    collect_flags=col, end_flags=endf,
-                )
-
-            shard = jax.shard_map(
-                local, mesh=mesh,
-                in_specs=(P(), cax, carry_specs, P(), P(), P()),
-                out_specs=out_specs, check_vma=False,
+            chain_keys = derive_chain_keys(k, c)
+            result = shard_for(cfg.num_samples)(
+                k, chain_keys, carry, data, collect, end,
+                jnp.asarray(n_done, jnp.int32),
             )
-            result = jax.jit(shard)(k, chain_keys, carry, data, collect, end)
             return result, result.final_carry
 
     def save_chunk(result):

@@ -134,6 +134,58 @@ def _leading_axis_specs(shape_tree, axes):
     )
 
 
+def mesh_chain_layout(mesh: Mesh, num_chains: int):
+    """(axes, axis_name) for sharding a chain ensemble over the WHOLE mesh;
+    validates that the ensemble divides the device count."""
+    n_dev = len(mesh.devices.flatten())
+    if num_chains % n_dev:
+        raise ValueError(f"num_chains={num_chains} not divisible by {n_dev} devices")
+    axes = tuple(mesh.axis_names)
+    return axes, (axes if len(axes) > 1 else axes[0])
+
+
+def derive_chain_keys(key, num_chains: int):
+    """Per-chain key derivation shared by every sharded ensemble sampler AND
+    its checkpointed counterpart — recomputable from a persisted base key,
+    so any chunking reproduces the identical stream."""
+    return jax.random.split(jax.random.fold_in(key, 0x5EED), num_chains)
+
+
+def chees_carry_specs(axes):
+    """shard_map partition specs for a ChEESCarry whose chain axis spans
+    ``axes`` (pooled-adaptation products are replicated)."""
+    from ..samplers.adaptation import DualAveragingState
+    from ..samplers.chees import ChEESCarry
+
+    return ChEESCarry(
+        thetas=P(axes, None), logps=P(axes), grads=P(axes, None),
+        da=DualAveragingState(P(), P(), P(), P()),
+        log_t=P(), adam_m=P(), adam_v=P(),
+        wf_count=P(), wf_mean=P(), wf_m2=P(),
+        inv_diag=P(), da_t=P(),
+    )
+
+
+def chees_result_specs(axes):
+    """shard_map partition specs for _run_chees_jit's ChEESResult: samples
+    chain-major, info time-major, shared adaptation state replicated."""
+    from ..samplers.chees import ChEESInfo, ChEESResult
+
+    return ChEESResult(
+        samples=P(axes, None, None),
+        info=ChEESInfo(
+            accept_prob=P(None, axes),
+            trajectory_length=P(),
+            num_leapfrog=P(),
+            step_size=P(),
+            divergent=P(None, axes),
+        ),
+        final_step_size=P(),
+        final_trajectory_length=P(),
+        final_carry=chees_carry_specs(axes),
+    )
+
+
 def run_nuts_chains_sharded(
     key,
     log_prob_fn: Callable,
@@ -219,12 +271,17 @@ def run_nuts_ensemble_sharded(
     d = theta0.shape[-1]
     mass = make_mass(inv_mass, d)
     validate_nuts_mass(config, mass)
-    n_dev = len(mesh.devices.flatten())
-    if num_chains % n_dev:
-        raise ValueError(f"num_chains={num_chains} not divisible by {n_dev} devices")
-    axes = tuple(mesh.axis_names)
-    axis_name = axes if len(axes) > 1 else axes[0]
-    chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), num_chains)
+    if getattr(config, "progress_every", 0):
+        import sys
+
+        print(
+            "[hamiltorch_tpu] progress_every is ignored under shard_map "
+            "(the in-scan callback would fire once per device); the "
+            "sharded ensemble runs without a progress bar.",
+            file=sys.stderr,
+        )
+    axes, axis_name = mesh_chain_layout(mesh, num_chains)
+    chain_keys = derive_chain_keys(key, num_chains)
 
     def local(base_key, keys_l, thetas_l, data_l):
         return _run_nuts_ensemble_jit(
@@ -279,8 +336,7 @@ def run_chees_sharded(
     Matches single-device ``run_chees`` semantics; the random stream differs
     (per-chain randomness derives from sharded per-chain keys).
     """
-    from ..samplers.chees import ChEESCarry, ChEESInfo, ChEESResult, _run_chees_jit
-    from ..samplers.adaptation import DualAveragingState
+    from ..samplers.chees import _run_chees_jit, validate_chees
 
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
@@ -291,15 +347,9 @@ def run_chees_sharded(
         )
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
-    from ..samplers.chees import validate_chees
-
     validate_chees(config, mass)
-    n_dev = len(mesh.devices.flatten())
-    if num_chains % n_dev:
-        raise ValueError(f"num_chains={num_chains} not divisible by {n_dev} devices")
-    axes = tuple(mesh.axis_names)
-    axis_name = axes if len(axes) > 1 else axes[0]
-    chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), num_chains)
+    axes, axis_name = mesh_chain_layout(mesh, num_chains)
+    chain_keys = derive_chain_keys(key, num_chains)
 
     def local(base_key, keys_l, thetas_l, data_l):
         return _run_chees_jit(
@@ -307,31 +357,11 @@ def run_chees_sharded(
             chain_keys=keys_l, axis_name=axis_name,
         )
 
-    cax = P(axes)
-    out_specs = ChEESResult(
-        samples=P(axes, None, None),
-        info=ChEESInfo(
-            accept_prob=P(None, axes),
-            trajectory_length=P(),
-            num_leapfrog=P(),
-            step_size=P(),
-            divergent=P(None, axes),
-        ),
-        final_step_size=P(),
-        final_trajectory_length=P(),
-        final_carry=ChEESCarry(
-            thetas=P(axes, None), logps=cax, grads=P(axes, None),
-            da=DualAveragingState(P(), P(), P(), P()),
-            log_t=P(), adam_m=P(), adam_v=P(),
-            wf_count=P(), wf_mean=P(), wf_m2=P(),
-            inv_diag=P(), da_t=P(),
-        ),
-    )
     shard = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), cax, P(axes, None), P()),
-        out_specs=out_specs,
+        in_specs=(P(), P(axes), P(axes, None), P()),
+        out_specs=chees_result_specs(axes),
         check_vma=False,
     )
     return jax.jit(shard)(key, chain_keys, theta0, data)
@@ -357,8 +387,7 @@ def sample_chees_sharded(
     and the ChEES cross-chain statistics psum over 'chains' — the two
     collectives of the framework's full scale story in one sampler.
     """
-    from ..samplers.adaptation import DualAveragingState
-    from ..samplers.chees import ChEESCarry, ChEESInfo, ChEESResult, _run_chees_jit
+    from ..samplers.chees import _run_chees_jit, validate_chees
 
     x, y = jnp.asarray(x), jnp.asarray(y)
     theta0 = jnp.asarray(theta0)
@@ -368,15 +397,13 @@ def sample_chees_sharded(
             k_init, (num_chains, theta0.shape[0]), theta0.dtype
         )
     mass = make_mass(inv_mass, theta0.shape[-1])
-    from ..samplers.chees import validate_chees
-
     validate_chees(config, mass)
     n_chain_shards = mesh.shape["chains"]
     if num_chains % n_chain_shards:
         raise ValueError(
             f"num_chains={num_chains} not divisible by mesh chains={n_chain_shards}"
         )
-    chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), num_chains)
+    chain_keys = derive_chain_keys(key, num_chains)
 
     def local(base_key, keys_l, thetas_l, x_shard, y_shard):
         # value+grad psum pairing via custom_vjp: psum's AD transpose would
@@ -404,31 +431,11 @@ def sample_chees_sharded(
             chain_keys=keys_l, axis_name="chains",
         )
 
-    cax = P("chains")
-    out_specs = ChEESResult(
-        samples=P("chains", None, None),
-        info=ChEESInfo(
-            accept_prob=P(None, "chains"),
-            trajectory_length=P(),
-            num_leapfrog=P(),
-            step_size=P(),
-            divergent=P(None, "chains"),
-        ),
-        final_step_size=P(),
-        final_trajectory_length=P(),
-        final_carry=ChEESCarry(
-            thetas=P("chains", None), logps=cax, grads=P("chains", None),
-            da=DualAveragingState(P(), P(), P(), P()),
-            log_t=P(), adam_m=P(), adam_v=P(),
-            wf_count=P(), wf_mean=P(), wf_m2=P(),
-            inv_diag=P(), da_t=P(),
-        ),
-    )
     shard = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), cax, P("chains", None), P("data"), P("data")),
-        out_specs=out_specs,
+        in_specs=(P(), P("chains"), P("chains", None), P("data"), P("data")),
+        out_specs=chees_result_specs("chains"),
         check_vma=False,
     )
     return jax.jit(shard)(key, chain_keys, theta0, x, y)

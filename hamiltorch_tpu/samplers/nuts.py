@@ -339,12 +339,9 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
     from ..ops.mass import DenseMass, DiagMass
     from .warmup import (
         schedule_flags,
-        welford_cov_init,
         welford_cov_update,
-        welford_covariance,
-        welford_init,
         welford_update,
-        welford_variance,
+        windowed_step,
     )
 
     d = theta0.shape[0]
@@ -410,41 +407,9 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
 
         if windowed:
             wf_upd = (welford_cov_update if dense else welford_update)(wf, theta)
-            wf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(collect, a, b), wf_upd, wf
-            )
-            # at a slow-window boundary: adopt the variance estimate, reset
-            # the accumulator, restart dual averaging around the current eps
-            if dense:
-                # the O(D^3) inverse + Cholesky run only at boundaries
-                def adopt(args):
-                    wf_, _ = args
-                    inv_cov = welford_covariance(wf_)
-                    m = jnp.linalg.inv(inv_cov)
-                    chol = jnp.linalg.cholesky(0.5 * (m + m.T))
-                    return inv_cov, chol
-
-                metric = jax.lax.cond(
-                    window_end, adopt, lambda args: args[1], (wf, metric)
-                )
-                wf = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(window_end, a, b),
-                    welford_cov_init(d, theta.dtype), wf,
-                )
-            else:
-                metric = jnp.where(window_end, welford_variance(wf), metric)
-                wf = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(window_end, a, b),
-                    welford_init(d, theta.dtype), wf,
-                )
-            da_reset = DualAveragingState(
-                step_size=da.step_size,
-                log_eps_bar=jnp.zeros_like(da.log_eps_bar),
-                h_t=jnp.zeros_like(da.h_t),
-                mu=jnp.log(10.0 * da.step_size),
-            )
-            da = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(window_end, a, b), da_reset, da
+            wf, metric, da = windowed_step(
+                wf, metric, da, collect, window_end, wf_upd, dense, d,
+                theta.dtype,
             )
 
         da_t = jnp.where(window_end, 0, da_t + 1)
@@ -622,12 +587,9 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
     from ..ops.mass import DenseMass, DiagMass
     from .warmup import (
         schedule_flags,
-        welford_cov_init,
         welford_cov_merge_batch,
-        welford_covariance,
-        welford_init,
         welford_merge_batch,
-        welford_variance,
+        windowed_step,
     )
 
     windowed = config.adapt_mass and config.burn > 0
@@ -649,9 +611,20 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
         gsum = lambda x: jax.lax.psum(jnp.sum(x, axis=0), axis_name)
         gcount = c * n_shards
 
+    progress_hook = None
+    # under shard_map (axis_name set) the callback would fire once PER
+    # DEVICE, interleaving N duplicate bars — the sharded runner warns and
+    # runs silent instead
+    if config.progress_every > 0 and axis_name is None:
+        from ..utils.progress import scan_progress
+
+        progress_hook = scan_progress(config.num_samples, config.progress_every)
+
     def step(carry, xs):
         n, collect, window_end = xs
         thetas, logps, grads, da, wf, metric, da_t = carry
+        if progress_hook is not None:
+            progress_hook(n)
         if dense:
             cur_mass = DenseMass(inv_mass=metric[0], chol_mass=metric[1])
         elif windowed:
@@ -689,39 +662,8 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
             wf_upd = (welford_cov_merge_batch if dense else welford_merge_batch)(
                 wf, thetas, gsum=gsum, count=gcount
             )
-            wf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(collect, a, b), wf_upd, wf
-            )
-            if dense:
-                # the O(D^3) inverse + Cholesky run only at boundaries
-                def adopt(args):
-                    wf_, _ = args
-                    inv_cov = welford_covariance(wf_)
-                    m = jnp.linalg.inv(inv_cov)
-                    chol = jnp.linalg.cholesky(0.5 * (m + m.T))
-                    return inv_cov, chol
-
-                metric = jax.lax.cond(
-                    window_end, adopt, lambda args: args[1], (wf, metric)
-                )
-                wf = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(window_end, a, b),
-                    welford_cov_init(d, dtype), wf,
-                )
-            else:
-                metric = jnp.where(window_end, welford_variance(wf), metric)
-                wf = jax.tree_util.tree_map(
-                    lambda a, b: jnp.where(window_end, a, b),
-                    welford_init(d, dtype), wf,
-                )
-            da_reset = DualAveragingState(
-                step_size=da.step_size,
-                log_eps_bar=jnp.zeros_like(da.log_eps_bar),
-                h_t=jnp.zeros_like(da.h_t),
-                mu=jnp.log(10.0 * da.step_size),
-            )
-            da = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(window_end, a, b), da_reset, da
+            wf, metric, da = windowed_step(
+                wf, metric, da, collect, window_end, wf_upd, dense, d, dtype
             )
 
         da_t = jnp.where(window_end, 0, da_t + 1)

@@ -136,6 +136,56 @@ def welford_covariance(state: WelfordCovState) -> jnp.ndarray:
     )
 
 
+def windowed_step(wf, metric, da, collect, window_end, wf_upd, dense: bool,
+                  d: int, dtype):
+    """One draw of the windowed-warmup carry transition, shared by the
+    single-chain and ensemble NUTS scans (`nuts._run_nuts_jit` /
+    `nuts._run_nuts_ensemble_jit`): mask the accumulator update in on
+    collect draws, and at a slow-window boundary adopt the metric estimate,
+    reset the accumulator, and restart dual averaging recentred on the
+    current step size.  ``wf_upd`` is the caller's already-accumulated
+    candidate state (single observation or Chan batch merge — possibly
+    psum'd across a mesh).  Returns (wf, metric, da).
+    """
+    import jax
+
+    from .adaptation import DualAveragingState
+
+    wf = jax.tree_util.tree_map(lambda a, b: jnp.where(collect, a, b), wf_upd, wf)
+    if dense:
+        # the O(D^3) inverse + Cholesky run only at boundaries
+        def adopt(args):
+            wf_, _ = args
+            inv_cov = welford_covariance(wf_)
+            m = jnp.linalg.inv(inv_cov)
+            chol = jnp.linalg.cholesky(0.5 * (m + m.T))
+            return inv_cov, chol
+
+        metric = jax.lax.cond(
+            window_end, adopt, lambda args: args[1], (wf, metric)
+        )
+        wf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(window_end, a, b),
+            welford_cov_init(d, dtype), wf,
+        )
+    else:
+        metric = jnp.where(window_end, welford_variance(wf), metric)
+        wf = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(window_end, a, b),
+            welford_init(d, dtype), wf,
+        )
+    da_reset = DualAveragingState(
+        step_size=da.step_size,
+        log_eps_bar=jnp.zeros_like(da.log_eps_bar),
+        h_t=jnp.zeros_like(da.h_t),
+        mu=jnp.log(10.0 * da.step_size),
+    )
+    da = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(window_end, a, b), da_reset, da
+    )
+    return wf, metric, da
+
+
 def build_schedule(
     burn: int,
     init_buffer: int = 75,

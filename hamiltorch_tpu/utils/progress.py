@@ -98,11 +98,15 @@ def _callbacks_supported() -> bool:
         # "succeeding" without ever executing.
         with jax.ensure_compile_time_eval():
             jax.block_until_ready(jax.jit(probe)(jnp.zeros(())))
-        ok = True
-    except Exception:
-        ok = False
-    _CALLBACK_SUPPORT[platform] = ok
-    return ok
+    except Exception as e:
+        # cache only a definitive "backend lacks host callbacks" verdict; a
+        # transient failure (TPU busy, compile-service hiccup) disables the
+        # bar for THIS call without poisoning the rest of the process
+        if "UNIMPLEMENTED" in str(e) or "callback" in str(e).lower():
+            _CALLBACK_SUPPORT[platform] = False
+        return False
+    _CALLBACK_SUPPORT[platform] = True
+    return True
 
 
 def scan_progress(num_samples: int, every: int = 50, message: str = "Sampling"):
@@ -123,10 +127,21 @@ def scan_progress(num_samples: int, every: int = 50, message: str = "Sampling"):
         )
         return lambda n: None
 
-    bar = ProgressBar(message, num_samples)
+    # The hook is built at TRACE time and the compiled program is cached, so
+    # the bar cannot be constructed here: a second run reusing the cached
+    # trace would reuse (and never reset) the first run's bar.  Instead the
+    # closed-over holder lazily builds a fresh bar whenever the draw index
+    # restarts (n not past the last seen — also what each checkpoint chunk's
+    # chunk-local indices produce).  With ordered=False callbacks a rare
+    # out-of-order delivery costs one spurious re-header, nothing more.
+    state = {"bar": None, "last": -1}
 
     def emit(n):
-        bar.update(int(n))
+        n = int(n)
+        if state["bar"] is None or n <= state["last"]:
+            state["bar"] = ProgressBar(message, num_samples)
+        state["last"] = n
+        state["bar"].update(n)
 
     def hook(n):
         jax.lax.cond(

@@ -128,7 +128,10 @@ class TestLoudUnsupportedOptions:
         out = ht.sample(lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2),
                         num_samples=8, burn=2, sampler=ht.Sampler.NUTS,
                         progress_every=2, key=key, verbose=False)
-        assert out.shape[0] >= 1  # ran; the bar writes to the host stream
+        assert out.shape[0] >= 1
+        captured = capfd.readouterr()
+        # the bar header reaches the host stream (CPU supports callbacks)
+        assert "Sampling" in captured.out and "Progress" in captured.out
 
     def test_nuts_host_offload_raises(self, key):
         import hamiltorch_tpu as ht

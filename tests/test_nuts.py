@@ -281,6 +281,15 @@ class TestEnsembleNUTS:
         pooled = np.asarray(r.samples[:, 160:]).reshape(-1, 2)
         np.testing.assert_allclose(np.cov(pooled.T), np.asarray(cov), atol=0.2)
 
+    def test_ensemble_progress_every_emits(self, key, capfd):
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
+
+        run_nuts_ensemble(key, lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2),
+                          NUTSConfig(num_samples=8, burn=2, progress_every=2),
+                          num_chains=4)
+        captured = capfd.readouterr()
+        assert "Sampling" in captured.out and "Progress" in captured.out
+
     def test_ensemble_moments_match_target(self, key):
         from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
 
