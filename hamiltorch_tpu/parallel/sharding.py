@@ -134,6 +134,20 @@ def _leading_axis_specs(shape_tree, axes):
     )
 
 
+def _warn_progress_ignored(config) -> None:
+    """In-scan progress callbacks under shard_map would fire once PER
+    DEVICE; the sharded runners say so once and run silent instead."""
+    if getattr(config, "progress_every", 0):
+        import sys
+
+        print(
+            "[hamiltorch_tpu] progress_every is ignored under shard_map "
+            "(the in-scan callback would fire once per device); the "
+            "sharded run proceeds without a progress bar.",
+            file=sys.stderr,
+        )
+
+
 def mesh_chain_layout(mesh: Mesh, num_chains: int):
     """(axes, axis_name) for sharding a chain ensemble over the WHOLE mesh;
     validates that the ensemble divides the device count."""
@@ -212,6 +226,11 @@ def run_nuts_chains_sharded(
     keys = jax.random.split(key, num_chains)
     mass = make_mass(inv_mass, theta0.shape[-1])
     validate_nuts_mass(config, mass)
+    _warn_progress_ignored(config)
+    if getattr(config, "progress_every", 0):
+        import dataclasses
+
+        config = dataclasses.replace(config, progress_every=0)
     n_dev = len(mesh.devices.flatten())
     if num_chains % n_dev:
         raise ValueError(f"num_chains={num_chains} not divisible by {n_dev} devices")
@@ -271,15 +290,7 @@ def run_nuts_ensemble_sharded(
     d = theta0.shape[-1]
     mass = make_mass(inv_mass, d)
     validate_nuts_mass(config, mass)
-    if getattr(config, "progress_every", 0):
-        import sys
-
-        print(
-            "[hamiltorch_tpu] progress_every is ignored under shard_map "
-            "(the in-scan callback would fire once per device); the "
-            "sharded ensemble runs without a progress bar.",
-            file=sys.stderr,
-        )
+    _warn_progress_ignored(config)
     axes, axis_name = mesh_chain_layout(mesh, num_chains)
     chain_keys = derive_chain_keys(key, num_chains)
 
@@ -348,6 +359,7 @@ def run_chees_sharded(
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
     validate_chees(config, mass)
+    _warn_progress_ignored(config)
     axes, axis_name = mesh_chain_layout(mesh, num_chains)
     chain_keys = derive_chain_keys(key, num_chains)
 
@@ -398,6 +410,7 @@ def sample_chees_sharded(
         )
     mass = make_mass(inv_mass, theta0.shape[-1])
     validate_chees(config, mass)
+    _warn_progress_ignored(config)
     n_chain_shards = mesh.shape["chains"]
     if num_chains % n_chain_shards:
         raise ValueError(

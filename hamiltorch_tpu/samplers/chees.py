@@ -50,6 +50,10 @@ class ChEESConfig:
     # from Welford statistics over ALL chains (C observations per draw, so
     # the estimate converges C-fold faster than single-chain Stan warmup)
     adapt_mass: bool = False
+    # host progress line every N draws (0 = silent), as the HMC driver's;
+    # ignored under shard_map (a callback would fire once per device) and
+    # stripped from chunked checkpoint programs (host reports per chunk)
+    progress_every: int = 0
     # trajectory jitter u: "halton" uses the quasi-random van der Corput
     # base-2 sequence over the draw index (the ChEES paper's choice —
     # stratified u gives lower-variance criterion gradients than iid
@@ -206,9 +210,17 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
     log_t0 = jnp.log(jnp.asarray(config.init_trajectory_length, dtype))
     adam0 = (jnp.zeros((), dtype), jnp.zeros((), dtype))  # (m, v)
 
+    progress_hook = None
+    if config.progress_every > 0 and axis_name is None:
+        from ..utils.progress import scan_progress
+
+        progress_hook = scan_progress(config.num_samples, config.progress_every)
+
     def step(carry, xs):
         n, collect, window_end = xs
         thetas, logps, grads, da, log_t, adam, wf, inv_diag, da_t = carry
+        if progress_hook is not None:
+            progress_hook(n - start_iter)  # bar is sized per-run, not global
         cur_mass = DiagMass(inv_diag=inv_diag) if windowed else mass
         velocity = jax.vmap(cur_mass.velocity)
         kinetic = jax.vmap(cur_mass.kinetic)

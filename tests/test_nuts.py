@@ -290,6 +290,34 @@ class TestEnsembleNUTS:
         captured = capfd.readouterr()
         assert "Sampling" in captured.out and "Progress" in captured.out
 
+    def test_chees_progress_every_emits(self, key, capfd):
+        from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
+
+        run_chees(key, lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2),
+                  ChEESConfig(num_samples=8, burn=2, progress_every=2),
+                  num_chains=4)
+        captured = capfd.readouterr()
+        assert "Sampling" in captured.out and "Progress" in captured.out
+
+    def test_sharded_runners_warn_not_crash_on_progress(self, key, capfd):
+        """Under shard_map progress_every is LOUDLY ignored, not dropped."""
+        from hamiltorch_tpu.parallel.sharding import (
+            make_mesh,
+            run_nuts_chains_sharded,
+        )
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig
+
+        mesh = make_mesh(chains=8, data=1)
+        r, _ = run_nuts_chains_sharded(
+            key, lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2),
+            NUTSConfig(num_samples=4, burn=2, progress_every=2),
+            mesh, num_chains=8,
+        )
+        assert r.samples.shape == (8, 4, 2)
+        captured = capfd.readouterr()
+        assert "ignored under shard_map" in captured.err
+        assert "Progress" not in captured.out  # no per-device bars
+
     def test_ensemble_moments_match_target(self, key):
         from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
 
