@@ -9,18 +9,27 @@ Must run before jax initialises its backends, hence env vars set at import.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon/TPU default
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# HT_TESTS_ON_TPU=1 keeps the session's real TPU backend so the
+# `skipif(not ON_TPU)` kernel-statistics tests (Pallas on-core PRNG) can
+# run on hardware: e.g.
+#   HT_TESTS_ON_TPU=1 python -m pytest tests/test_kernels.py -q
+# Everything else (virtual 8-device mesh paths) expects the CPU default.
+_ON_TPU = os.environ.get("HT_TESTS_ON_TPU") == "1"
+
+if not _ON_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override the session's axon default
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# The axon sitecustomize force-registers the TPU platform and overrides
-# JAX_PLATFORMS; config.update wins over both.
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    # The axon sitecustomize force-registers the TPU platform and overrides
+    # JAX_PLATFORMS; config.update wins over both.
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -286,6 +286,10 @@ r = run_hmc(jax.random.key(0), lp, jnp.zeros(3, jnp.float64),
             MCMCConfig(num_samples=100, num_steps_per_sample=5, step_size=0.2))
 assert r.samples.dtype == jnp.float64, r.samples.dtype
 assert abs(float(r.samples[20:].std()) - 1.0) < 0.3
+from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts
+rn, _ = run_nuts(jax.random.key(1), lp, jnp.zeros(3, jnp.float64),
+                 NUTSConfig(num_samples=120, burn=60, adapt_mass=True))
+assert rn.samples.dtype == jnp.float64, rn.samples.dtype
 print("OK")
 """
         env = dict(os.environ, JAX_PLATFORMS="cpu")

@@ -56,10 +56,14 @@ class TestKernelStatistics:
         assert float(acc.mean()) > 0.8
 
     def test_dense_precision_moments(self):
+        # eigen-stds are 1.265 and 0.632: trajectory time 6*0.2=1.2 keeps
+        # both rotation angles well off pi (t=2.0 would sit exactly on the
+        # fast mode's pi*sigma=1.99 resonance, where the momentum refresh
+        # contributes ~sin(pi)=0 and the mode never mixes)
         cov = np.array([[1.0, 0.6], [0.6, 1.0]], np.float32)
         prec = jnp.asarray(np.linalg.inv(cov))
         samples, acc = gaussian_hmc(
-            3, jnp.zeros((64, 2)), prec, num_samples=500, num_steps=8, step_size=0.25
+            3, jnp.zeros((64, 2)), prec, num_samples=500, num_steps=6, step_size=0.2
         )
         s = np.asarray(samples[:, 100:]).reshape(-1, 2)
         np.testing.assert_allclose(np.cov(s.T), cov, atol=0.12)
