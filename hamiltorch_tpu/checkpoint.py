@@ -412,13 +412,22 @@ def run_pt_checkpointed(
     chunk_size: int = 100,
     inv_mass=None,
     resume: bool = True,
+    num_ensembles=None,
+    mesh=None,
 ):
     """Parallel tempering with per-chunk checkpointing of the full ladder
     carry (replica positions with cached potential evaluations, adapted
     log temperature gaps, swap-rate EMA).  Returns a PTResult; the ladder
     adaptation schedule and even/odd swap alternation continue across
     chunks exactly as in an unchunked run (global draw indices drive both
-    the RNG stream and the pairing parity)."""
+    the RNG stream and the pairing parity).
+
+    ``num_ensembles``: run E independent ladders (the ``run_pt_chains``
+    layout, leading ensemble axis).  ``mesh``: additionally shard the
+    ensembles over a `jax.sharding.Mesh` per chunk (requires
+    ``num_ensembles``) — the ensemble stream matches the vmapped run, so
+    vmapped and sharded checkpoints are interchangeable up to compile-level
+    f32 reassociation."""
     from .samplers.tempering import (
         PTCarry,
         assemble_pt_result,
@@ -426,6 +435,17 @@ def run_pt_checkpointed(
         init_pt_carry,
         _run_pt_jit,
     )
+
+    if mesh is not None and num_ensembles is None:
+        raise ValueError(
+            "mesh-sharded PT checkpointing shards the ensemble axis; pass "
+            "num_ensembles as well."
+        )
+    if num_ensembles is not None:
+        return _run_pt_checkpointed_ensembles(
+            key, log_prob_fn, theta0, config, ckpt_dir, chunk_size,
+            inv_mass, resume, num_ensembles, mesh,
+        )
 
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
@@ -469,6 +489,123 @@ def run_pt_checkpointed(
     alphas = jnp.asarray(np.concatenate([z["alphas"] for z in zs], axis=0))[:kept]
     swaps = jnp.asarray(np.concatenate([z["swaps"] for z in zs], axis=0))[:kept]
     return assemble_pt_result(traj, alphas, swaps, carry, config)
+
+
+def _run_pt_checkpointed_ensembles(
+    key, log_prob_fn, theta0, config, ckpt_dir, chunk_size, inv_mass,
+    resume, num_ensembles: int, mesh,
+):
+    """Ensemble (and optionally mesh-sharded) variant of
+    ``run_pt_checkpointed``: E independent ladders with a leading ensemble
+    axis, each chunk one vmapped (or shard_map'd) compiled scan."""
+    from .samplers.tempering import (
+        PTCarry,
+        assemble_pt_ensemble_result,
+        check_num_temps,
+        init_pt_carry,
+        _run_pt_jit,
+    )
+
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(
+            theta0, (num_ensembles, config.num_temps) + theta0.shape
+        )
+    elif theta0.ndim == 2:
+        theta0 = jnp.broadcast_to(theta0, (num_ensembles,) + theta0.shape)
+    check_num_temps(theta0, config)
+    lp, data = resolve_potential(log_prob_fn, None)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+    e, k_temps, d = theta0.shape
+    dtype = theta0.dtype
+
+    template = PTCarry(
+        thetas=theta0,
+        logps=jnp.zeros((e, k_temps), dtype),
+        grads=jnp.zeros_like(theta0),
+        s=jnp.zeros((e, k_temps - 1), dtype),
+        ema=jnp.zeros((e, k_temps - 1), dtype),
+    )
+
+    def init_carry_fn():
+        fn = _bind_data(lp, data)
+        return jax.vmap(lambda t: init_pt_carry(fn, t, config))(theta0)
+
+    def run_block(keys_e, carry_e, data_l, n0, cfg):
+        # n0 (the global draw offset) is shared by all ensembles: closed
+        # over by the vmapped lambda rather than batched
+        return jax.vmap(
+            lambda ke, ce: _run_pt_jit(
+                ke, ce.thetas, lp, cfg, mass, data=data_l,
+                init_carry=ce, start_iter=n0,
+            )
+        )(keys_e, carry_e)
+
+    if mesh is None:
+
+        def chunk_runner(k, carry, n_done, cfg):
+            keys = jax.random.split(k, num_ensembles)
+            traj, alphas, swaps, carry_f = run_block(
+                keys, carry, data, jnp.asarray(n_done, jnp.int32), cfg
+            )
+            return (traj, alphas, swaps), carry_f
+
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.sharding import _leading_axis_specs, mesh_chain_layout
+
+        axes, _ = mesh_chain_layout(mesh, num_ensembles)
+        carry_specs = _leading_axis_specs(template, axes)
+        shard_cache: dict[int, Callable] = {}
+
+        def shard_for(this_chunk: int):
+            if this_chunk not in shard_cache:
+                cfg = dataclasses.replace(config, num_samples=this_chunk)
+
+                def local(keys_l, carry_l, data_l, n0):
+                    return run_block(keys_l, carry_l, data_l, n0, cfg)
+
+                local_e = num_ensembles // len(mesh.devices.flatten())
+                out_specs = _leading_axis_specs(
+                    jax.eval_shape(
+                        local,
+                        jax.random.split(key, local_e),
+                        jax.tree_util.tree_map(
+                            lambda a: a[:local_e], template
+                        ),
+                        data,
+                        jnp.zeros((), jnp.int32),
+                    ),
+                    axes,
+                )
+                shard_cache[this_chunk] = jax.jit(jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(axes), carry_specs, P(), P()),
+                    out_specs=out_specs, check_vma=False,
+                ))
+            return shard_cache[this_chunk]
+
+        def chunk_runner(k, carry, n_done, cfg):
+            keys = jax.random.split(k, num_ensembles)
+            traj, alphas, swaps, carry_f = shard_for(cfg.num_samples)(
+                keys, carry, data, jnp.asarray(n_done, jnp.int32)
+            )
+            return (traj, alphas, swaps), carry_f
+
+    def save_chunk(result):
+        traj, alphas, swaps = result
+        return {"traj": traj, "alphas": alphas, "swaps": swaps}
+
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, _fingerprint(config, theta0), save_chunk,
+    )
+    kept = config.num_samples  # burn slicing happens at assembly
+    traj = jnp.asarray(np.concatenate([z["traj"] for z in zs], axis=1))[:, :kept]
+    alphas = jnp.asarray(np.concatenate([z["alphas"] for z in zs], axis=1))[:, :kept]
+    swaps = jnp.asarray(np.concatenate([z["swaps"] for z in zs], axis=1))[:, :kept]
+    return assemble_pt_ensemble_result(traj, alphas, swaps, carry, config)
 
 
 def run_chees_checkpointed(

@@ -127,6 +127,58 @@ class TestEnsemblePT:
                 atol=1e-5,
             )
 
+    def test_ensemble_checkpoint_resume_matches_vmapped(self, key, tmp_path):
+        """Chunked + resumed ensemble PT reproduces run_pt_chains exactly
+        (same per-ensemble keys, global draw indices drive RNG + parity)."""
+        from hamiltorch_tpu.checkpoint import run_pt_checkpointed
+        from hamiltorch_tpu.samplers.tempering import run_pt_chains
+
+        full = PTConfig(num_samples=40, num_steps_per_sample=5, step_size=0.3,
+                        num_temps=4, burn=10, adapt_ladder=True)
+        half = PTConfig(num_samples=15, num_steps_per_sample=5, step_size=0.3,
+                        num_temps=4, burn=10, adapt_ladder=True)
+        ck = str(tmp_path / "ck")
+        run_pt_checkpointed(key, self.lp, jnp.zeros(2), half, ck,
+                            chunk_size=15, num_ensembles=3)
+        r_res = run_pt_checkpointed(key, self.lp, jnp.zeros(2), full, ck,
+                                    chunk_size=15, num_ensembles=3)
+        r_direct = run_pt_chains(key, self.lp, jnp.zeros(2), full,
+                                 num_ensembles=3)
+        assert r_res.samples.shape == (3, 30, 2)
+        np.testing.assert_allclose(
+            np.asarray(r_res.replica_samples),
+            np.asarray(r_direct.replica_samples), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_res.info.betas), np.asarray(r_direct.info.betas),
+            rtol=1e-5,
+        )
+
+    def test_ensemble_checkpoint_sharded_matches_vmapped(self, key, tmp_path):
+        """mesh= shards the checkpointed ensembles; stream is unchanged."""
+        import pytest
+
+        from hamiltorch_tpu.checkpoint import run_pt_checkpointed
+        from hamiltorch_tpu.parallel.sharding import make_mesh
+        from hamiltorch_tpu.samplers.tempering import run_pt_chains
+
+        cfg = PTConfig(num_samples=30, num_steps_per_sample=4, step_size=0.3,
+                       num_temps=4, burn=10)
+        mesh = make_mesh(chains=8, data=1)
+        ck = str(tmp_path / "ck")
+        r_shard = run_pt_checkpointed(key, self.lp, jnp.zeros(2), cfg, ck,
+                                      chunk_size=12, num_ensembles=8,
+                                      mesh=mesh)
+        r_vmap = run_pt_chains(key, self.lp, jnp.zeros(2), cfg,
+                               num_ensembles=8)
+        np.testing.assert_allclose(
+            np.asarray(r_shard.replica_samples),
+            np.asarray(r_vmap.replica_samples), atol=1e-4,
+        )
+        with pytest.raises(ValueError, match="num_ensembles"):
+            run_pt_checkpointed(key, self.lp, jnp.zeros(2), cfg, ck,
+                                mesh=mesh)
+
     def test_cross_ensemble_rhat_on_bimodal(self, key):
         """E independent cold chains feed the multimodal convergence check
         that a single ladder cannot provide."""
