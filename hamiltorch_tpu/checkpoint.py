@@ -403,6 +403,177 @@ def run_nuts_checkpointed(
     return _assemble_mcmc(zs, config, carry, acc_from_prob=True)
 
 
+def run_nuts_ensemble_checkpointed(
+    key,
+    log_prob_fn,
+    theta0,
+    config,  # NUTSConfig
+    ckpt_dir: str,
+    num_chains: int = 16,
+    chunk_size: int = 100,
+    inv_mass=None,
+    resume: bool = True,
+    mesh=None,
+):
+    """Pooled-adaptation ensemble NUTS with per-chunk checkpointing.
+
+    The full pooled carry (chain states with cached potential evaluations,
+    shared dual averaging, Chan-merged Welford state — diagonal or dense —
+    and the window-relative counter) persists per chunk, and each chunk
+    receives its slice of the GLOBAL warmup schedule, so a resumed run
+    adopts metrics at the same draws as an uninterrupted one.
+
+    ``mesh``: shard the ensemble over a `jax.sharding.Mesh` per chunk (the
+    ``run_nuts_ensemble_sharded`` communicating sampler).  The pooled
+    stream is the same in both layouts, but sharded and unsharded
+    checkpoints carry distinct fingerprints (cross-chip psum reductions
+    reassociate f32 sums, so the trajectories diverge over draws).
+    Returns (MCMCResult, NUTSInfo) in ``run_nuts_ensemble``'s layout.
+    """
+    from .samplers.driver import ChainState, MCMCStats
+    from .samplers.nuts import (
+        NUTSInfo,
+        _run_nuts_ensemble_jit,
+        init_metric_seed,
+        validate_nuts_mass,
+    )
+    from .samplers.warmup import schedule_flags
+
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    lp, data = resolve_potential(log_prob_fn, None)
+    c, d = theta0.shape
+    dtype = theta0.dtype
+    mass = make_mass(inv_mass, d)
+    validate_nuts_mass(config, mass)
+    windowed = bool(config.adapt_mass) and config.burn > 0
+    dense = windowed and config.adapt_mass == "dense"
+    wf0, metric0 = init_metric_seed(mass, d, dtype, dense)
+    da0 = da_init(config.step_size, dtype=dtype)
+
+    def make_carry(logps, grads):
+        return (theta0, logps, grads, da0, wf0, metric0,
+                jnp.zeros((), jnp.int32))
+
+    template = make_carry(jnp.zeros((c,), dtype), jnp.zeros_like(theta0))
+
+    def init_carry_fn():
+        fn = _bind_data(lp, data)
+        logps0, grads0 = jax.vmap(jax.value_and_grad(fn))(theta0)
+        return make_carry(logps0, grads0)
+
+    def carry_of(result):
+        st = result.final_state
+        return (st[0], st[1], st[2], result.final_da) + tuple(result.final_warm)
+
+    if mesh is None:
+
+        def chunk_runner(k, carry, n_done, cfg):
+            collect, end = schedule_flags(
+                config.burn if windowed else 0, n_done, cfg.num_samples
+            )
+            result, info = _run_nuts_ensemble_jit(
+                k, carry[0], lp, cfg, mass, data=data,
+                init_carry=carry, start_iter=n_done,
+                collect_flags=collect, end_flags=end,
+            )
+            return (result, info), carry_of(result)
+
+    else:
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.sharding import (
+            derive_chain_keys,
+            mesh_chain_layout,
+            nuts_ensemble_carry_specs,
+            nuts_ensemble_result_specs,
+        )
+
+        axes, axis_name = mesh_chain_layout(mesh, c)
+        warm_template = (wf0, metric0, jnp.zeros((), jnp.int32))
+        carry_specs = nuts_ensemble_carry_specs(axes, warm_template)
+        shard_cache: dict[int, Callable] = {}
+
+        def shard_for(this_chunk: int):
+            if this_chunk not in shard_cache:
+                cfg = dataclasses.replace(config, num_samples=this_chunk,
+                                          progress_every=0)
+
+                def local(bk, keys_l, carry_l, data_l, col, endf, n0):
+                    return _run_nuts_ensemble_jit(
+                        bk, carry_l[0], lp, cfg, mass, data=data_l,
+                        chain_keys=keys_l, axis_name=axis_name,
+                        init_carry=carry_l, start_iter=n0,
+                        collect_flags=col, end_flags=endf,
+                    )
+
+                shard_cache[this_chunk] = jax.jit(jax.shard_map(
+                    local, mesh=mesh,
+                    in_specs=(P(), P(axes), carry_specs, P(), P(), P(), P()),
+                    out_specs=nuts_ensemble_result_specs(axes, warm_template),
+                    check_vma=False,
+                ))
+            return shard_cache[this_chunk]
+
+        def chunk_runner(k, carry, n_done, cfg):
+            collect, end = schedule_flags(
+                config.burn if windowed else 0, n_done, cfg.num_samples
+            )
+            chain_keys = derive_chain_keys(k, c)
+            result, info = shard_for(cfg.num_samples)(
+                k, chain_keys, carry, data, collect, end,
+                jnp.asarray(n_done, jnp.int32),
+            )
+            return (result, info), carry_of(result)
+
+    def save_chunk(chunk):
+        result, info = chunk
+        out = {"samples": result.samples, "accepted": result.stats.accepted}
+        out.update({f: getattr(info, f) for f in NUTSInfo._fields})
+        return out
+
+    fp = _fingerprint(config, theta0) + ("-sharded" if mesh is not None else "")
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, fp, save_chunk,
+    )
+    kept = config.num_samples
+    samples = jnp.asarray(np.concatenate([z["samples"] for z in zs], axis=1))[:, :kept]
+    info = NUTSInfo(
+        **{
+            f: jnp.asarray(np.concatenate([z[f] for z in zs], axis=0))[:kept]
+            for f in NUTSInfo._fields
+        }
+    )
+    accepted = jnp.asarray(
+        np.concatenate([z["accepted"] for z in zs], axis=0)
+    )[:kept]
+    stats = MCMCStats(
+        accept_prob=info.accept_prob,
+        accepted=accepted,
+        divergent=info.divergent,
+        energy_old=info.energy,
+        energy_new=info.energy,
+        step_size=info.step_size,
+        fp_iters=jnp.zeros_like(info.tree_depth),
+        fp_residual=jnp.zeros_like(info.accept_prob),
+    )
+    da = carry[3]
+    return (
+        MCMCResult(
+            samples=samples,
+            stats=stats,
+            final_step_size=da.step_size,
+            acc_rate=jnp.mean(info.accept_prob),
+            final_state=ChainState(carry[0], carry[1], carry[2]),
+            final_da=da,
+            final_warm=(carry[4], carry[5], carry[6]),
+        ),
+        info,
+    )
+
+
 def run_pt_checkpointed(
     key,
     log_prob_fn,

@@ -165,6 +165,44 @@ def derive_chain_keys(key, num_chains: int):
     return jax.random.split(jax.random.fold_in(key, 0x5EED), num_chains)
 
 
+def nuts_ensemble_carry_specs(axes, warm_template):
+    """shard_map partition specs for the pooled-ensemble-NUTS scan carry
+    (thetas, logps, grads, da, wf, metric, da_t): per-chain leaves shard,
+    pooled adaptation products replicate."""
+    from ..samplers.adaptation import DualAveragingState
+
+    rep = lambda t: jax.tree_util.tree_map(lambda _: P(), t)
+    wf0, metric0, _ = warm_template
+    return (
+        P(axes, None), P(axes), P(axes, None),
+        DualAveragingState(P(), P(), P(), P()),
+        rep(wf0), rep(metric0), P(),
+    )
+
+
+def nuts_ensemble_result_specs(axes, warm_template):
+    """shard_map partition specs for _run_nuts_ensemble_jit's
+    (MCMCResult, NUTSInfo): samples chain-major, stats/info time-major,
+    pooled adaptation state replicated."""
+    from ..samplers.adaptation import DualAveragingState
+    from ..samplers.driver import ChainState, MCMCStats
+    from ..samplers.nuts import NUTSInfo
+
+    tm = P(None, axes)  # time-major (N, C) stat block
+    return (
+        MCMCResult(
+            samples=P(axes, None, None),
+            stats=MCMCStats(*(tm,) * len(MCMCStats._fields)),
+            final_step_size=P(),
+            acc_rate=P(),
+            final_state=ChainState(P(axes, None), P(axes), P(axes, None)),
+            final_da=DualAveragingState(P(), P(), P(), P()),
+            final_warm=jax.tree_util.tree_map(lambda _: P(), warm_template),
+        ),
+        NUTSInfo(*(tm,) * len(NUTSInfo._fields)),
+    )
+
+
 def chees_carry_specs(axes):
     """shard_map partition specs for a ChEESCarry whose chain axis spans
     ``axes`` (pooled-adaptation products are replicated)."""
@@ -274,10 +312,7 @@ def run_nuts_ensemble_sharded(
     ``run_nuts_ensemble``'s layout: ``samples`` chain-major (C, N, D),
     stats/info TIME-major (N, C).
     """
-    from ..samplers.adaptation import DualAveragingState
-    from ..samplers.driver import ChainState, MCMCStats
     from ..samplers.nuts import (
-        NUTSInfo,
         _run_nuts_ensemble_jit,
         init_metric_seed,
         validate_nuts_mass,
@@ -304,25 +339,13 @@ def run_nuts_ensemble_sharded(
     # per-chain leaves (samples, per-draw stats, final chain state) shard
     dense = bool(config.adapt_mass) and config.burn > 0 \
         and config.adapt_mass == "dense"
-    _, metric0 = init_metric_seed(mass, d, theta0.dtype, dense)
-    tm = P(None, axes)  # time-major (N, C) stat block
-    out_specs = (
-        MCMCResult(
-            samples=P(axes, None, None),
-            stats=MCMCStats(*(tm,) * len(MCMCStats._fields)),
-            final_step_size=P(),
-            acc_rate=P(),
-            final_state=ChainState(P(axes, None), P(axes), P(axes, None)),
-            final_da=DualAveragingState(P(), P(), P(), P()),
-            final_warm=jax.tree_util.tree_map(lambda _: P(), metric0),
-        ),
-        NUTSInfo(*(tm,) * len(NUTSInfo._fields)),
-    )
+    wf0, metric0 = init_metric_seed(mass, d, theta0.dtype, dense)
+    warm_template = (wf0, metric0, jnp.zeros((), jnp.int32))
     shard = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(), P(axes), P(axes, None), P()),
-        out_specs=out_specs,
+        out_specs=nuts_ensemble_result_specs(axes, warm_template),
         check_vma=False,
     )
     return jax.jit(shard)(key, chain_keys, theta0, data)

@@ -562,7 +562,9 @@ def run_nuts_chains(
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "config", "axis_name"))
 def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
-                           data=None, chain_keys=None, axis_name=None):
+                           data=None, chain_keys=None, axis_name=None,
+                           init_carry=None, start_iter=0,
+                           collect_flags=None, end_flags=None):
     """NUTS over a (C, D) chain ensemble with POOLED adaptation.
 
     Per draw every chain runs an independent tree-doubling transition
@@ -581,8 +583,6 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
     vg = jax.value_and_grad(lp)
     c, d = theta0s.shape
     dtype = theta0s.dtype
-    logps0, grads0 = jax.vmap(vg)(theta0s)
-    da0 = da_init(config.step_size, dtype=dtype)
 
     from ..ops.mass import DenseMass, DiagMass
     from .warmup import (
@@ -594,12 +594,14 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
 
     windowed = config.adapt_mass and config.burn > 0
     dense = windowed and config.adapt_mass == "dense"
-    if windowed:
-        collect_flags, end_flags = schedule_flags(config.burn, 0, config.num_samples)
-    else:
-        collect_flags = jnp.zeros(config.num_samples, bool)
-        end_flags = jnp.zeros(config.num_samples, bool)
-    wf0, metric0 = init_metric_seed(mass, d, dtype, dense)
+    if collect_flags is None:
+        if windowed:
+            collect_flags, end_flags = schedule_flags(
+                config.burn, 0, config.num_samples
+            )
+        else:
+            collect_flags = jnp.zeros(config.num_samples, bool)
+            end_flags = jnp.zeros(config.num_samples, bool)
     if chain_keys is None:
         chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), c)
     if axis_name is None:
@@ -669,10 +671,20 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
         da_t = jnp.where(window_end, 0, da_t + 1)
         return (thetas, logps, grads, da, wf, metric, da_t), (thetas, info, moved)
 
-    carry0 = (theta0s, logps0, grads0, da0, wf0, metric0,
-              jnp.zeros((), jnp.int32))
-    (thetas_f, logps_f, grads_f, da_f, _, metric_f, _), (thetas, infos, moved) = jax.lax.scan(
-        step, carry0, (jnp.arange(config.num_samples), collect_flags, end_flags)
+    if init_carry is not None:
+        carry0 = init_carry
+    else:
+        logps0, grads0 = jax.vmap(vg)(theta0s)
+        wf0, metric0 = init_metric_seed(mass, d, dtype, dense)
+        carry0 = (theta0s, logps0, grads0,
+                  da_init(config.step_size, dtype=dtype), wf0, metric0,
+                  jnp.zeros((), jnp.int32))
+    (
+        (thetas_f, logps_f, grads_f, da_f, wf_f, metric_f, da_t_f),
+        (thetas, infos, moved),
+    ) = jax.lax.scan(
+        step, carry0,
+        (start_iter + jnp.arange(config.num_samples), collect_flags, end_flags),
     )
     stats = MCMCStats(
         accept_prob=infos.accept_prob,
@@ -694,7 +706,9 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
             acc_rate=gmean(infos.accept_prob),
             final_state=ChainState(thetas_f, logps_f, grads_f),
             final_da=da_f,
-            final_warm=metric_f,
+            # same (wf, metric, da_t) triple as _run_nuts_jit: the full
+            # windowed-warmup carry, enough to resume
+            final_warm=(wf_f, metric_f, da_t_f),
         ),
         infos,
     )
@@ -718,8 +732,10 @@ def run_nuts_ensemble(
     (MCMCResult, NUTSInfo): ``samples`` is (C, N, D) chain-major, while
     ``stats``/``NUTSInfo`` fields are TIME-major (N, C) as stacked by the
     scan (unlike ``run_nuts_chains``, whose per-chain vmap puts the chain
-    axis first).  ``final_warm`` is the adapted inverse-mass diagonal, or
-    the ``(inv_mass, chol_mass)`` pair for the dense metric.
+    axis first).  ``final_warm`` is the full ``(welford, metric, da_t)``
+    warmup carry as in ``run_nuts``: ``final_warm[1]`` is the adapted
+    inverse-mass diagonal, or the ``(inv_mass, chol_mass)`` pair for the
+    dense metric.
     """
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:

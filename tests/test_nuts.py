@@ -249,7 +249,7 @@ class TestEnsembleNUTS:
         result, info = run_nuts_ensemble(key, lp, jnp.zeros(3), config,
                                          num_chains=16)
         assert result.samples.shape == (16, 300, 3)
-        inv = np.asarray(result.final_warm)
+        inv = np.asarray(result.final_warm[1])
         assert inv[2] / inv[0] > 100.0  # tracks the 1e4 variance ratio
         kept = np.asarray(result.samples[:, 160:]).reshape(-1, 3)
         np.testing.assert_allclose(kept.std(0), np.asarray(scales), rtol=0.35)
@@ -271,7 +271,7 @@ class TestEnsembleNUTS:
                                     num_chains=8)
         rg, infog = run_nuts_ensemble(key, lp, jnp.zeros(2), diag_cfg,
                                       num_chains=8)
-        inv_cov = np.asarray(r.final_warm[0])
+        inv_cov = np.asarray(r.final_warm[1][0])
         corr = inv_cov[0, 1] / np.sqrt(inv_cov[0, 0] * inv_cov[1, 1])
         assert corr > 0.8, corr
         # the matched metric needs far shorter trajectories post-warmup
@@ -317,6 +317,36 @@ class TestEnsembleNUTS:
         captured = capfd.readouterr()
         assert "ignored under shard_map" in captured.err
         assert "Progress" not in captured.out  # no per-device bars
+
+    def test_ensemble_checkpoint_resume_matches_direct(self, key, tmp_path):
+        """Chunked + resumed pooled-ensemble NUTS (dense metric) reproduces
+        the uninterrupted run draw-for-draw, including the Chan-merged
+        covariance warmup."""
+        from hamiltorch_tpu.checkpoint import run_nuts_ensemble_checkpointed
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
+
+        cov = jnp.asarray([[1.0, 0.9], [0.9, 1.0]])
+        prec = jnp.linalg.inv(cov)
+        lp = lambda t: -0.5 * t @ prec @ t
+        full = NUTSConfig(num_samples=220, step_size=0.3, burn=180,
+                          adapt_mass="dense")
+        half = NUTSConfig(num_samples=90, step_size=0.3, burn=180,
+                          adapt_mass="dense")
+        ck = str(tmp_path / "ck")
+        run_nuts_ensemble_checkpointed(key, lp, jnp.zeros(2), half, ck,
+                                       num_chains=8, chunk_size=40)
+        r_res, _ = run_nuts_ensemble_checkpointed(key, lp, jnp.zeros(2), full,
+                                                  ck, num_chains=8,
+                                                  chunk_size=40)
+        r_dir, _ = run_nuts_ensemble(key, lp, jnp.zeros(2), full,
+                                     num_chains=8)
+        np.testing.assert_allclose(
+            np.asarray(r_res.samples), np.asarray(r_dir.samples), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_res.final_warm[1][0]),
+            np.asarray(r_dir.final_warm[1][0]), rtol=1e-5,
+        )
 
     def test_ensemble_moments_match_target(self, key):
         from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble

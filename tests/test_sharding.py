@@ -294,8 +294,36 @@ class TestNUTSSharding:
             atol=1e-4,
         )
         np.testing.assert_allclose(
-            np.asarray(r_shard.final_warm), np.asarray(r_local.final_warm),
+            np.asarray(r_shard.final_warm[1]),
+            np.asarray(r_local.final_warm[1]),
             rtol=0.05,
+        )
+
+    def test_sharded_ensemble_checkpoint_matches_direct(self, key, tmp_path):
+        """run_nuts_ensemble_checkpointed(mesh=...): chunked + resumed
+        sharded pooled runs reproduce the direct sharded stream."""
+        from hamiltorch_tpu.checkpoint import run_nuts_ensemble_checkpointed
+        from hamiltorch_tpu.parallel.sharding import run_nuts_ensemble_sharded
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig
+
+        full = NUTSConfig(num_samples=60, step_size=0.3, burn=30,
+                          adapt_mass=True)
+        half = NUTSConfig(num_samples=25, step_size=0.3, burn=30,
+                          adapt_mass=True)
+        mesh = make_mesh(chains=8, data=1)
+        theta0 = 0.1 * jax.random.normal(jax.random.key(5), (8, 3))
+        ck = str(tmp_path / "ck")
+        run_nuts_ensemble_checkpointed(key, std_normal, theta0, half, ck,
+                                       num_chains=8, chunk_size=25, mesh=mesh)
+        r_res, _ = run_nuts_ensemble_checkpointed(
+            key, std_normal, theta0, full, ck, num_chains=8, chunk_size=25,
+            mesh=mesh,
+        )
+        r_dir, _ = run_nuts_ensemble_sharded(
+            key, std_normal, theta0, full, mesh, num_chains=8
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_res.samples), np.asarray(r_dir.samples), atol=1e-5
         )
 
     def test_sharded_ensemble_pooled_dense_adaptation(self, key):
@@ -313,7 +341,7 @@ class TestNUTSSharding:
         r, info = run_nuts_ensemble_sharded(
             key, lp, jnp.zeros(2), config, mesh, num_chains=16
         )
-        inv_cov = np.asarray(r.final_warm[0])
+        inv_cov = np.asarray(r.final_warm[1][0])
         corr = inv_cov[0, 1] / np.sqrt(inv_cov[0, 0] * inv_cov[1, 1])
         assert corr > 0.8, corr
         kept = np.asarray(r.samples[:, 160:]).reshape(-1, 2)
