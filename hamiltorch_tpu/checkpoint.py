@@ -13,13 +13,17 @@ RNG lineage: per-draw keys are ``fold_in(base_key, global_draw_index)``, so
 resume does not serialise evolving key state — only the base key and the
 counter; any chunking reproduces the identical stream.
 
-Covered: single-chain HMC (``run_hmc_checkpointed``), tree-NUTS including
-``adapt_mass`` windowed warmup (``run_nuts_checkpointed``), the ChEES-HMC
-chain ensemble with its full adaptation carry (``run_chees_checkpointed``
-— optionally sharded over a device mesh via ``mesh=``, so long multi-chip
-runs survive preemption), vmapped multi-chain HMC
-(``run_hmc_chains_checkpointed``), and parallel tempering with its adapted
-ladder (``run_pt_checkpointed``).
+Covered: single-chain HMC (``run_hmc_checkpointed``), RMHMC
+(``run_rmhmc_checkpointed`` — the slowest sampler per draw, where resume
+matters most), tree-NUTS including ``adapt_mass`` windowed warmup
+(``run_nuts_checkpointed``), pooled-ensemble NUTS
+(``run_nuts_ensemble_checkpointed``), the ChEES-HMC chain ensemble with
+its full adaptation carry (``run_chees_checkpointed``), vmapped
+multi-chain HMC (``run_hmc_chains_checkpointed``), and parallel tempering
+with its adapted ladder (``run_pt_checkpointed`` — single ladder,
+ensembles, or mesh-sharded ensembles).  The ensemble runners take
+``mesh=`` to shard each chunk over a device mesh, so long multi-chip runs
+survive preemption.
 
 Safety: the saved state embeds a fingerprint of the config, potential
 arity and chain shape/dtype; resuming against a directory written under
@@ -52,8 +56,11 @@ _STATE_FILE = "state.npz"
 _COSMETIC_FIELDS = {"num_samples", "progress_every"}
 
 
-def _fingerprint(config, theta0) -> str:
-    """Stable hash of the sampling configuration + chain shape/dtype."""
+def _fingerprint(config, theta0, extra=None) -> str:
+    """Stable hash of the sampling configuration + chain shape/dtype.
+
+    ``extra``: any additional stream-affecting options (e.g. RMHMC's
+    integrator/metric settings) folded into the hash via repr."""
     payload = {
         "config_type": type(config).__name__,
         "config": {
@@ -63,6 +70,7 @@ def _fingerprint(config, theta0) -> str:
         },
         "theta_shape": list(np.shape(theta0)),
         "theta_dtype": str(np.asarray(theta0).dtype),
+        "extra": repr(extra),
     }
     return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()
 
@@ -340,6 +348,73 @@ def run_hmc_chains_checkpointed(
         chunk_size, resume, _fingerprint(config, theta0), _mcmc_chunk_fields,
     )
     return _assemble_mcmc(zs, config, carry, time_axis=1)
+
+
+def run_rmhmc_checkpointed(
+    key,
+    log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    theta0,
+    config: MCMCConfig,
+    ckpt_dir: str,
+    chunk_size: int = 50,
+    resume: bool = True,
+    **rmhmc_kwargs,
+) -> MCMCResult:
+    """RMHMC with per-chunk checkpointing — the sampler where resume
+    matters most (implicit fixed points make it the slowest per draw; the
+    reference needed 17 minutes for 10 funnel draws, samplers.py:305-387).
+
+    ``rmhmc_kwargs`` are forwarded to the sampler: ``integrator``,
+    ``metric``, ``jitter``, ``softabs_const``, ``explicit_binding_const``,
+    ``fixed_point_threshold``, ``fixed_point_max_iterations``,
+    ``ham_func``, ``custom_metric``.
+    """
+    from .enums import Integrator, Metric
+    from .ops.metrics import RMOptions
+    from .samplers.rmhmc import _run_rmhmc_jit
+
+    theta0 = jnp.asarray(theta0)
+    lp, data = resolve_potential(log_prob_fn, None)
+    integrator = rmhmc_kwargs.pop("integrator", Integrator.IMPLICIT)
+    ham_func = rmhmc_kwargs.pop("ham_func", None)
+    custom_metric = rmhmc_kwargs.pop("custom_metric", None)
+    softabs = rmhmc_kwargs.pop("softabs_const", None)
+    opts = RMOptions(
+        metric=rmhmc_kwargs.pop("metric", Metric.HESSIAN),
+        jitter=rmhmc_kwargs.pop("jitter", None),
+        softabs_const=softabs if softabs is not None else 1e6,
+        explicit_binding_const=rmhmc_kwargs.pop("explicit_binding_const", 100.0),
+        fixed_point_threshold=rmhmc_kwargs.pop("fixed_point_threshold", 1e-5),
+        fixed_point_max_iterations=rmhmc_kwargs.pop(
+            "fixed_point_max_iterations", 1000
+        ),
+    )
+    if rmhmc_kwargs:
+        raise TypeError(f"unknown RMHMC options: {sorted(rmhmc_kwargs)}")
+    if integrator not in (Integrator.IMPLICIT, Integrator.EXPLICIT, Integrator.S3):
+        raise NotImplementedError(f"RMHMC integrator {integrator}")
+    da0 = da_init(config.step_size, dtype=theta0.dtype)
+    template = (_chain_state_template(theta0), da0)
+
+    def init_carry_fn():
+        fn = _bind_data(lp, data)
+        return (ChainState(theta0, fn(theta0), jnp.zeros_like(theta0)), da0)
+
+    def chunk_runner(k, carry, n_done, cfg):
+        state, da = carry
+        result = _run_rmhmc_jit(
+            k, state.theta, lp, cfg, integrator, opts, ham_func,
+            custom_metric, data=data, init_state=state, init_da=da,
+            start_iter=n_done,
+        )
+        return result, (result.final_state, result.final_da)
+
+    fp = _fingerprint(config, theta0, extra=(integrator, opts))
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, fp, _mcmc_chunk_fields,
+    )
+    return _assemble_mcmc(zs, config, carry)
 
 
 def run_nuts_checkpointed(

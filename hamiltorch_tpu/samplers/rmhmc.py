@@ -21,6 +21,7 @@ from ..enums import Integrator, Metric
 from ..integrators.explicit import explicit_leapfrog
 from ..integrators.implicit import implicit_leapfrog
 from ..ops.metrics import RMOptions, make_rm_hamiltonian
+from ..ops.potential import resolve_potential
 from .driver import ChainState, MCMCConfig, MCMCResult, run_mcmc
 
 
@@ -30,9 +31,14 @@ from .driver import ChainState, MCMCConfig, MCMCResult, run_mcmc
                      "custom_metric"),
 )
 def _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts, ham_func,
-                   custom_metric=None):
+                   custom_metric=None, data=None, init_state=None,
+                   init_da=None, start_iter=0):
+    # data (when given) reaches the potential as a jit operand, not a baked
+    # program constant; init_state/init_da/start_iter let chunked
+    # (checkpoint/resume) sampling continue the schedule exactly
+    lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
     semi = integrator == Integrator.S3
-    rm = make_rm_hamiltonian(log_prob_fn, opts, ham_func=ham_func,
+    rm = make_rm_hamiltonian(lp, opts, ham_func=ham_func,
                              semi_separable=semi, custom_metric=custom_metric)
     use_jitter = opts.jitter is not None
     d = theta0.shape[0]
@@ -60,8 +66,12 @@ def _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts, ham_func,
         h1, logp1 = rm.ham_and_logp(theta1, p1, jitter_u)
         return ChainState(theta1, logp1, jnp.zeros_like(theta1)), h0, h1, aux
 
-    state0 = ChainState(theta0, log_prob_fn(theta0), jnp.zeros_like(theta0))
-    return run_mcmc(key, state0, transition, config)
+    if init_state is not None:
+        state0 = init_state
+    else:
+        state0 = ChainState(theta0, lp(theta0), jnp.zeros_like(theta0))
+    return run_mcmc(key, state0, transition, config, init_da=init_da,
+                    start_iter=start_iter)
 
 
 def run_rmhmc(
@@ -95,8 +105,9 @@ def run_rmhmc(
         fixed_point_threshold=fixed_point_threshold,
         fixed_point_max_iterations=fixed_point_max_iterations,
     )
-    return _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts,
-                          ham_func, custom_metric)
+    lp, data = resolve_potential(log_prob_fn, None)
+    return _run_rmhmc_jit(key, theta0, lp, config, integrator, opts,
+                          ham_func, custom_metric, data=data)
 
 
 def run_rmhmc_chains(
@@ -136,8 +147,10 @@ def run_rmhmc_chains(
         fixed_point_threshold=fixed_point_threshold,
         fixed_point_max_iterations=fixed_point_max_iterations,
     )
+    lp, data = resolve_potential(log_prob_fn, None)
     return jax.vmap(
         lambda k, t: _run_rmhmc_jit(
-            k, t, log_prob_fn, config, integrator, opts, ham_func, custom_metric
+            k, t, lp, config, integrator, opts, ham_func, custom_metric,
+            data=data,
         )
     )(keys, theta0)

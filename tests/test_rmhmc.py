@@ -362,3 +362,59 @@ class TestRMHMCChains:
         pooled = np.asarray(r.samples[:, 50:]).reshape(-1, 2)
         cov = np.cov(pooled.T)
         np.testing.assert_allclose(cov, np.linalg.inv(np.asarray(PREC)), atol=0.15)
+
+
+class TestRMHMCCheckpoint:
+    def test_resume_matches_direct(self, key, tmp_path):
+        """Chunked + resumed RMHMC reproduces the uninterrupted run exactly
+        (fold_in RNG lineage; dual averaging continues across chunks)."""
+        from hamiltorch_tpu.checkpoint import run_rmhmc_checkpointed
+
+        config = MCMCConfig(num_samples=40, num_steps_per_sample=4,
+                            step_size=0.3, burn=10)
+        half = MCMCConfig(num_samples=15, num_steps_per_sample=4,
+                          step_size=0.3, burn=10)
+        kw = dict(integrator=Integrator.IMPLICIT,
+                  fixed_point_threshold=1e-10,
+                  fixed_point_max_iterations=20)
+        ck = str(tmp_path / "ck")
+        run_rmhmc_checkpointed(key, gaussian_logprob, jnp.zeros(2), half, ck,
+                               chunk_size=15, **kw)
+        r_res = run_rmhmc_checkpointed(key, gaussian_logprob, jnp.zeros(2),
+                                       config, ck, chunk_size=15, **kw)
+        r_dir = run_rmhmc(key, gaussian_logprob, jnp.zeros(2), config, **kw)
+        np.testing.assert_allclose(
+            np.asarray(r_res.samples), np.asarray(r_dir.samples), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(r_res.final_step_size), float(r_dir.final_step_size),
+            rtol=1e-5,
+        )
+
+    def test_option_change_refuses_resume(self, key, tmp_path):
+        """RMHMC options are part of the checkpoint fingerprint."""
+        import pytest
+
+        from hamiltorch_tpu.checkpoint import run_rmhmc_checkpointed
+
+        config = MCMCConfig(num_samples=10, num_steps_per_sample=3,
+                            step_size=0.3)
+        ck = str(tmp_path / "ck")
+        run_rmhmc_checkpointed(key, gaussian_logprob, jnp.zeros(2), config, ck,
+                               chunk_size=5, integrator=Integrator.IMPLICIT,
+                               fixed_point_max_iterations=20)
+        with pytest.raises(ValueError, match="fingerprint"):
+            run_rmhmc_checkpointed(key, gaussian_logprob, jnp.zeros(2),
+                                   config, ck, chunk_size=5,
+                                   integrator=Integrator.EXPLICIT,
+                                   fixed_point_max_iterations=20)
+
+    def test_unknown_option_rejected(self, key, tmp_path):
+        import pytest
+
+        from hamiltorch_tpu.checkpoint import run_rmhmc_checkpointed
+
+        with pytest.raises(TypeError, match="unknown RMHMC options"):
+            run_rmhmc_checkpointed(key, gaussian_logprob, jnp.zeros(2),
+                                   MCMCConfig(num_samples=4), str(tmp_path),
+                                   bogus=1)
