@@ -369,30 +369,13 @@ def run_rmhmc_checkpointed(
     ``fixed_point_threshold``, ``fixed_point_max_iterations``,
     ``ham_func``, ``custom_metric``.
     """
-    from .enums import Integrator, Metric
-    from .ops.metrics import RMOptions
-    from .samplers.rmhmc import _run_rmhmc_jit
+    from .samplers.rmhmc import _run_rmhmc_jit, resolve_rmhmc_options
 
     theta0 = jnp.asarray(theta0)
     lp, data = resolve_potential(log_prob_fn, None)
-    integrator = rmhmc_kwargs.pop("integrator", Integrator.IMPLICIT)
-    ham_func = rmhmc_kwargs.pop("ham_func", None)
-    custom_metric = rmhmc_kwargs.pop("custom_metric", None)
-    softabs = rmhmc_kwargs.pop("softabs_const", None)
-    opts = RMOptions(
-        metric=rmhmc_kwargs.pop("metric", Metric.HESSIAN),
-        jitter=rmhmc_kwargs.pop("jitter", None),
-        softabs_const=softabs if softabs is not None else 1e6,
-        explicit_binding_const=rmhmc_kwargs.pop("explicit_binding_const", 100.0),
-        fixed_point_threshold=rmhmc_kwargs.pop("fixed_point_threshold", 1e-5),
-        fixed_point_max_iterations=rmhmc_kwargs.pop(
-            "fixed_point_max_iterations", 1000
-        ),
+    integrator, opts, ham_func, custom_metric = resolve_rmhmc_options(
+        rmhmc_kwargs
     )
-    if rmhmc_kwargs:
-        raise TypeError(f"unknown RMHMC options: {sorted(rmhmc_kwargs)}")
-    if integrator not in (Integrator.IMPLICIT, Integrator.EXPLICIT, Integrator.S3):
-        raise NotImplementedError(f"RMHMC integrator {integrator}")
     da0 = da_init(config.step_size, dtype=theta0.dtype)
     template = (_chain_state_template(theta0), da0)
 

@@ -293,6 +293,62 @@ def run_nuts_chains_sharded(
     return jax.jit(shard)(keys, theta0)
 
 
+def run_rmhmc_chains_sharded(
+    key,
+    log_prob_fn: Callable,
+    theta0,
+    config,  # MCMCConfig
+    mesh: Mesh,
+    num_chains: int,
+    **rmhmc_kwargs,
+):
+    """Independent RMHMC chains sharded over the whole mesh.
+
+    No communication — each device runs its lane batch of generalized/
+    explicit-leapfrog chains (within a batch, lanes wait for the slowest
+    fixed point per step, as in ``run_rmhmc_chains``).  ``rmhmc_kwargs``
+    are ``run_rmhmc_chains``'s sampler options (integrator, metric,
+    jitter, softabs_const, fixed_point_*, ham_func, custom_metric).
+    Returns an MCMCResult with a leading chain axis.
+    """
+    from ..samplers.rmhmc import _run_rmhmc_jit, resolve_rmhmc_options
+
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    n_dev = len(mesh.devices.flatten())
+    if num_chains % n_dev:
+        raise ValueError(f"num_chains={num_chains} not divisible by {n_dev} devices")
+    axes = tuple(mesh.axis_names)
+    local_chains = num_chains // n_dev
+    integrator, opts, ham_func, custom_metric = resolve_rmhmc_options(rmhmc_kwargs)
+    lp, data = resolve_potential(log_prob_fn, None)
+    # one key per chain, derived exactly as run_rmhmc_chains derives them,
+    # so the sharded run reproduces the vmapped run's stream
+    keys = jax.random.split(key, num_chains)
+
+    def local(keys_l, thetas_l, data_l):
+        return jax.vmap(
+            lambda k, t: _run_rmhmc_jit(
+                k, t, lp, config, integrator, opts, ham_func, custom_metric,
+                data=data_l,
+            )
+        )(keys_l, thetas_l)
+
+    out_specs = _leading_axis_specs(
+        jax.eval_shape(local, keys[:local_chains], theta0[:local_chains], data),
+        axes,
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes), P(axes, None), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(shard)(keys, theta0, data)
+
+
 def run_nuts_ensemble_sharded(
     key,
     log_prob_fn: Callable,

@@ -74,6 +74,31 @@ def _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts, ham_func,
                     start_iter=start_iter)
 
 
+def resolve_rmhmc_options(kwargs: dict):
+    """(integrator, opts, ham_func, custom_metric) from a kwargs dict —
+    the keyword surface of run_rmhmc, shared by the checkpointed and
+    sharded runners.  Raises TypeError on unknown keys and
+    NotImplementedError on a non-RMHMC integrator."""
+    kw = dict(kwargs)
+    integrator = kw.pop("integrator", Integrator.IMPLICIT)
+    ham_func = kw.pop("ham_func", None)
+    custom_metric = kw.pop("custom_metric", None)
+    softabs = kw.pop("softabs_const", None)
+    opts = RMOptions(
+        metric=kw.pop("metric", Metric.HESSIAN),
+        jitter=kw.pop("jitter", None),
+        softabs_const=softabs if softabs is not None else 1e6,
+        explicit_binding_const=kw.pop("explicit_binding_const", 100.0),
+        fixed_point_threshold=kw.pop("fixed_point_threshold", 1e-5),
+        fixed_point_max_iterations=kw.pop("fixed_point_max_iterations", 1000),
+    )
+    if kw:
+        raise TypeError(f"unknown RMHMC options: {sorted(kw)}")
+    if integrator not in (Integrator.IMPLICIT, Integrator.EXPLICIT, Integrator.S3):
+        raise NotImplementedError(f"RMHMC integrator {integrator}")
+    return integrator, opts, ham_func, custom_metric
+
+
 def run_rmhmc(
     key,
     log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray],

@@ -348,6 +348,40 @@ class TestNUTSSharding:
         np.testing.assert_allclose(np.cov(kept.T), np.asarray(cov), atol=0.2)
 
 
+class TestRMHMCSharding:
+    def test_sharded_rmhmc_matches_vmap(self, key):
+        from hamiltorch_tpu.parallel.sharding import run_rmhmc_chains_sharded
+        from hamiltorch_tpu.samplers.rmhmc import run_rmhmc_chains
+
+        prec = jnp.asarray([[1.5625, -0.9375], [-0.9375, 1.5625]])
+        lp = lambda t: -0.5 * t @ prec @ t
+        config = MCMCConfig(num_samples=30, num_steps_per_sample=4,
+                            step_size=0.3)
+        kw = dict(fixed_point_threshold=1e-10, fixed_point_max_iterations=20)
+        mesh = make_mesh(chains=8, data=1)
+        r_shard = run_rmhmc_chains_sharded(
+            key, lp, jnp.zeros(2), config, mesh, num_chains=8, **kw
+        )
+        r_vmap = run_rmhmc_chains(key, lp, jnp.zeros(2), config,
+                                  num_chains=8, **kw)
+        assert r_shard.samples.shape == (8, 30, 2)
+        np.testing.assert_allclose(
+            np.asarray(r_shard.samples), np.asarray(r_vmap.samples), atol=1e-4
+        )
+
+    def test_unknown_option_rejected(self, key):
+        import pytest
+
+        from hamiltorch_tpu.parallel.sharding import run_rmhmc_chains_sharded
+
+        mesh = make_mesh(chains=8, data=1)
+        with pytest.raises(TypeError, match="unknown RMHMC options"):
+            run_rmhmc_chains_sharded(
+                key, std_normal, jnp.zeros(2), MCMCConfig(num_samples=4),
+                mesh, num_chains=8, bogus=1,
+            )
+
+
 class TestMultihostHelpers:
     """Single-process-exercisable surface of parallel/multihost.py (the
     jax.distributed wiring itself needs a real pod; the mesh/geometry logic
