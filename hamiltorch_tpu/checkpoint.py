@@ -350,6 +350,63 @@ def run_hmc_chains_checkpointed(
     return _assemble_mcmc(zs, config, carry, time_axis=1)
 
 
+def run_split_hmc_checkpointed(
+    key,
+    term_fn: Callable,
+    num_terms: int,
+    theta0,
+    config: MCMCConfig,
+    ckpt_dir: str,
+    chunk_size: int = 100,
+    integrator=None,
+    inv_mass=None,
+    data=None,
+    pass_grad=None,
+    resume: bool = True,
+) -> MCMCResult:
+    """Symmetric-split minibatch HMC with per-chunk checkpointing, in the
+    ``run_split_hmc_stacked`` contract: ``term_fn(theta, m[, data])`` one
+    minibatch log-lik term, stacked arrays through ``data`` as a jit
+    operand.  The splitting scheme and term count are part of the
+    checkpoint fingerprint."""
+    from .enums import Integrator
+    from .samplers.splitting import _run_split_jit
+
+    integrator = Integrator.SPLITTING if integrator is None else integrator
+    theta0 = jnp.asarray(theta0)
+    mass = make_mass(inv_mass, theta0.shape[0])
+    da0 = da_init(config.step_size, dtype=theta0.dtype)
+    template = (_chain_state_template(theta0), da0)
+
+    def total_logp(theta):
+        fn = term_fn if data is None else (lambda t, m: term_fn(t, m, data))
+        lp, _ = jax.lax.scan(
+            lambda acc, m: (acc + fn(theta, m), None),
+            jnp.zeros((), theta.dtype), jnp.arange(num_terms),
+        )
+        return lp
+
+    def init_carry_fn():
+        return (ChainState(theta0, total_logp(theta0),
+                           jnp.zeros_like(theta0)), da0)
+
+    def chunk_runner(k, carry, n_done, cfg):
+        state, da = carry
+        result = _run_split_jit(
+            k, state.theta, term_fn, num_terms, cfg, integrator, mass, data,
+            raw_pass_grad=pass_grad, init_state=state, init_da=da,
+            start_iter=n_done,
+        )
+        return result, (result.final_state, result.final_da)
+
+    fp = _fingerprint(config, theta0, extra=(integrator, num_terms))
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, fp, _mcmc_chunk_fields,
+    )
+    return _assemble_mcmc(zs, config, carry)
+
+
 def run_rmhmc_checkpointed(
     key,
     log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray],

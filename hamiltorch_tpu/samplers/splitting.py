@@ -34,7 +34,8 @@ def terms_from_list(log_prob_funcs: Sequence[Callable]) -> Callable:
 @partial(jax.jit, static_argnames=("raw_term_fn", "num_terms", "config",
                                    "integrator", "raw_pass_grad"))
 def _run_split_jit(key, theta0, raw_term_fn, num_terms, config, integrator, mass,
-                   data, raw_pass_grad=None):
+                   data, raw_pass_grad=None, init_state=None, init_da=None,
+                   start_iter=0):
     # ``data`` rides through jit as an operand so stacked minibatch arrays
     # are device buffers, not constants baked into the program.
     if data is None:
@@ -75,8 +76,12 @@ def _run_split_jit(key, theta0, raw_term_fn, num_terms, config, integrator, mass
         h1 = -logp1 + mass.kinetic(p_new)
         return ChainState(theta, logp1, jnp.zeros_like(theta)), h0, h1
 
-    state0 = ChainState(theta0, total_logp(theta0), jnp.zeros_like(theta0))
-    return run_mcmc(key, state0, transition, config)
+    if init_state is not None:
+        state0 = init_state
+    else:
+        state0 = ChainState(theta0, total_logp(theta0), jnp.zeros_like(theta0))
+    return run_mcmc(key, state0, transition, config, init_da=init_da,
+                    start_iter=start_iter)
 
 
 def run_split_hmc_stacked(

@@ -227,3 +227,35 @@ class TestSplitChains:
         )
         pooled = np.asarray(r.samples[:, 20:]).reshape(-1, 2)
         np.testing.assert_allclose(pooled.std(0), [1, 1], atol=0.15)
+
+
+class TestSplitCheckpoint:
+    def test_resume_matches_direct(self, key, tmp_path):
+        """Chunked + resumed split HMC reproduces the uninterrupted run."""
+        import pytest
+
+        from hamiltorch_tpu.checkpoint import run_split_hmc_checkpointed
+        from hamiltorch_tpu.samplers.splitting import (
+            run_split_hmc_stacked, terms_from_list,
+        )
+
+        term_fn = terms_from_list(make_split_gaussian(4))
+        config = MCMCConfig(num_samples=60, num_steps_per_sample=5,
+                            step_size=0.25, burn=20)
+        half = MCMCConfig(num_samples=25, num_steps_per_sample=5,
+                          step_size=0.25, burn=20)
+        ck = str(tmp_path / "ck")
+        run_split_hmc_checkpointed(key, term_fn, 4, jnp.zeros(2), half, ck,
+                                   chunk_size=25)
+        r_res = run_split_hmc_checkpointed(key, term_fn, 4, jnp.zeros(2),
+                                           config, ck, chunk_size=25)
+        r_dir = run_split_hmc_stacked(key, term_fn, 4, jnp.zeros(2), config)
+        np.testing.assert_allclose(
+            np.asarray(r_res.samples), np.asarray(r_dir.samples), atol=1e-5
+        )
+        # a different splitting scheme refuses to resume the directory
+        with pytest.raises(ValueError, match="fingerprint"):
+            run_split_hmc_checkpointed(
+                key, term_fn, 4, jnp.zeros(2), config, ck, chunk_size=25,
+                integrator=Integrator.SPLITTING_KMID,
+            )
