@@ -370,21 +370,14 @@ def run_split_hmc_checkpointed(
     operand.  The splitting scheme and term count are part of the
     checkpoint fingerprint."""
     from .enums import Integrator
-    from .samplers.splitting import _run_split_jit
+    from .samplers.splitting import _run_split_jit, stacked_total_logp
 
     integrator = Integrator.SPLITTING if integrator is None else integrator
     theta0 = jnp.asarray(theta0)
     mass = make_mass(inv_mass, theta0.shape[0])
     da0 = da_init(config.step_size, dtype=theta0.dtype)
     template = (_chain_state_template(theta0), da0)
-
-    def total_logp(theta):
-        fn = term_fn if data is None else (lambda t, m: term_fn(t, m, data))
-        lp, _ = jax.lax.scan(
-            lambda acc, m: (acc + fn(theta, m), None),
-            jnp.zeros((), theta.dtype), jnp.arange(num_terms),
-        )
-        return lp
+    total_logp = stacked_total_logp(term_fn, num_terms, data)
 
     def init_carry_fn():
         return (ChainState(theta0, total_logp(theta0),

@@ -70,6 +70,7 @@ def sample_chains_sharded(
         theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
     keys = jax.random.split(key, num_chains)
     mass = make_mass(inv_mass, theta0.shape[-1])
+    config = _warn_progress_ignored(config)
 
     n_chain_shards = mesh.shape["chains"]
     if num_chains % n_chain_shards:
@@ -134,10 +135,13 @@ def _leading_axis_specs(shape_tree, axes):
     )
 
 
-def _warn_progress_ignored(config) -> None:
+def _warn_progress_ignored(config):
     """In-scan progress callbacks under shard_map would fire once PER
-    DEVICE; the sharded runners say so once and run silent instead."""
+    DEVICE; the sharded runners say so once and run silent instead.
+    Returns the config with ``progress_every`` stripped (unchanged when
+    the field is absent or zero)."""
     if getattr(config, "progress_every", 0):
+        import dataclasses
         import sys
 
         print(
@@ -146,6 +150,8 @@ def _warn_progress_ignored(config) -> None:
             "sharded run proceeds without a progress bar.",
             file=sys.stderr,
         )
+        config = dataclasses.replace(config, progress_every=0)
+    return config
 
 
 def mesh_chain_layout(mesh: Mesh, num_chains: int):
@@ -264,11 +270,7 @@ def run_nuts_chains_sharded(
     keys = jax.random.split(key, num_chains)
     mass = make_mass(inv_mass, theta0.shape[-1])
     validate_nuts_mass(config, mass)
-    _warn_progress_ignored(config)
-    if getattr(config, "progress_every", 0):
-        import dataclasses
-
-        config = dataclasses.replace(config, progress_every=0)
+    config = _warn_progress_ignored(config)
     n_dev = len(mesh.devices.flatten())
     if num_chains % n_dev:
         raise ValueError(f"num_chains={num_chains} not divisible by {n_dev} devices")
@@ -322,6 +324,7 @@ def run_rmhmc_chains_sharded(
     axes = tuple(mesh.axis_names)
     local_chains = num_chains // n_dev
     integrator, opts, ham_func, custom_metric = resolve_rmhmc_options(rmhmc_kwargs)
+    config = _warn_progress_ignored(config)
     lp, data = resolve_potential(log_prob_fn, None)
     # one key per chain, derived exactly as run_rmhmc_chains derives them,
     # so the sharded run reproduces the vmapped run's stream
@@ -381,7 +384,7 @@ def run_nuts_ensemble_sharded(
     d = theta0.shape[-1]
     mass = make_mass(inv_mass, d)
     validate_nuts_mass(config, mass)
-    _warn_progress_ignored(config)
+    config = _warn_progress_ignored(config)
     axes, axis_name = mesh_chain_layout(mesh, num_chains)
     chain_keys = derive_chain_keys(key, num_chains)
 
@@ -438,7 +441,7 @@ def run_chees_sharded(
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
     validate_chees(config, mass)
-    _warn_progress_ignored(config)
+    config = _warn_progress_ignored(config)
     axes, axis_name = mesh_chain_layout(mesh, num_chains)
     chain_keys = derive_chain_keys(key, num_chains)
 
@@ -489,7 +492,7 @@ def sample_chees_sharded(
         )
     mass = make_mass(inv_mass, theta0.shape[-1])
     validate_chees(config, mass)
-    _warn_progress_ignored(config)
+    config = _warn_progress_ignored(config)
     n_chain_shards = mesh.shape["chains"]
     if num_chains % n_chain_shards:
         raise ValueError(
@@ -549,6 +552,7 @@ def run_hmc_chains_sharded(
         theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
     keys = jax.random.split(key, num_chains)
     mass = make_mass(inv_mass, theta0.shape[-1])
+    config = _warn_progress_ignored(config)
 
     axes = tuple(mesh.axis_names)
 

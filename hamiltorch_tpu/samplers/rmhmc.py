@@ -120,16 +120,14 @@ def run_rmhmc(
     replaces the Hessian/softabs pipeline (see ops/metrics.py).
     """
     theta0 = jnp.asarray(theta0)
-    if integrator not in (Integrator.IMPLICIT, Integrator.EXPLICIT, Integrator.S3):
-        raise NotImplementedError(f"RMHMC integrator {integrator}")
-    opts = RMOptions(
-        metric=metric,
-        jitter=jitter,
-        softabs_const=softabs_const if softabs_const is not None else 1e6,
+    integrator, opts, ham_func, custom_metric = resolve_rmhmc_options(dict(
+        integrator=integrator, metric=metric, jitter=jitter,
+        softabs_const=softabs_const,
         explicit_binding_const=explicit_binding_const,
         fixed_point_threshold=fixed_point_threshold,
         fixed_point_max_iterations=fixed_point_max_iterations,
-    )
+        ham_func=ham_func, custom_metric=custom_metric,
+    ))
     lp, data = resolve_potential(log_prob_fn, None)
     return _run_rmhmc_jit(key, theta0, lp, config, integrator, opts,
                           ham_func, custom_metric, data=data)
@@ -161,17 +159,15 @@ def run_rmhmc_chains(
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
-    if integrator not in (Integrator.IMPLICIT, Integrator.EXPLICIT, Integrator.S3):
-        raise NotImplementedError(f"RMHMC integrator {integrator}")
     keys = jax.random.split(key, num_chains)
-    opts = RMOptions(
-        metric=metric,
-        jitter=jitter,
-        softabs_const=softabs_const if softabs_const is not None else 1e6,
+    integrator, opts, ham_func, custom_metric = resolve_rmhmc_options(dict(
+        integrator=integrator, metric=metric, jitter=jitter,
+        softabs_const=softabs_const,
         explicit_binding_const=explicit_binding_const,
         fixed_point_threshold=fixed_point_threshold,
         fixed_point_max_iterations=fixed_point_max_iterations,
-    )
+        ham_func=ham_func, custom_metric=custom_metric,
+    ))
     lp, data = resolve_potential(log_prob_fn, None)
     return jax.vmap(
         lambda k, t: _run_rmhmc_jit(

@@ -31,6 +31,24 @@ def terms_from_list(log_prob_funcs: Sequence[Callable]) -> Callable:
     return term_fn
 
 
+def stacked_total_logp(term_fn, num_terms: int, data):
+    """Callable ``theta -> sum of all stacked terms`` (a lax.scan over the
+    term axis) — the value that seeds and updates ``ChainState.logp``.
+    Shared by the sampler and the checkpointed runner: the two must agree
+    bit-exactly or a resumed chain's first Metropolis test would use a
+    different cached log-prob than the uninterrupted run."""
+    fn = term_fn if data is None else (lambda t, m: term_fn(t, m, data))
+
+    def total_logp(theta):
+        lp, _ = jax.lax.scan(
+            lambda acc, m: (acc + fn(theta, m), None),
+            jnp.zeros((), theta.dtype), jnp.arange(num_terms),
+        )
+        return lp
+
+    return total_logp
+
+
 @partial(jax.jit, static_argnames=("raw_term_fn", "num_terms", "config",
                                    "integrator", "raw_pass_grad"))
 def _run_split_jit(key, theta0, raw_term_fn, num_terms, config, integrator, mass,
@@ -52,12 +70,7 @@ def _run_split_jit(key, theta0, raw_term_fn, num_terms, config, integrator, mass
     # is an extension); the MH energies still use exact term values
     grad_term = pass_grad_fn if pass_grad_fn is not None else jax.grad(term_fn, argnums=0)
 
-    def total_logp(theta):
-        def body(acc, m):
-            return acc + term_fn(theta, m), None
-
-        lp, _ = jax.lax.scan(body, jnp.zeros((), theta.dtype), jnp.arange(num_terms))
-        return lp
+    total_logp = stacked_total_logp(raw_term_fn, num_terms, data)
 
     def transition(key, state: ChainState, step_size):
         k_mom, k_perm = jax.random.split(key)

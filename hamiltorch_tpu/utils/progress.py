@@ -99,10 +99,12 @@ def _callbacks_supported() -> bool:
         with jax.ensure_compile_time_eval():
             jax.block_until_ready(jax.jit(probe)(jnp.zeros(())))
     except Exception as e:
-        # cache only a definitive "backend lacks host callbacks" verdict; a
-        # transient failure (TPU busy, compile-service hiccup) disables the
-        # bar for THIS call without poisoning the rest of the process
-        if "UNIMPLEMENTED" in str(e) or "callback" in str(e).lower():
+        # cache only the definitive PJRT "backend lacks host callbacks"
+        # verdict; a transient failure (TPU busy, compile-service hiccup)
+        # disables the bar for THIS call without poisoning the rest of the
+        # process.  Do NOT also match on the word 'callback' — nearly every
+        # probe failure mentions the callback custom call, transient or not.
+        if "UNIMPLEMENTED" in str(e):
             _CALLBACK_SUPPORT[platform] = False
         return False
     _CALLBACK_SUPPORT[platform] = True
