@@ -295,6 +295,87 @@ def run_nuts_chains_sharded(
     return jax.jit(shard)(keys, theta0)
 
 
+def sample_nuts_chains_sharded(
+    key,
+    loglik_shard_fn: Callable,
+    log_prior_fn: Callable,
+    x,
+    y,
+    theta0,
+    config,  # NUTSConfig
+    mesh: Mesh,
+    num_chains: int,
+    inv_mass=None,
+):
+    """Tree-NUTS chains over BOTH mesh axes: chains sharded over 'chains',
+    the likelihood sharded over 'data' with psum-reduced value/gradient
+    (the custom_vjp pairing of sample_chains_sharded) — exact full-batch
+    NUTS on datasets larger than one device's memory.
+
+    Returns (MCMCResult, NUTSInfo) with a leading chain axis.
+    """
+    from ..samplers.nuts import _run_nuts_jit, validate_nuts_mass
+
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    keys = jax.random.split(key, num_chains)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+    validate_nuts_mass(config, mass)
+    config = _warn_progress_ignored(config)
+    n_chain_shards = mesh.shape["chains"]
+    if num_chains % n_chain_shards:
+        raise ValueError(
+            f"num_chains={num_chains} not divisible by mesh chains={n_chain_shards}"
+        )
+
+    def local(keys_l, thetas_l, x_shard, y_shard):
+        # value+grad psum pairing via custom_vjp: psum's AD transpose would
+        # re-psum the cotangent (see sample_chains_sharded)
+        @jax.custom_vjp
+        def summed_ll(theta):
+            return jax.lax.psum(loglik_shard_fn(theta, x_shard, y_shard), "data")
+
+        def summed_ll_fwd(theta):
+            val, grad = jax.value_and_grad(
+                lambda t: loglik_shard_fn(t, x_shard, y_shard)
+            )(theta)
+            return jax.lax.psum(val, "data"), jax.lax.psum(grad, "data")
+
+        def summed_ll_bwd(grad_total, ct):
+            return (ct * grad_total,)
+
+        summed_ll.defvjp(summed_ll_fwd, summed_ll_bwd)
+
+        def log_prob(theta):
+            return log_prior_fn(theta) + summed_ll(theta)
+
+        return jax.vmap(
+            lambda k, t: _run_nuts_jit(k, t, log_prob, config, mass)
+        )(keys_l, thetas_l)
+
+    local_chains = num_chains // n_chain_shards
+    out_specs = _leading_axis_specs(
+        jax.eval_shape(
+            lambda k, t: jax.vmap(
+                lambda kk, tt: _run_nuts_jit(kk, tt, log_prior_fn, config, mass)
+            )(k, t),
+            keys[:local_chains],
+            theta0[:local_chains],
+        ),
+        "chains",
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("chains"), P("chains", None), P("data"), P("data")),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(shard)(keys, theta0, x, y)
+
+
 def run_rmhmc_chains_sharded(
     key,
     log_prob_fn: Callable,
@@ -611,6 +692,7 @@ def run_pt_sharded(
     check_num_temps(theta0, config)
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
+    config = _warn_progress_ignored(config)
     n_dev = len(mesh.devices.flatten())
     if num_ensembles % n_dev:
         raise ValueError(

@@ -50,6 +50,10 @@ class PTConfig:
     adapt_ladder: bool = False  # swap-rate-equalising ladder (see module docstring)
     ladder_t0: float = 10.0  # adaptation-decay offset kappa = t0/(nu(n+t0))
     ladder_nu: float = 1.0
+    # host progress line every N draws (0 = silent), as the HMC driver's;
+    # vmapped/sharded ensembles and chunked checkpoint programs run silent
+    # (the checkpoint loop reports per chunk from the host)
+    progress_every: int = 0
 
 
 class PTInfo(NamedTuple):
@@ -150,8 +154,16 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None,
     )
     partner_odd = jnp.clip(partner_odd, 0, k_temps - 1)
 
+    progress_hook = None
+    if config.progress_every > 0:
+        from ..utils.progress import scan_progress
+
+        progress_hook = scan_progress(config.num_samples, config.progress_every)
+
     def step(carry, n):
         thetas, logps, grads, s, ema = carry
+        if progress_hook is not None:
+            progress_hook(n - start_iter)  # bar is sized per-run, not global
         betas = betas_from_log_gaps(s, config.max_temp)
         eps_k = config.step_size / jnp.sqrt(betas)  # wider steps when hotter
         kn = jax.random.fold_in(key, n)

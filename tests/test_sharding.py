@@ -348,6 +348,44 @@ class TestNUTSSharding:
         np.testing.assert_allclose(np.cov(kept.T), np.asarray(cov), atol=0.2)
 
 
+class TestNUTSDataSharding:
+    def test_chains_by_data_matches_replicated(self, key):
+        """NUTS over the chains x data mesh == replicated-potential NUTS on
+        the same full batch (psum'd likelihood value and gradient)."""
+        from hamiltorch_tpu.parallel.sharding import (
+            run_nuts_chains_sharded,
+            sample_nuts_chains_sharded,
+        )
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig
+
+        x = jax.random.normal(jax.random.key(1), (32, 3))
+        y = jnp.sum(x, axis=1, keepdims=True)
+
+        def loglik_shard(theta, xs, ys):
+            out = xs @ theta[:, None]
+            return -0.5 * jnp.sum((out - ys) ** 2)
+
+        def log_prior(theta):
+            return -0.5 * jnp.dot(theta, theta)
+
+        def full_lp(theta):
+            return log_prior(theta) + loglik_shard(theta, x, y)
+
+        config = NUTSConfig(num_samples=25, step_size=0.1, burn=10)
+        mesh = make_mesh(chains=4, data=2)
+        r_data, i_data = sample_nuts_chains_sharded(
+            key, loglik_shard, log_prior, x, y, jnp.zeros(3), config, mesh,
+            num_chains=8,
+        )
+        r_rep, i_rep = run_nuts_chains_sharded(
+            key, full_lp, jnp.zeros(3), config, mesh, num_chains=8
+        )
+        assert r_data.samples.shape == (8, 25, 3)
+        np.testing.assert_allclose(
+            np.asarray(r_data.samples), np.asarray(r_rep.samples), atol=1e-3
+        )
+
+
 class TestRMHMCSharding:
     def test_sharded_rmhmc_matches_vmap(self, key):
         from hamiltorch_tpu.parallel.sharding import run_rmhmc_chains_sharded

@@ -127,6 +127,17 @@ class TestEnsemblePT:
                 atol=1e-5,
             )
 
+    def test_pt_progress_every_emits(self, key, capfd):
+        from hamiltorch_tpu.samplers.tempering import run_parallel_tempering
+
+        run_parallel_tempering(
+            key, self.lp, jnp.zeros(2),
+            PTConfig(num_samples=8, num_steps_per_sample=3, num_temps=3,
+                     progress_every=2),
+        )
+        captured = capfd.readouterr()
+        assert "Sampling" in captured.out and "Progress" in captured.out
+
     def test_ensemble_checkpoint_resume_matches_vmapped(self, key, tmp_path):
         """Chunked + resumed ensemble PT reproduces run_pt_chains exactly
         (same per-ensemble keys, global draw indices drive RNG + parity)."""
