@@ -1,9 +1,13 @@
-"""Persistent XLA compilation cache.
+"""Persistent XLA compilation cache (OPT-IN).
 
-TPU compiles of a full sampling scan take tens of seconds (more again under
-remote-compile backends); enabling the persistent cache makes every rerun
-of the same program shape instant.  Called by bench.py and the examples;
-user code can opt in the same way.
+TPU compiles of a full sampling scan take tens of seconds; on standard
+PJRT backends the persistent cache makes every rerun of the same program
+shape near-instant (verified cross-process on small programs).  Nothing in
+this package enables it by default: on REMOTE-COMPILE backends (e.g. the
+axon TPU tunnel) the cache-hit deserialization path can be slower than a
+fresh compile (measured: a 100k-param 64-chain scan compiled in 85s cold
+but took 282s in a second process reading the warm cache).  Benchmark on
+your backend before adopting it.
 """
 
 from __future__ import annotations
