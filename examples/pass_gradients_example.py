@@ -30,17 +30,26 @@ common = dict(
     num_steps_per_sample=20, verbose=False, key=jax.random.key(0),
 )
 
-t0 = time.time()
-s_auto = hamiltorch.sample(log_prob_func=log_prob, **common)
-jax.block_until_ready(s_auto)
-t_auto = time.time() - t0
 
-t0 = time.time()
-s_pass = hamiltorch.sample(log_prob_func=log_prob, pass_grad=analytic_grad, **common)
-jax.block_until_ready(s_pass)
-t_pass = time.time() - t0
+def timed_warm(fn):
+    """Compile on the first call, time the second (remote-compile latency
+    is erratic — seconds to minutes — and would swamp the comparison)."""
+    jax.block_until_ready(fn())
+    t0 = time.time()
+    out = fn()
+    jax.block_until_ready(out)
+    return time.time() - t0, out
 
-print(f"autograd : {t_auto:.2f}s  emp std {jnp.std(s_auto[50:], axis=0)}")
-print(f"pass_grad: {t_pass:.2f}s  emp std {jnp.std(s_pass[50:], axis=0)}")
+
+t_auto, s_auto = timed_warm(
+    lambda: hamiltorch.sample(log_prob_func=log_prob, **common)
+)
+t_pass, s_pass = timed_warm(
+    lambda: hamiltorch.sample(log_prob_func=log_prob,
+                              pass_grad=analytic_grad, **common)
+)
+
+print(f"autograd : {t_auto:.3f}s  emp std {jnp.std(s_auto[50:], axis=0)}")
+print(f"pass_grad: {t_pass:.3f}s  emp std {jnp.std(s_pass[50:], axis=0)}")
 print("identical keys -> identical chains:",
       bool(jnp.allclose(s_auto, s_pass, atol=1e-5)))

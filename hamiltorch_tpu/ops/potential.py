@@ -18,12 +18,22 @@ TPU-native equivalents:
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 
 LogProbFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+# Samplers take the potential as a STATIC jit argument, so the wrapper's
+# identity is the compilation-cache key: building a fresh custom_vjp object
+# per sample() call would recompile the whole scan every time pass_grad is
+# used.  Memoize by (function, gradient) identity; the bounded strong-ref
+# cache also keeps each pass_grad object alive so its id cannot be reused
+# by a different object while the entry exists.
+_WRAP_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
+_WRAP_CACHE_MAX = 32
 
 
 def make_log_prob(
@@ -35,10 +45,20 @@ def make_log_prob(
     ``pass_grad`` may be a callable ``theta -> (D,) gradient`` or a constant
     gradient array, matching the reference's ``pass_grad`` contract
     (reference: hamiltorch/samplers.py:59-63).  Returns a scalar-valued
-    function whose ``jax.grad`` is the user gradient.
+    function whose ``jax.grad`` is the user gradient; repeated calls with
+    the same (log_prob_fn, pass_grad) return the SAME wrapper so jitted
+    samplers hit their compilation cache.
     """
     if pass_grad is None:
         return log_prob_fn
+
+    try:
+        cache_key = (log_prob_fn, id(pass_grad))
+        hit = _WRAP_CACHE.get(cache_key)
+    except TypeError:  # unhashable log_prob_fn: skip memoization
+        cache_key, hit = None, None
+    if hit is not None and hit[0] is pass_grad:
+        return hit[1]
 
     if callable(pass_grad):
         grad_fn = pass_grad
@@ -59,6 +79,10 @@ def make_log_prob(
         return (g * grad_fn(theta),)
 
     wrapped.defvjp(fwd, bwd)
+    if cache_key is not None:
+        _WRAP_CACHE[cache_key] = (pass_grad, wrapped)
+        while len(_WRAP_CACHE) > _WRAP_CACHE_MAX:
+            _WRAP_CACHE.popitem(last=False)
     return wrapped
 
 

@@ -148,6 +148,25 @@ class TestHMCStatistics:
             np.asarray(r_auto.samples), np.asarray(r_pass.samples), rtol=1e-5, atol=1e-6
         )
 
+    def test_pass_grad_wrapper_is_memoized(self):
+        """Samplers take the potential as a STATIC jit arg: repeated calls
+        with the same (fn, pass_grad) must return the SAME wrapper or every
+        sample(..., pass_grad=...) recompiles the whole scan."""
+        from hamiltorch_tpu.ops.potential import make_log_prob
+
+        g = lambda t: -t
+        w1 = make_log_prob(std_normal_logprob, g)
+        w2 = make_log_prob(std_normal_logprob, g)
+        assert w1 is w2
+        # a DIFFERENT gradient must not reuse the cached wrapper
+        w3 = make_log_prob(std_normal_logprob, lambda t: -2 * t)
+        assert w3 is not w1
+        # constant-gradient arrays key by object identity
+        c = jnp.ones(3)
+        assert make_log_prob(std_normal_logprob, c) is make_log_prob(
+            std_normal_logprob, c
+        )
+
 
 class TestNUTSAdaptation:
     def test_step_size_converges(self, key):
