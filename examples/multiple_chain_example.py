@@ -34,14 +34,19 @@ t0 = time.time()
 results = multi_chain(chain, num_workers=4, seeds=list(range(8)))
 print(f"8 sequential chains: {time.time() - t0:.2f}s")
 
-# --- TPU-native: one vmapped program ---
+# --- TPU-native: one vmapped program (timed warm: the sequential loop
+# above reuses one compiled program 8 times, so a fair comparison gives
+# the vmapped program its one compile too) ---
 config = hamiltorch.MCMCConfig(num_samples=400, num_steps_per_sample=5, step_size=0.3)
+jax.block_until_ready(hamiltorch.run_hmc_chains(
+    jax.random.key(0), log_prob, jnp.zeros(3), config, num_chains=8
+).samples)
 t0 = time.time()
 result = hamiltorch.run_hmc_chains(
     jax.random.key(0), log_prob, jnp.zeros(3), config, num_chains=8
 )
 jax.block_until_ready(result.samples)
-print(f"8 vmapped chains  : {time.time() - t0:.2f}s (includes compile)")
+print(f"8 vmapped chains  : {time.time() - t0:.2f}s (warm)")
 
 stats = summary(result.samples[:, 50:])
 print("posterior std :", stats["std"], "(true [0.5, 1, 2])")

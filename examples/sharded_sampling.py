@@ -10,7 +10,16 @@ exact full-batch log-posterior — full-batch HMC on datasets larger than one
 device's memory.
 """
 
+import os
+
+# Honour a requested virtual CPU mesh even under site hooks that force a
+# TPU platform (only jax.config.update wins over those; see CLAUDE.md).
+_want_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
+
 import jax
+
+if _want_cpu:
+    jax.config.update("jax_platforms", "cpu")
 
 if len(jax.devices()) == 1:
     print(
