@@ -542,6 +542,89 @@ def run_chees_sharded(
     return jax.jit(shard)(key, chain_keys, theta0, data)
 
 
+def sample_nuts_ensemble_sharded(
+    key,
+    loglik_shard_fn: Callable,
+    log_prior_fn: Callable,
+    x,
+    y,
+    theta0,
+    config,  # NUTSConfig
+    mesh: Mesh,
+    num_chains: int,
+    inv_mass=None,
+):
+    """Pooled-adaptation ensemble NUTS using BOTH mesh axes: the chain
+    ensemble sharded over 'chains' and the likelihood sharded over 'data'.
+
+    Per potential evaluation each device computes its local chains against
+    its local data shard (one psum of value+gradient over 'data' via the
+    custom_vjp pairing); the shared dual-averaging statistic and pooled
+    Welford mass merge psum over 'chains' — the NUTS analogue of
+    ``sample_chees_sharded``.  Returns (MCMCResult, NUTSInfo) in
+    ``run_nuts_ensemble``'s layout.
+    """
+    from ..samplers.nuts import (
+        _run_nuts_ensemble_jit,
+        init_metric_seed,
+        validate_nuts_mass,
+    )
+
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    d = theta0.shape[-1]
+    mass = make_mass(inv_mass, d)
+    validate_nuts_mass(config, mass)
+    config = _warn_progress_ignored(config)
+    n_chain_shards = mesh.shape["chains"]
+    if num_chains % n_chain_shards:
+        raise ValueError(
+            f"num_chains={num_chains} not divisible by mesh chains={n_chain_shards}"
+        )
+    chain_keys = derive_chain_keys(key, num_chains)
+
+    def local(base_key, keys_l, thetas_l, x_shard, y_shard):
+        # value+grad psum pairing via custom_vjp: psum's AD transpose would
+        # re-psum the cotangent (see sample_chains_sharded)
+        @jax.custom_vjp
+        def summed_ll(theta):
+            return jax.lax.psum(loglik_shard_fn(theta, x_shard, y_shard), "data")
+
+        def summed_ll_fwd(theta):
+            val, grad = jax.value_and_grad(
+                lambda t: loglik_shard_fn(t, x_shard, y_shard)
+            )(theta)
+            return jax.lax.psum(val, "data"), jax.lax.psum(grad, "data")
+
+        def summed_ll_bwd(grad_total, ct):
+            return (ct * grad_total,)
+
+        summed_ll.defvjp(summed_ll_fwd, summed_ll_bwd)
+
+        def log_prob(theta):
+            return log_prior_fn(theta) + summed_ll(theta)
+
+        return _run_nuts_ensemble_jit(
+            base_key, thetas_l, log_prob, config, mass,
+            chain_keys=keys_l, axis_name="chains",
+        )
+
+    dense = bool(config.adapt_mass) and config.burn > 0 \
+        and config.adapt_mass == "dense"
+    wf0, metric0 = init_metric_seed(mass, d, theta0.dtype, dense)
+    warm_template = (wf0, metric0, jnp.zeros((), jnp.int32))
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P("chains"), P("chains", None), P("data"), P("data")),
+        out_specs=nuts_ensemble_result_specs("chains", warm_template),
+        check_vma=False,
+    )
+    return jax.jit(shard)(key, chain_keys, theta0, x, y)
+
+
 def sample_chees_sharded(
     key,
     loglik_shard_fn: Callable,

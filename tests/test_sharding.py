@@ -349,6 +349,48 @@ class TestNUTSSharding:
 
 
 class TestNUTSDataSharding:
+    def test_pooled_ensemble_chains_by_data(self, key):
+        """Pooled ensemble NUTS over BOTH axes: the data psum rebuilds the
+        exact potential while pooled adaptation psums over chains."""
+        from hamiltorch_tpu.parallel.sharding import (
+            sample_nuts_ensemble_sharded,
+        )
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
+
+        x = jax.random.normal(jax.random.key(1), (32, 3))
+        y = jnp.sum(x, axis=1, keepdims=True)
+
+        def loglik_shard(theta, xs, ys):
+            return -0.5 * jnp.sum((xs @ theta[:, None] - ys) ** 2)
+
+        def log_prior(theta):
+            return -0.5 * jnp.dot(theta, theta)
+
+        def full_lp(theta):
+            return log_prior(theta) + loglik_shard(theta, x, y)
+
+        config = NUTSConfig(num_samples=40, step_size=0.1, burn=20,
+                            adapt_mass=True)
+        mesh = make_mesh(chains=4, data=2)
+        theta0 = 0.1 * jax.random.normal(jax.random.key(5), (8, 3))
+        r_mesh, _ = sample_nuts_ensemble_sharded(
+            key, loglik_shard, log_prior, x, y, theta0, config, mesh,
+            num_chains=8,
+        )
+        r_ref, _ = run_nuts_ensemble(key, full_lp, theta0, config,
+                                     num_chains=8)
+        assert r_mesh.samples.shape == (8, 40, 3)
+        # same pooled stream up to psum-vs-local f32 reduction order
+        np.testing.assert_allclose(
+            np.asarray(r_mesh.samples[:, :10]),
+            np.asarray(r_ref.samples[:, :10]),
+            atol=1e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_mesh.final_warm[1]),
+            np.asarray(r_ref.final_warm[1]), rtol=0.1,
+        )
+
     def test_chains_by_data_matches_replicated(self, key):
         """NUTS over the chains x data mesh == replicated-potential NUTS on
         the same full batch (psum'd likelihood value and gradient)."""
