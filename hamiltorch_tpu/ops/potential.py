@@ -58,6 +58,7 @@ def make_log_prob(
     except TypeError:  # unhashable log_prob_fn: skip memoization
         cache_key, hit = None, None
     if hit is not None and hit[0] is pass_grad:
+        _WRAP_CACHE.move_to_end(cache_key)  # LRU, not FIFO: keep hot wrappers
         return hit[1]
 
     if callable(pass_grad):

@@ -77,28 +77,9 @@ def sample_chains_sharded(
         raise ValueError(f"num_chains={num_chains} not divisible by mesh chains={n_chain_shards}")
 
     def local(keys_l, thetas_l, x_shard, y_shard):
-        # The naive `psum(loglik(theta, shard))` has the WRONG gradient under
-        # shard_map AD: psum's transpose re-psums the cotangent, yielding
-        # n_devices * local_grad instead of the replicated total gradient.
-        # Pair value and gradient explicitly: one fused local value_and_grad
-        # followed by one psum of each — the only collectives in the loop.
-        @jax.custom_vjp
-        def summed_ll(theta):
-            return jax.lax.psum(loglik_shard_fn(theta, x_shard, y_shard), "data")
-
-        def summed_ll_fwd(theta):
-            val, grad = jax.value_and_grad(
-                lambda t: loglik_shard_fn(t, x_shard, y_shard)
-            )(theta)
-            return jax.lax.psum(val, "data"), jax.lax.psum(grad, "data")
-
-        def summed_ll_bwd(grad_total, ct):
-            return (ct * grad_total,)
-
-        summed_ll.defvjp(summed_ll_fwd, summed_ll_bwd)
-
-        def log_prob(theta):
-            return log_prior_fn(theta) + summed_ll(theta)
+        log_prob = make_psum_log_prob(
+            loglik_shard_fn, log_prior_fn, x_shard, y_shard
+        )
 
         return jax.vmap(
             lambda k, t: _run_hmc_jit(k, t, log_prob, config, mass)
@@ -126,6 +107,37 @@ def sample_chains_sharded(
         check_vma=False,
     )
     return jax.jit(shard)(keys, theta0, x, y)
+
+
+def make_psum_log_prob(loglik_shard_fn, log_prior_fn, x_shard, y_shard,
+                       axis_name="data"):
+    """Exact data-sharded potential for use INSIDE shard_map.
+
+    The naive ``psum(loglik(theta, shard))`` has the WRONG gradient under
+    shard_map AD: psum's transpose re-psums the cotangent, yielding
+    n_devices * local_grad instead of the replicated total gradient.  Pair
+    value and gradient explicitly: one fused local value_and_grad followed
+    by one psum of each — the only collectives in the hot loop."""
+
+    @jax.custom_vjp
+    def summed_ll(theta):
+        return jax.lax.psum(loglik_shard_fn(theta, x_shard, y_shard), axis_name)
+
+    def summed_ll_fwd(theta):
+        val, grad = jax.value_and_grad(
+            lambda t: loglik_shard_fn(t, x_shard, y_shard)
+        )(theta)
+        return jax.lax.psum(val, axis_name), jax.lax.psum(grad, axis_name)
+
+    def summed_ll_bwd(grad_total, ct):
+        return (ct * grad_total,)
+
+    summed_ll.defvjp(summed_ll_fwd, summed_ll_bwd)
+
+    def log_prob(theta):
+        return log_prior_fn(theta) + summed_ll(theta)
+
+    return log_prob
 
 
 def _leading_axis_specs(shape_tree, axes):
@@ -331,25 +343,9 @@ def sample_nuts_chains_sharded(
         )
 
     def local(keys_l, thetas_l, x_shard, y_shard):
-        # value+grad psum pairing via custom_vjp: psum's AD transpose would
-        # re-psum the cotangent (see sample_chains_sharded)
-        @jax.custom_vjp
-        def summed_ll(theta):
-            return jax.lax.psum(loglik_shard_fn(theta, x_shard, y_shard), "data")
-
-        def summed_ll_fwd(theta):
-            val, grad = jax.value_and_grad(
-                lambda t: loglik_shard_fn(t, x_shard, y_shard)
-            )(theta)
-            return jax.lax.psum(val, "data"), jax.lax.psum(grad, "data")
-
-        def summed_ll_bwd(grad_total, ct):
-            return (ct * grad_total,)
-
-        summed_ll.defvjp(summed_ll_fwd, summed_ll_bwd)
-
-        def log_prob(theta):
-            return log_prior_fn(theta) + summed_ll(theta)
+        log_prob = make_psum_log_prob(
+            loglik_shard_fn, log_prior_fn, x_shard, y_shard
+        )
 
         return jax.vmap(
             lambda k, t: _run_nuts_jit(k, t, log_prob, config, mass)
@@ -586,25 +582,9 @@ def sample_nuts_ensemble_sharded(
     chain_keys = derive_chain_keys(key, num_chains)
 
     def local(base_key, keys_l, thetas_l, x_shard, y_shard):
-        # value+grad psum pairing via custom_vjp: psum's AD transpose would
-        # re-psum the cotangent (see sample_chains_sharded)
-        @jax.custom_vjp
-        def summed_ll(theta):
-            return jax.lax.psum(loglik_shard_fn(theta, x_shard, y_shard), "data")
-
-        def summed_ll_fwd(theta):
-            val, grad = jax.value_and_grad(
-                lambda t: loglik_shard_fn(t, x_shard, y_shard)
-            )(theta)
-            return jax.lax.psum(val, "data"), jax.lax.psum(grad, "data")
-
-        def summed_ll_bwd(grad_total, ct):
-            return (ct * grad_total,)
-
-        summed_ll.defvjp(summed_ll_fwd, summed_ll_bwd)
-
-        def log_prob(theta):
-            return log_prior_fn(theta) + summed_ll(theta)
+        log_prob = make_psum_log_prob(
+            loglik_shard_fn, log_prior_fn, x_shard, y_shard
+        )
 
         return _run_nuts_ensemble_jit(
             base_key, thetas_l, log_prob, config, mass,
@@ -665,25 +645,9 @@ def sample_chees_sharded(
     chain_keys = derive_chain_keys(key, num_chains)
 
     def local(base_key, keys_l, thetas_l, x_shard, y_shard):
-        # value+grad psum pairing via custom_vjp: psum's AD transpose would
-        # re-psum the cotangent (see sample_chains_sharded)
-        @jax.custom_vjp
-        def summed_ll(theta):
-            return jax.lax.psum(loglik_shard_fn(theta, x_shard, y_shard), "data")
-
-        def summed_ll_fwd(theta):
-            val, grad = jax.value_and_grad(
-                lambda t: loglik_shard_fn(t, x_shard, y_shard)
-            )(theta)
-            return jax.lax.psum(val, "data"), jax.lax.psum(grad, "data")
-
-        def summed_ll_bwd(grad_total, ct):
-            return (ct * grad_total,)
-
-        summed_ll.defvjp(summed_ll_fwd, summed_ll_bwd)
-
-        def log_prob(theta):
-            return log_prior_fn(theta) + summed_ll(theta)
+        log_prob = make_psum_log_prob(
+            loglik_shard_fn, log_prior_fn, x_shard, y_shard
+        )
 
         return _run_chees_jit(
             base_key, thetas_l, log_prob, config, mass,

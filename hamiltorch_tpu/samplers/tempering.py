@@ -50,9 +50,10 @@ class PTConfig:
     adapt_ladder: bool = False  # swap-rate-equalising ladder (see module docstring)
     ladder_t0: float = 10.0  # adaptation-decay offset kappa = t0/(nu(n+t0))
     ladder_nu: float = 1.0
-    # host progress line every N draws (0 = silent), as the HMC driver's;
-    # vmapped/sharded ensembles and chunked checkpoint programs run silent
-    # (the checkpoint loop reports per chunk from the host)
+    # host progress line every N draws (0 = silent), as the HMC driver's.
+    # Vmapped ensembles share ONE bar (the draw index is batch-invariant);
+    # sharded runners strip it with a warning (per-device callbacks) and
+    # chunked checkpoint programs report per chunk from the host instead.
     progress_every: int = 0
 
 

@@ -380,15 +380,21 @@ class TestNUTSDataSharding:
         r_ref, _ = run_nuts_ensemble(key, full_lp, theta0, config,
                                      num_chains=8)
         assert r_mesh.samples.shape == (8, 40, 3)
-        # same pooled stream up to psum-vs-local f32 reduction order
-        np.testing.assert_allclose(
-            np.asarray(r_mesh.samples[:, :10]),
-            np.asarray(r_ref.samples[:, :10]),
-            atol=1e-3,
-        )
+        # raw trajectories are chaotic under psum-vs-local f32 reduction
+        # order (one flipped tree decision makes them diverge O(1)), so
+        # compare the pooled ADAPTATION PRODUCTS and posterior statistics
         np.testing.assert_allclose(
             np.asarray(r_mesh.final_warm[1]),
             np.asarray(r_ref.final_warm[1]), rtol=0.1,
+        )
+        np.testing.assert_allclose(
+            float(r_mesh.final_step_size), float(r_ref.final_step_size),
+            rtol=0.1,
+        )
+        post_mesh = np.asarray(r_mesh.samples[:, 20:]).reshape(-1, 3)
+        post_ref = np.asarray(r_ref.samples[:, 20:]).reshape(-1, 3)
+        np.testing.assert_allclose(
+            post_mesh.mean(0), post_ref.mean(0), atol=0.1
         )
 
     def test_chains_by_data_matches_replicated(self, key):

@@ -130,11 +130,14 @@ class TestEnsemblePT:
     def test_pt_progress_every_emits(self, key, capfd):
         from hamiltorch_tpu.samplers.tempering import run_parallel_tempering
 
-        run_parallel_tempering(
+        r = run_parallel_tempering(
             key, self.lp, jnp.zeros(2),
             PTConfig(num_samples=8, num_steps_per_sample=3, num_temps=3,
                      progress_every=2),
         )
+        # the ordered=False callbacks ride the async computation: sync
+        # before reading the captured stream
+        jax.block_until_ready(r.samples)
         captured = capfd.readouterr()
         assert "Sampling" in captured.out and "Progress" in captured.out
 
