@@ -1,0 +1,45 @@
+"""TPU-only performance floor (regression guard for the headline bench).
+
+Runs only on real hardware (HT_TESTS_ON_TPU=1): asserts the flagship
+64-chain leapfrog throughput stays above a conservative floor — half the
+measured steady state (~215k grad-steps/sec on a v5e), so noise or minor
+compiler drift cannot flake it, while a real regression (lost fusion,
+accidental f32-strict matmuls at ~60k, per-call recompiles) fails loudly.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+@pytest.mark.skipif(not ON_TPU, reason="timing floor only meaningful on TPU")
+def test_flagship_throughput_floor():
+    from hamiltorch_tpu.models.flagship import make_flagship_potential
+    from hamiltorch_tpu.samplers.driver import MCMCConfig
+    from hamiltorch_tpu.samplers.hmc import run_hmc_chains
+
+    lp, theta0 = make_flagship_potential()
+    num_samples, steps, chains = 50, 10, 64
+    config = MCMCConfig(num_samples=num_samples, num_steps_per_sample=steps,
+                        step_size=1e-3)
+
+    def run():
+        r = run_hmc_chains(jax.random.key(0), lp, theta0, config,
+                           num_chains=chains)
+        jax.block_until_ready(r.samples)
+        return r
+
+    run()  # compile
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        times.append(time.time() - t0)
+    wall = sorted(times)[1]  # median of 3 (async-dispatch artifacts)
+    grad_steps = num_samples * (steps + 1) * chains
+    rate = grad_steps / wall
+    assert rate > 100_000, f"flagship throughput regressed: {rate:,.0f} grad-steps/s"
