@@ -32,16 +32,19 @@ def main():
     config = MCMCConfig(
         num_samples=num_samples, num_steps_per_sample=num_steps, step_size=2e-4
     )
-    key = jax.random.key(42)
+    # timed inputs must be unique per process: the axon service can cache
+    # execution RESULTS for identical (program, inputs) across runs, which
+    # would return instantly and fake the throughput
+    nonce = int(time.time_ns() % (1 << 30))
 
-    def run():
-        result = run_hmc_chains(key, log_prob_fn, theta0, config, num_chains=num_chains)
+    def run(k):
+        result = run_hmc_chains(k, log_prob_fn, theta0, config, num_chains=num_chains)
         jax.block_until_ready(result.samples)
         return result
 
-    result = run()  # compile + warm up
+    run(jax.random.key(nonce))  # compile + warm up
     t0 = time.perf_counter()
-    result = run()
+    result = run(jax.random.key(nonce + 1))
     dt = time.perf_counter() - t0
 
     grad_steps = num_chains * num_samples * num_steps
@@ -66,11 +69,11 @@ def main():
                       num_steps=num_steps, step_size=2e-4, tau=10.0)
         jax.block_until_ready(out)
 
-    run_fused(0)
+    run_fused(nonce)  # compile + warm (nonce: defeat the remote result cache)
     times = []
     for rep in range(3):
         t1 = time.perf_counter()
-        run_fused(rep + 1)
+        run_fused(nonce + rep + 1)
         times.append(time.perf_counter() - t1)
     fused_rate = num_chains * 50 * num_steps / float(np.median(times))
 
@@ -114,11 +117,11 @@ def main():
         jax.block_until_ready(r.samples)
         return r
 
-    r = run_chees_once(0)
+    r = run_chees_once(nonce)
     del r
     gc.collect()
     t1 = time.perf_counter()
-    r = run_chees_once(1)
+    r = run_chees_once(nonce + 1)
     dt_chees = time.perf_counter() - t1
     chees_ess = min_ess(r.samples, burn=chees_cfg.burn)
     chees_acc = float(jnp.mean(r.info.accept_prob[chees_cfg.burn :]))
