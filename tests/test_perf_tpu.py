@@ -26,18 +26,21 @@ def test_flagship_throughput_floor():
     num_samples, steps, chains = 50, 10, 64
     config = MCMCConfig(num_samples=num_samples, num_steps_per_sample=steps,
                         step_size=1e-3)
+    # unique inputs per timed run: the remote service can serve cached
+    # RESULTS for identical (program, inputs), faking the throughput
+    nonce = int(time.time_ns() % (1 << 30))
 
-    def run():
-        r = run_hmc_chains(jax.random.key(0), lp, theta0, config,
+    def run(seed):
+        r = run_hmc_chains(jax.random.key(seed), lp, theta0, config,
                            num_chains=chains)
         jax.block_until_ready(r.samples)
         return r
 
-    run()  # compile
+    run(nonce)  # compile
     times = []
-    for _ in range(3):
+    for rep in range(3):
         t0 = time.time()
-        run()
+        run(nonce + rep + 1)
         times.append(time.time() - t0)
     wall = sorted(times)[1]  # median of 3 (async-dispatch artifacts)
     grad_steps = num_samples * (steps + 1) * chains
