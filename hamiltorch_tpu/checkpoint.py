@@ -840,7 +840,8 @@ def _run_pt_checkpointed_ensembles(
 
         def shard_for(this_chunk: int):
             if this_chunk not in shard_cache:
-                cfg = dataclasses.replace(config, num_samples=this_chunk)
+                cfg = dataclasses.replace(config, num_samples=this_chunk,
+                                          progress_every=0)
 
                 def local(keys_l, carry_l, data_l, n0):
                     return run_block(keys_l, carry_l, data_l, n0, cfg)
@@ -990,7 +991,9 @@ def run_chees_checkpointed(
 
         def shard_for(this_chunk: int):
             if this_chunk not in shard_cache:
-                cfg = dataclasses.replace(config, num_samples=this_chunk)
+                # progress_every stripped: no callbacks in sharded programs
+                cfg = dataclasses.replace(config, num_samples=this_chunk,
+                                          progress_every=0)
 
                 def local(bk, keys_l, carry_l, data_l, col, endf, n0):
                     return _run_chees_jit(

@@ -174,7 +174,12 @@ def _conv_transpose2d(mod):
     semantics for the (I, O, KH, KW) torch weight layout)."""
     _check_padding_mode(mod)
     if mod.groups != 1:
-        raise TypeError("ConvTranspose2d with groups != 1 is not supported")
+        # NotImplementedError, NOT TypeError: the structural translator's
+        # TypeError is the fall-back-to-fx control signal, and the fx path
+        # would bury this message under an unrelated unsupported-op error
+        raise NotImplementedError(
+            "ConvTranspose2d with groups != 1 is not supported"
+        )
     has_bias = mod.bias is not None
     s = tuple(mod.stride)
     p = tuple(mod.padding)

@@ -325,23 +325,11 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             adam = (jnp.where(adapting, m, adam[0]), jnp.where(adapting, v, adam[1]))
 
         if windowed:
+            from .warmup import windowed_step
+
             wf_upd = batch_welford_merge(wf, thetas_out)
-            wf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(collect, a, b), wf_upd, wf
-            )
-            inv_diag = jnp.where(window_end, welford_variance(wf), inv_diag)
-            wf = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(window_end, a, b),
-                welford_init(d, dtype), wf,
-            )
-            da_reset = DualAveragingState(
-                step_size=da.step_size,
-                log_eps_bar=jnp.zeros_like(da.log_eps_bar),
-                h_t=jnp.zeros_like(da.h_t),
-                mu=jnp.log(10.0 * da.step_size),
-            )
-            da = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(window_end, a, b), da_reset, da
+            wf, inv_diag, da = windowed_step(
+                wf, inv_diag, da, collect, window_end, wf_upd, False, d, dtype
             )
 
         info = ChEESInfo(

@@ -626,7 +626,7 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
         n, collect, window_end = xs
         thetas, logps, grads, da, wf, metric, da_t = carry
         if progress_hook is not None:
-            progress_hook(n)
+            progress_hook(n - start_iter)  # bar is sized per-run, not global
         if dense:
             cur_mass = DenseMass(inv_mass=metric[0], chol_mass=metric[1])
         elif windowed:
