@@ -686,6 +686,17 @@ class TestInteropContracts:
         with pytest.raises(NotImplementedError, match="ceil_mode"):
             from_torch_module(net)
 
+    def test_conv_transpose_groups_error_reaches_user(self):
+        """The groups!=1 refusal must surface its OWN message, not get
+        swallowed by the TypeError fall-back-to-fx control flow and
+        re-raised as an unrelated fx unsupported-op error."""
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        net = torch.nn.Sequential(torch.nn.ConvTranspose2d(4, 4, 3, groups=2))
+        with pytest.raises(NotImplementedError, match="groups"):
+            from_torch_module(net)
+
     def test_fx_pool_kwargs_raise(self):
         torch = pytest.importorskip("torch")
         import torch.nn.functional as F
