@@ -91,6 +91,12 @@ def sample(
     params_init = jnp.asarray(params_init)
     if params_init.ndim != 1:
         raise RuntimeError("params_init must be a 1d array.")
+    # a NaN/Inf start would 'run' to an all-NaN chain (every proposal has
+    # NaN energy and rejects); catch the typo at the door when concrete
+    if not isinstance(params_init, jax.core.Tracer) and not bool(
+        jnp.all(jnp.isfinite(params_init))
+    ):
+        raise RuntimeError("params_init contains non-finite values.")
     if burn >= num_samples:
         raise RuntimeError("burn must be less than num_samples.")
     if thin > 1 and burn > 0 and burn % thin:

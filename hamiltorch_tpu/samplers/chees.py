@@ -60,6 +60,11 @@ class ChEESConfig:
     # uniforms); "uniform" draws iid U(0,1)
     trajectory_jitter: str = "uniform"
 
+    def __post_init__(self):
+        from .driver import validate_common_config
+
+        validate_common_config(self)
+
 
 def validate_chees(config: ChEESConfig, mass) -> None:
     """Reject configurations that would otherwise be silently ignored.

@@ -79,6 +79,21 @@ class MCMCResult(NamedTuple):
     final_warm: object = None
 
 
+def validate_common_config(config) -> None:
+    """Shared sanity checks for all sampler configs: a zero/negative step
+    size 'samples' without ever moving and a non-positive draw count is
+    always a bug — catch both at construction, not after a silent run."""
+    if config.num_samples < 1:
+        raise ValueError(f"num_samples={config.num_samples}; must be >= 1")
+    if not config.step_size > 0:
+        raise ValueError(
+            f"step_size={config.step_size}; must be positive (a zero step "
+            "size leaves every draw at the initial point)"
+        )
+    # NOTE: negative burn is deliberately allowed — the reference's
+    # notebooks use burn=-1 as "no burn" and the façade preserves that
+
+
 @dataclasses.dataclass(frozen=True)
 class MCMCConfig:
     """Static (trace-time) sampling configuration."""
@@ -94,6 +109,9 @@ class MCMCConfig:
     # (must be divisible by thin). Stats are aggregated per kept draw: bools
     # become any-within-window, energies/step size are the kept draw's.
     thin: int = 1
+
+    def __post_init__(self):
+        validate_common_config(self)
 
 
 # A transition proposes a new state and returns the two Hamiltonians the

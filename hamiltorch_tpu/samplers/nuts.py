@@ -58,6 +58,11 @@ class NUTSConfig:
     # host progress line every N draws (0 = silent), as the HMC driver's
     progress_every: int = 0
 
+    def __post_init__(self):
+        from .driver import validate_common_config
+
+        validate_common_config(self)
+
 
 class _End(NamedTuple):
     """One trajectory end: position, momentum, cached potential eval."""

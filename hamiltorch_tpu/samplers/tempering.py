@@ -56,6 +56,11 @@ class PTConfig:
     # chunked checkpoint programs report per chunk from the host instead.
     progress_every: int = 0
 
+    def __post_init__(self):
+        from .driver import validate_common_config
+
+        validate_common_config(self)
+
 
 class PTInfo(NamedTuple):
     accept_prob: jnp.ndarray  # (N, K) per-replica HMC acceptance

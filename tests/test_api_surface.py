@@ -122,6 +122,28 @@ class TestLoudUnsupportedOptions:
     """sample() must reject option/sampler combinations it cannot honour
     instead of silently ignoring them."""
 
+    def test_nonfinite_init_rejected(self, key):
+        import hamiltorch_tpu as ht
+
+        with pytest.raises(RuntimeError, match="non-finite"):
+            ht.sample(lambda t: -0.5 * jnp.sum(t**2),
+                      jnp.array([jnp.nan, 0.0]), num_samples=5, key=key)
+
+    def test_config_sanity_validation(self):
+        from hamiltorch_tpu.samplers.chees import ChEESConfig
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig
+        from hamiltorch_tpu.samplers.tempering import PTConfig
+
+        for cls in (MCMCConfig, NUTSConfig, ChEESConfig, PTConfig):
+            with pytest.raises(ValueError, match="step_size"):
+                cls(num_samples=10, step_size=0.0)
+            with pytest.raises(ValueError, match="num_samples"):
+                cls(num_samples=0)
+            # negative burn is allowed: the reference's notebooks use
+            # burn=-1 as "no burn" and the façade preserves that
+            cls(num_samples=10, burn=-1)
+
     def test_nuts_progress_every_supported(self, key, capfd):
         import hamiltorch_tpu as ht
 
