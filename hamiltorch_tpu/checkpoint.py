@@ -1034,7 +1034,7 @@ def run_chees_checkpointed(
         chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
         chunk_size, resume, fp, save_chunk,
     )
-    kept = config.num_samples
+    kept = config.num_samples // max(getattr(config, "thin", 1), 1)
     samples = jnp.asarray(np.concatenate([z["samples"] for z in zs], axis=1))[:, :kept]
     info = ChEESInfo(
         **{

@@ -59,6 +59,10 @@ class ChEESConfig:
     # stratified u gives lower-variance criterion gradients than iid
     # uniforms); "uniform" draws iid U(0,1)
     trajectory_jitter: str = "uniform"
+    # thin > 1: keep every thin-th draw (num_samples counts TOTAL
+    # transitions, must divide by thin) — cuts the (C, N, D) trace memory
+    # and host-offload IO thin-fold for long ensemble runs
+    thin: int = 1
 
     def __post_init__(self):
         from .driver import validate_common_config
@@ -76,6 +80,8 @@ def validate_chees(config: ChEESConfig, mass) -> None:
             f"trajectory_jitter={config.trajectory_jitter!r}; expected "
             "'uniform' or 'halton'"
         )
+    if config.thin > 1 and config.num_samples % config.thin:
+        raise ValueError("num_samples must be divisible by thin")
     if config.adapt_mass and config.burn > 0:
         from ..ops.mass import DiagMass, IdentityMass
 
@@ -363,11 +369,32 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             theta0s, logps0, grads0, da0, log_t0, adam0,
             welford_init(d, dtype), inv_diag0, jnp.zeros((), jnp.int32),
         )
-    carry_f, (thetas, info) = jax.lax.scan(
-        step,
-        carry0,
-        (start_iter + jnp.arange(config.num_samples), collect_flags, end_flags),
-    )
+    idx = start_iter + jnp.arange(config.num_samples)
+    thin = max(getattr(config, "thin", 1), 1)
+    if thin <= 1:
+        carry_f, (thetas, info) = jax.lax.scan(
+            step, carry0, (idx, collect_flags, end_flags)
+        )
+    else:
+        # keep every thin-th draw: the trace (the HBM/host-IO cost of long
+        # ensemble runs) shrinks thin-fold while every transition and every
+        # adaptation update still runs.  Kept rows carry the window's LAST
+        # info with divergent = any-within-window (driver.py conventions).
+        kept = config.num_samples // thin
+        xs2 = jax.tree_util.tree_map(
+            lambda a: a.reshape((kept, thin) + a.shape[1:]),
+            (idx, collect_flags, end_flags),
+        )
+
+        def outer(carry, xs_k):
+            carry, (w_thetas, w_info) = jax.lax.scan(step, carry, xs_k)
+            info_k = jax.tree_util.tree_map(lambda s: s[-1], w_info)
+            info_k = info_k._replace(
+                divergent=jnp.any(w_info.divergent, axis=0)
+            )
+            return carry, (w_thetas[-1], info_k)
+
+        carry_f, (thetas, info) = jax.lax.scan(outer, carry0, xs2)
     th_f, lp_f, g_f, da_f, log_t_f, adam_f, wf_f, inv_diag_f, da_t_f = carry_f
     return ChEESResult(
         samples=jnp.swapaxes(thetas, 0, 1),  # (C, N, D)

@@ -126,3 +126,48 @@ class TestLeapfrogCapReporting:
                       num_chains=8)
         assert int(jnp.max(r.info.num_leapfrog)) <= 25
         assert int(jnp.max(r.info.num_leapfrog)) >= 25  # cap actually binds here
+
+
+class TestChEESThinning:
+    def test_thin_matches_full_run_subsample(self, key):
+        """thin=k keeps exactly every k-th draw of the identical stream:
+        every transition and adaptation update still runs."""
+        full_cfg = ChEESConfig(num_samples=120, step_size=0.3, burn=40)
+        thin_cfg = ChEESConfig(num_samples=120, step_size=0.3, burn=40,
+                               thin=4)
+        r_full = run_chees(key, corr_gaussian, jnp.zeros(2), full_cfg,
+                           num_chains=8)
+        r_thin = run_chees(key, corr_gaussian, jnp.zeros(2), thin_cfg,
+                           num_chains=8)
+        assert r_thin.samples.shape == (8, 30, 2)
+        np.testing.assert_allclose(
+            np.asarray(r_thin.samples), np.asarray(r_full.samples[:, 3::4]),
+            atol=1e-6,
+        )
+        # adaptation end state identical: the same transitions ran
+        np.testing.assert_allclose(
+            float(r_thin.final_trajectory_length),
+            float(r_full.final_trajectory_length), rtol=1e-6,
+        )
+
+    def test_thin_checkpoint_resume(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_chees_checkpointed
+
+        full = ChEESConfig(num_samples=120, step_size=0.3, burn=40, thin=4)
+        half = ChEESConfig(num_samples=48, step_size=0.3, burn=40, thin=4)
+        ck = str(tmp_path / "ck")
+        run_chees_checkpointed(key, corr_gaussian, jnp.zeros(2), half, ck,
+                               num_chains=8, chunk_size=48)
+        r_res = run_chees_checkpointed(key, corr_gaussian, jnp.zeros(2),
+                                       full, ck, num_chains=8, chunk_size=48)
+        r_dir = run_chees(key, corr_gaussian, jnp.zeros(2), full,
+                          num_chains=8)
+        assert r_res.samples.shape == (8, 30, 2)
+        np.testing.assert_allclose(
+            np.asarray(r_res.samples), np.asarray(r_dir.samples), atol=1e-5
+        )
+
+    def test_thin_divisibility_validated(self, key):
+        with pytest.raises(ValueError, match="divisible by thin"):
+            run_chees(key, corr_gaussian, jnp.zeros(2),
+                      ChEESConfig(num_samples=10, thin=3), num_chains=4)
