@@ -51,19 +51,20 @@ def leapfrog(
     form both Hamiltonians without extra potential evaluations.
     """
     eps = step_size
+    tmap = jax.tree_util.tree_map  # theta/p may be flat vectors or pytrees
 
-    p = start.momentum + 0.5 * eps * start.grad
+    p = tmap(lambda p, g: p + 0.5 * eps * g, start.momentum, start.grad)
 
     def body(carry, _):
         theta, p, _, _ = carry
-        theta = theta + eps * mass.velocity(p)
+        theta = tmap(lambda t, v: t + eps * v, theta, mass.velocity(p))
         logp, grad = value_and_grad_fn(theta)
-        p = p + eps * grad
+        p = tmap(lambda p, g: p + eps * g, p, grad)
         return (theta, p, logp, grad), None
 
     (theta, p, logp, grad), _ = jax.lax.scan(
         body, (start.theta, p, start.logp, start.grad), None, length=num_steps
     )
     # The scan applies a full kick at the endpoint; pull half of it back.
-    p = p - 0.5 * eps * grad
+    p = tmap(lambda p, g: p - 0.5 * eps * g, p, grad)
     return PhasePoint(theta=theta, momentum=p, logp=logp, grad=grad)

@@ -173,6 +173,121 @@ class BlockDiagMass:
 MassOperator = IdentityMass | DiagMass | DenseMass | BlockDiagMass
 
 
+def tree_ravel(tree) -> jnp.ndarray:
+    """Concatenate a pytree's leaves into one flat vector (C order).
+
+    Unlike ``jax.flatten_util.ravel_pytree`` this returns no unravel
+    closure, so it can live inside jitted code without capturing
+    unhashable callables.
+    """
+    leaves = jax.tree_util.tree_leaves(tree)
+    if len(leaves) == 1 and leaves[0].ndim == 1:
+        return leaves[0]
+    return jnp.concatenate([l.reshape(-1) for l in leaves])
+
+
+def tree_unravel_like(template, flat: jnp.ndarray):
+    """Split a flat vector back into a pytree shaped like ``template``."""
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    parts, off = [], 0
+    for l in leaves:
+        n = l.size
+        parts.append(flat[off : off + n].reshape(l.shape))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, parts)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TreeMass:
+    """Mass operator over *pytree* phase space.
+
+    The pytree-native chain-state path (run_hmc over parameter pytrees)
+    exists to avoid the flat-vector layout tax: on the flagship BNN ~24%
+    of each leapfrog step was slice/bitcast/copy traffic carving layer
+    views out of a flat theta (docs/BENCHMARKS.md "Where the time goes").
+    With tree state the integrator updates each leaf in place-shape and
+    the potential's backward pass emits per-leaf gradients — no
+    concatenate/slice round-trip inside the hot loop.
+
+    Bit-compatibility with the flat path is preserved where it is cheap
+    (once per draw, not per leapfrog step): momentum is drawn as ONE flat
+    normal vector and split into leaves, and kinetic energies reduce over
+    the concatenated flat vector, so (sample, velocity, kinetic) agree
+    bitwise with the equivalent flat-vector operator.
+
+    ``inv_diag_tree`` holds the per-leaf unraveled inverse-mass diagonal
+    for diagonal inner operators (leafwise drift without raveling); dense
+    and block operators drift through a ravel/unravel round-trip, which is
+    negligible next to their O(D^2) matvec.
+    """
+
+    inner: MassOperator
+    inv_diag_tree: object  # pytree of per-leaf inv diag, or None
+    treedef: object = dataclasses.field(metadata=dict(static=True))
+    shapes: tuple = dataclasses.field(metadata=dict(static=True))
+
+    def _unravel(self, flat: jnp.ndarray):
+        parts, off = [], 0
+        for shape in self.shapes:
+            n = 1
+            for s in shape:
+                n *= s
+            parts.append(flat[off : off + n].reshape(shape))
+            off += n
+        return jax.tree_util.tree_unflatten(self.treedef, parts)
+
+    def sample(self, key, dtype=jnp.float32):
+        return self._unravel(self.inner.sample(key, dtype))
+
+    def velocity(self, p):
+        if self.inv_diag_tree is not None:
+            return jax.tree_util.tree_map(lambda d, x: d * x, self.inv_diag_tree, p)
+        if isinstance(self.inner, IdentityMass):
+            return p
+        return self._unravel(self.inner.velocity(tree_ravel(p)))
+
+    def kinetic(self, p):
+        return self.inner.kinetic(tree_ravel(p))
+
+
+def make_mass_tree(inv_mass, params_template) -> TreeMass:
+    """Build a TreeMass for a parameter pytree.
+
+    ``inv_mass`` may be None (identity), a flat (D,) diagonal, a pytree of
+    per-leaf diagonals matching ``params_template``, a dense (D, D)
+    matrix, or a list of blocks — the same convention as ``make_mass``
+    with the pytree-diagonal extension.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params_template)
+    shapes = tuple(tuple(l.shape) for l in leaves)
+    dim = sum(l.size for l in leaves)
+
+    if inv_mass is not None and not isinstance(inv_mass, (list, tuple)):
+        maybe_tree = jax.tree_util.tree_structure(inv_mass)
+        if maybe_tree == treedef and len(leaves) > 1:
+            flat = tree_ravel(inv_mass)
+            inner = make_mass(flat, dim)
+            return TreeMass(
+                inner=inner, inv_diag_tree=inv_mass, treedef=treedef, shapes=shapes
+            )
+
+    if inv_mass is None or isinstance(inv_mass, (list, tuple)):
+        inner = make_mass(inv_mass, dim)
+    else:
+        inner = make_mass(jnp.asarray(inv_mass), dim)
+    inv_diag_tree = None
+    if isinstance(inner, DiagMass):
+        parts, off = [], 0
+        for l in leaves:
+            parts.append(inner.inv_diag[off : off + l.size].reshape(l.shape))
+            off += l.size
+        inv_diag_tree = jax.tree_util.tree_unflatten(treedef, parts)
+    return TreeMass(
+        inner=inner, inv_diag_tree=inv_diag_tree, treedef=treedef, shapes=shapes
+    )
+
+
 def make_mass(inv_mass, dim: int) -> MassOperator:
     """Build an operator from the reference's ``inv_mass`` convention.
 

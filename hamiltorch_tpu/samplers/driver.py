@@ -143,7 +143,9 @@ def run_mcmc(
     let chunked (checkpoint/resume) sampling continue the adaptation
     schedule exactly where a previous chunk stopped.
     """
-    dtype = init_state.theta.dtype
+    # theta may be a flat vector or a parameter pytree (the pytree-native
+    # chain-state path); scalars below use the first leaf's dtype
+    dtype = jax.tree_util.tree_leaves(init_state.theta)[0].dtype
     da0 = init_da if init_da is not None else da_init(config.step_size, dtype=dtype)
 
     progress_hook = None

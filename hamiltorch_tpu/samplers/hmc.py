@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from ..integrators.leapfrog import PhasePoint, leapfrog
-from ..ops.mass import MassOperator, make_mass
+from ..ops.mass import MassOperator, make_mass, make_mass_tree
 from ..ops.potential import resolve_potential
 from .driver import ChainState, MCMCConfig, MCMCResult, TransitionFn, run_mcmc
 
@@ -28,7 +28,8 @@ def hmc_transition(
     """Build one HMC proposal: momentum refresh -> leapfrog -> energies."""
 
     def transition(key, state: ChainState, step_size):
-        p = mass.sample(key, dtype=state.theta.dtype)
+        dtype = jax.tree_util.tree_leaves(state.theta)[0].dtype
+        p = mass.sample(key, dtype=dtype)
         h0 = -state.logp + mass.kinetic(p)
         end = leapfrog(
             value_and_grad_fn,
@@ -72,9 +73,22 @@ def run_hmc(
 
     ``log_prob_fn`` must be hashable (a plain function or functools.partial)
     for jit caching; wrap data in closures created once.
+
+    ``theta0`` may be a flat (D,) vector or a parameter *pytree*; with a
+    pytree, the chain state (and the returned ``samples``, stacked along a
+    leading draws axis per leaf) keeps the tree structure and the hot loop
+    never ravels — on big models this removes the flat-layout slicing tax
+    (docs/BENCHMARKS.md "Where the time goes").  ``inv_mass`` may then also
+    be a matching pytree of per-leaf diagonals.
     """
-    theta0 = jnp.asarray(theta0)
-    mass = make_mass(inv_mass, theta0.shape[0])
+    from ..utils.pytree import is_param_tree
+
+    if is_param_tree(theta0):
+        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+        mass = make_mass_tree(inv_mass, theta0)
+    else:
+        theta0 = jnp.asarray(theta0)
+        mass = make_mass(inv_mass, theta0.shape[0])
     lp, data = resolve_potential(log_prob_fn, pass_grad)
     return _run_hmc_jit(key, theta0, lp, config, mass, data=data)
 
@@ -105,11 +119,19 @@ def run_hmc_host_offload(
 
     from .adaptation import da_init
 
-    theta0 = jnp.asarray(theta0)
-    mass = make_mass(inv_mass, theta0.shape[0])
+    from ..utils.pytree import is_param_tree
+
+    if is_param_tree(theta0):
+        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+        mass = make_mass_tree(inv_mass, theta0)
+        dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
+    else:
+        theta0 = jnp.asarray(theta0)
+        mass = make_mass(inv_mass, theta0.shape[0])
+        dtype = theta0.dtype
     lp, data = resolve_potential(log_prob_fn, pass_grad)
     state = init_chain_state(lp if data is None else (lambda t: lp(t, data)), theta0)
-    da = da_init(config.step_size, dtype=theta0.dtype)
+    da = da_init(config.step_size, dtype=dtype)
 
     thin = max(config.thin, 1)
     chunk_size = max(thin, (chunk_size // thin) * thin)
@@ -130,7 +152,10 @@ def run_hmc_host_offload(
         state, da = result.final_state, result.final_da
         n_done += this_chunk
 
-    samples = np.concatenate(host_samples)
+    # tree_map concatenates per leaf; a flat trace is a single leaf
+    samples = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs), *host_samples
+    )
     from .driver import MCMCStats
 
     stats = MCMCStats(
@@ -144,7 +169,7 @@ def run_hmc_host_offload(
         samples=samples,
         stats=stats,
         final_step_size=da.step_size,
-        acc_rate=jnp.asarray(acc_rate, samples.dtype),
+        acc_rate=jnp.asarray(acc_rate, dtype),
         final_state=state,
         final_da=da,
     )
@@ -158,20 +183,45 @@ def run_hmc_chains(
     num_chains: int,
     inv_mass=None,
     pass_grad=None,
+    theta0_is_stacked: bool | None = None,
 ) -> MCMCResult:
     """Vectorised independent chains via vmap over (key, theta0).
 
-    ``theta0`` may be (D,) (broadcast to all chains) or (num_chains, D).
-    Replaces the reference's GIL-bound ThreadPoolExecutor multi-chain
-    (reference: hamiltorch/util.py:392-404) with a single batched program:
-    on TPU the chain axis becomes the leading batch dimension of every
-    matmul, feeding the MXU.
+    ``theta0`` may be (D,) (broadcast to all chains) or (num_chains, D), or
+    a parameter pytree — single-chain (broadcast) or with a leading
+    ``num_chains`` axis on every leaf.  ``theta0_is_stacked`` overrides the
+    auto-detection when a single-chain leaf's first dim happens to equal
+    ``num_chains``.  Replaces the reference's GIL-bound ThreadPoolExecutor
+    multi-chain (reference: hamiltorch/util.py:392-404) with a single
+    batched program: on TPU the chain axis becomes the leading batch
+    dimension of every matmul, feeding the MXU.
     """
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    from ..utils.pytree import is_param_tree
+
+    if is_param_tree(theta0):
+        # pytree params: leaves may be per-chain ((num_chains, ...) leading
+        # axis) or single-chain (broadcast to all chains)
+        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+        stacked = theta0_is_stacked
+        if stacked is None:
+            stacked = all(
+                l.shape[:1] == (num_chains,)
+                for l in jax.tree_util.tree_leaves(theta0)
+            )
+        if stacked:
+            template = jax.tree_util.tree_map(lambda l: l[0], theta0)
+        else:
+            template = theta0
+            theta0 = jax.tree_util.tree_map(
+                lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
+            )
+        mass = make_mass_tree(inv_mass, template)
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+        mass = make_mass(inv_mass, theta0.shape[-1])
     keys = jax.random.split(key, num_chains)
-    mass = make_mass(inv_mass, theta0.shape[-1])
     lp, data = resolve_potential(log_prob_fn, pass_grad)
 
     run = jax.vmap(

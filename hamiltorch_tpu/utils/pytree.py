@@ -30,3 +30,20 @@ def param_sizes(params: Any) -> list[int]:
 def param_shapes(params: Any) -> list[tuple]:
     """Shape of each leaf, in pytree order."""
     return [tuple(leaf.shape) for leaf in jax.tree_util.tree_leaves(params)]
+
+
+def is_param_tree(theta: Any) -> bool:
+    """True when ``theta`` is a structured parameter pytree, not a flat vector.
+
+    The samplers accept either a flat (D,) vector (the reference's
+    convention, hamiltorch/util.py:121-141) or a parameter pytree (the
+    pytree-native chain-state path, which avoids flat-layout slicing in the
+    hot loop).  Arrays and plain sequences of scalars are "flat"; any
+    container holding at least one array leaf is a tree.
+    """
+    if isinstance(theta, jnp.ndarray) or hasattr(theta, "__array_interface__"):
+        return False
+    leaves = jax.tree_util.tree_leaves(theta)
+    if len(leaves) == 1 and leaves[0] is theta:
+        return False
+    return any(getattr(leaf, "ndim", 0) >= 1 for leaf in leaves)
