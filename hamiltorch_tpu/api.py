@@ -101,11 +101,6 @@ def sample(
         raise RuntimeError("burn must be less than num_samples.")
     if thin > 1 and burn > 0 and burn % thin:
         raise RuntimeError("burn must be divisible by thin.")
-    if thin > 1 and sampler == Sampler.NUTS:
-        raise RuntimeError(
-            "thin is not supported for Sampler.NUTS through sample(); use "
-            "run_nuts and slice the result."
-        )
     if not store_on_GPU and (
         sampler in (Sampler.NUTS, Sampler.RMHMC) or integrator in _SPLITTING
     ):
@@ -173,6 +168,7 @@ def sample(
             desired_accept_rate=desired_accept_rate,
             adapt_mass=adapt_mass,
             progress_every=progress_every,
+            thin=thin,
         )
         result, _ = run_nuts(
             key, log_prob_func, params_init, nuts_config,

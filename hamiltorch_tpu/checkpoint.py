@@ -45,7 +45,7 @@ import numpy as np
 
 from .ops.mass import make_mass
 from .ops.potential import resolve_potential
-from .samplers.adaptation import da_init
+from .samplers.adaptation import DualAveragingState, da_init
 from .samplers.driver import ChainState, MCMCConfig, MCMCResult, MCMCStats
 
 _STATE_FILE = "state.npz"
@@ -646,7 +646,7 @@ def run_nuts_ensemble_checkpointed(
         chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
         chunk_size, resume, fp, save_chunk,
     )
-    kept = config.num_samples
+    kept = config.num_samples // max(getattr(config, "thin", 1), 1)
     samples = jnp.asarray(np.concatenate([z["samples"] for z in zs], axis=1))[:, :kept]
     info = NUTSInfo(
         **{
@@ -662,7 +662,7 @@ def run_nuts_ensemble_checkpointed(
         accepted=accepted,
         divergent=info.divergent,
         energy_old=info.energy,
-        energy_new=info.energy,
+        energy_new=info.energy_new,
         step_size=info.step_size,
         fp_iters=jnp.zeros_like(info.tree_depth),
         fp_residual=jnp.zeros_like(info.accept_prob),
@@ -743,6 +743,7 @@ def run_pt_checkpointed(
         grads=jnp.zeros_like(theta0),
         s=jnp.zeros((k_temps - 1,), dtype),
         ema=jnp.zeros((k_temps - 1,), dtype),
+        da=DualAveragingState(*(jnp.zeros((k_temps,), dtype),) * 4),
     )
 
     def init_carry_fn():
@@ -804,6 +805,7 @@ def _run_pt_checkpointed_ensembles(
         grads=jnp.zeros_like(theta0),
         s=jnp.zeros((e, k_temps - 1), dtype),
         ema=jnp.zeros((e, k_temps - 1), dtype),
+        da=DualAveragingState(*(jnp.zeros((e, k_temps), dtype),) * 4),
     )
 
     def init_carry_fn():
@@ -919,8 +921,8 @@ def run_chees_checkpointed(
         _run_chees_jit,
         validate_chees,
     )
-    from .samplers.warmup import schedule_flags, welford_init
-    from .ops.mass import DiagMass
+    from .samplers.nuts import init_metric_seed
+    from .samplers.warmup import schedule_flags
 
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
@@ -933,13 +935,12 @@ def run_chees_checkpointed(
     validate_chees(config, mass)  # same contract as run_chees
     c, d = theta0.shape
     dtype = theta0.dtype
-    windowed = config.adapt_mass and config.burn > 0
+    windowed = bool(config.adapt_mass) and config.burn > 0
+    dense = windowed and config.adapt_mass == "dense"
 
-    if isinstance(mass, DiagMass):
-        inv_diag0 = jnp.asarray(mass.inv_diag, dtype)
-    else:
-        inv_diag0 = jnp.ones((d,), dtype)
-    wf0 = welford_init(d, dtype)
+    # the SAME seed the sampler computes: resume must adapt from the
+    # identical metric an uninterrupted run would
+    wf0, metric0 = init_metric_seed(mass, d, dtype, dense)
 
     def make_carry(logps, grads):
         return ChEESCarry(
@@ -948,7 +949,7 @@ def run_chees_checkpointed(
             log_t=jnp.log(jnp.asarray(config.init_trajectory_length, dtype)),
             adam_m=jnp.zeros((), dtype), adam_v=jnp.zeros((), dtype),
             wf_count=wf0.count, wf_mean=wf0.mean, wf_m2=wf0.m2,
-            inv_diag=inv_diag0, da_t=jnp.zeros((), jnp.int32),
+            metric=metric0, da_t=jnp.zeros((), jnp.int32),
         )
 
     template = make_carry(jnp.zeros((c,), dtype), jnp.zeros_like(theta0))
@@ -1005,9 +1006,10 @@ def run_chees_checkpointed(
 
                 shard_cache[this_chunk] = jax.jit(jax.shard_map(
                     local, mesh=mesh,
-                    in_specs=(P(), P(axes), chees_carry_specs(axes),
+                    in_specs=(P(), P(axes), chees_carry_specs(axes, dense=dense),
                               P(), P(), P(), P()),
-                    out_specs=chees_result_specs(axes), check_vma=False,
+                    out_specs=chees_result_specs(axes, dense=dense),
+                    check_vma=False,
                 ))
             return shard_cache[this_chunk]
 

@@ -166,9 +166,34 @@ def mcse_mean(samples: jnp.ndarray, ess=None) -> jnp.ndarray:
     return sd / jnp.sqrt(ess)
 
 
-def summary(samples: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+def e_bfmi(energies: jnp.ndarray) -> jnp.ndarray:
+    """Energy Bayesian fraction of missing information (Betancourt 2016).
+
+    E-BFMI = sum_n (E_n - E_{n-1})^2 / sum_n (E_n - mean E)^2 per chain —
+    how well the momentum resampling explores the marginal energy
+    distribution.  Values below ~0.3 flag heavy-tailed / funnel-like
+    pathologies that divergence counts can miss (the chain drifts slowly
+    through energy levels instead of jumping between them).
+
+    ``energies``: per-draw Hamiltonian at trajectory start with fresh
+    momentum — ``NUTSInfo.energy`` / ``MCMCStats.energy_old`` — shaped
+    (num_draws,) or (..., num_draws) (trailing draw axis, e.g. (C, N)).
+    Returns a scalar or (...,) per-chain values.
+    """
+    energies = jnp.asarray(energies)
+    de = jnp.diff(energies, axis=-1)
+    num = jnp.sum(de**2, axis=-1)
+    den = jnp.sum(
+        (energies - jnp.mean(energies, axis=-1, keepdims=True)) ** 2, axis=-1
+    )
+    return num / den
+
+
+def summary(samples: jnp.ndarray, energies=None) -> Dict[str, jnp.ndarray]:
     """Per-dimension posterior summary: mean, std, ESS (raw + bulk + tail),
-    split-R-hat (classic + rank-normalized), MCSE of the mean.
+    split-R-hat (classic + rank-normalized), MCSE of the mean; pass the
+    per-draw energy series (``MCMCStats.energy_old`` / ``NUTSInfo.energy``,
+    draw axis last) to also get per-chain ``e_bfmi``.
 
     The FFT-ESS and rank-normalization passes dominate the cost (O(C*D*
     N log N)); each is computed once and shared across the statistics."""
@@ -177,7 +202,7 @@ def summary(samples: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     flat = samples.reshape(-1, samples.shape[-1])
     ess = effective_sample_size(samples)
     z_bulk = _rank_normalize(samples)
-    return {
+    out = {
         "mean": jnp.mean(flat, axis=0),
         "std": jnp.std(flat, axis=0),
         "ess": ess,
@@ -187,3 +212,6 @@ def summary(samples: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         "r_hat_rank": rank_normalized_rhat(samples, z_bulk=z_bulk),
         "mcse_mean": mcse_mean(samples, ess=ess),
     }
+    if energies is not None:
+        out["e_bfmi"] = e_bfmi(energies)
+    return out

@@ -221,9 +221,11 @@ def nuts_ensemble_result_specs(axes, warm_template):
     )
 
 
-def chees_carry_specs(axes):
+def chees_carry_specs(axes, dense: bool = False):
     """shard_map partition specs for a ChEESCarry whose chain axis spans
-    ``axes`` (pooled-adaptation products are replicated)."""
+    ``axes`` (pooled-adaptation products are replicated).  ``dense``: the
+    carry holds the (inv_mass, chol_mass) dense-metric pair instead of an
+    inverse-mass diagonal (adapt_mass='dense')."""
     from ..samplers.adaptation import DualAveragingState
     from ..samplers.chees import ChEESCarry
 
@@ -232,11 +234,11 @@ def chees_carry_specs(axes):
         da=DualAveragingState(P(), P(), P(), P()),
         log_t=P(), adam_m=P(), adam_v=P(),
         wf_count=P(), wf_mean=P(), wf_m2=P(),
-        inv_diag=P(), da_t=P(),
+        metric=(P(), P()) if dense else P(), da_t=P(),
     )
 
 
-def chees_result_specs(axes):
+def chees_result_specs(axes, dense: bool = False):
     """shard_map partition specs for _run_chees_jit's ChEESResult: samples
     chain-major, info time-major, shared adaptation state replicated."""
     from ..samplers.chees import ChEESInfo, ChEESResult
@@ -252,7 +254,7 @@ def chees_result_specs(axes):
         ),
         final_step_size=P(),
         final_trajectory_length=P(),
-        final_carry=chees_carry_specs(axes),
+        final_carry=chees_carry_specs(axes, dense=dense),
     )
 
 
@@ -532,7 +534,9 @@ def run_chees_sharded(
         local,
         mesh=mesh,
         in_specs=(P(), P(axes), P(axes, None), P()),
-        out_specs=chees_result_specs(axes),
+        out_specs=chees_result_specs(
+            axes, dense=bool(config.adapt_mass == "dense" and config.burn > 0)
+        ),
         check_vma=False,
     )
     return jax.jit(shard)(key, chain_keys, theta0, data)
@@ -658,7 +662,9 @@ def sample_chees_sharded(
         local,
         mesh=mesh,
         in_specs=(P(), P("chains"), P("chains", None), P("data"), P("data")),
-        out_specs=chees_result_specs("chains"),
+        out_specs=chees_result_specs(
+            "chains", dense=bool(config.adapt_mass == "dense" and config.burn > 0)
+        ),
         check_vma=False,
     )
     return jax.jit(shard)(key, chain_keys, theta0, x, y)

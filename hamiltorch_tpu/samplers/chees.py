@@ -46,10 +46,14 @@ class ChEESConfig:
     adam_lr: float = 0.025
     max_leapfrog_steps: int = 1000
     adapt: bool = True
-    # cross-chain windowed warmup: the diagonal inverse mass is estimated
-    # from Welford statistics over ALL chains (C observations per draw, so
-    # the estimate converges C-fold faster than single-chain Stan warmup)
-    adapt_mass: bool = False
+    # cross-chain windowed warmup, as NUTSConfig.adapt_mass: False/True/
+    # "diag" estimates a diagonal inverse mass from Welford statistics over
+    # ALL chains (C observations per draw: C-fold faster than single-chain
+    # Stan warmup); "dense" estimates the FULL posterior covariance
+    # (Chan-merged across the ensemble, regularised toward a small
+    # identity) and runs with a dense metric — right for strongly
+    # correlated targets, at O(D^2) memory per window
+    adapt_mass: bool | str = False
     # host progress line every N draws (0 = silent), as the HMC driver's;
     # ignored under shard_map (a callback would fire once per device) and
     # stripped from chunked checkpoint programs (host reports per chunk)
@@ -82,14 +86,28 @@ def validate_chees(config: ChEESConfig, mass) -> None:
         )
     if config.thin > 1 and config.num_samples % config.thin:
         raise ValueError("num_samples must be divisible by thin")
-    if config.adapt_mass and config.burn > 0:
+    if config.adapt_mass not in (False, True, "diag", "dense"):
+        raise ValueError(
+            f"adapt_mass={config.adapt_mass!r}; expected False, True, "
+            "'diag' or 'dense'"
+        )
+    if config.adapt_mass == "dense":
+        from ..ops.mass import DenseMass, DiagMass, IdentityMass
+
+        if not isinstance(mass, (DenseMass, DiagMass, IdentityMass)):
+            raise ValueError(
+                "adapt_mass='dense' cannot seed from a block-diagonal "
+                "inv_mass — pass a dense or diagonal inv_mass, or none."
+            )
+    elif config.adapt_mass:
         from ..ops.mass import DiagMass, IdentityMass
 
         if not isinstance(mass, (DiagMass, IdentityMass)):
             raise ValueError(
                 "adapt_mass estimates a DIAGONAL inverse mass; combining it "
                 "with a dense or block inv_mass is not supported — pass a "
-                "diagonal inv_mass (used to seed the adaptation) or none."
+                "diagonal inv_mass (used to seed the adaptation), none, or "
+                "adapt_mass='dense'."
             )
 
 
@@ -128,8 +146,10 @@ class ChEESCarry(NamedTuple):
     adam_v: jnp.ndarray
     wf_count: jnp.ndarray
     wf_mean: jnp.ndarray
-    wf_m2: jnp.ndarray
-    inv_diag: jnp.ndarray
+    wf_m2: jnp.ndarray  # (D,) diag warmup; (D, D) dense warmup
+    # adapted metric: the inverse-mass diagonal, or the (inv_mass,
+    # chol_mass) pair under adapt_mass="dense"
+    metric: object
     da_t: jnp.ndarray
 
 
@@ -192,10 +212,11 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
     if axis_name is not None:
         c_total = jax.lax.psum(c_total, axis_name)
 
-    from ..ops.mass import DiagMass
-    from .warmup import welford_init, welford_variance, WelfordState
+    from ..ops.mass import DenseMass, DiagMass
+    from .warmup import WelfordCovState, WelfordState
 
-    windowed = config.adapt_mass and config.burn > 0
+    windowed = bool(config.adapt_mass) and config.burn > 0
+    dense = windowed and config.adapt_mass == "dense"
     if collect_flags is None:
         if windowed:
             from .warmup import schedule_flags
@@ -204,17 +225,14 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
         else:
             collect_flags = jnp.zeros(config.num_samples, bool)
             end_flags = jnp.zeros(config.num_samples, bool)
-    if isinstance(mass, DiagMass):
-        inv_diag0 = jnp.asarray(mass.inv_diag, dtype)
-    else:
-        inv_diag0 = jnp.ones((d,), dtype)
 
     def batch_welford_merge(wf, thetas):
         """Merge the (global) C-chain batch into the running stats;
         cross-device moments via psum when the ensemble is sharded."""
-        from .warmup import welford_merge_batch
+        from .warmup import welford_cov_merge_batch, welford_merge_batch
 
-        return welford_merge_batch(wf, thetas, gsum=_gsum, count=c_total)
+        merge = welford_cov_merge_batch if dense else welford_merge_batch
+        return merge(wf, thetas, gsum=_gsum, count=c_total)
 
     logps0, grads0 = vg_batch(theta0s)
     da0 = da_init(config.step_size, dtype=dtype)
@@ -229,10 +247,15 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
 
     def step(carry, xs):
         n, collect, window_end = xs
-        thetas, logps, grads, da, log_t, adam, wf, inv_diag, da_t = carry
+        thetas, logps, grads, da, log_t, adam, wf, metric, da_t = carry
         if progress_hook is not None:
             progress_hook(n - start_iter)  # bar is sized per-run, not global
-        cur_mass = DiagMass(inv_diag=inv_diag) if windowed else mass
+        if dense:
+            cur_mass = DenseMass(inv_mass=metric[0], chol_mass=metric[1])
+        elif windowed:
+            cur_mass = DiagMass(inv_diag=metric)
+        else:
+            cur_mass = mass
         velocity = jax.vmap(cur_mass.velocity)
         kinetic = jax.vmap(cur_mass.kinetic)
         kn = jax.random.fold_in(key, n)
@@ -339,8 +362,8 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             from .warmup import windowed_step
 
             wf_upd = batch_welford_merge(wf, thetas_out)
-            wf, inv_diag, da = windowed_step(
-                wf, inv_diag, da, collect, window_end, wf_upd, False, d, dtype
+            wf, metric, da = windowed_step(
+                wf, metric, da, collect, window_end, wf_upd, dense, d, dtype
             )
 
         info = ChEESInfo(
@@ -352,22 +375,26 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
         )
         da_t = jnp.where(window_end, 0, da_t + 1)
         return (
-            (thetas_out, logps_out, grads_out, da, log_t, adam, wf, inv_diag, da_t),
+            (thetas_out, logps_out, grads_out, da, log_t, adam, wf, metric, da_t),
             (thetas_out, info),
         )
 
     if init_carry is not None:
         cy = init_carry
+        wf_state_cls = WelfordCovState if dense else WelfordState
         carry0 = (
             cy.thetas, cy.logps, cy.grads, cy.da, cy.log_t,
             (cy.adam_m, cy.adam_v),
-            WelfordState(cy.wf_count, cy.wf_mean, cy.wf_m2),
-            cy.inv_diag, cy.da_t,
+            wf_state_cls(cy.wf_count, cy.wf_mean, cy.wf_m2),
+            cy.metric, cy.da_t,
         )
     else:
+        from .nuts import init_metric_seed
+
+        wf0, metric0 = init_metric_seed(mass, d, dtype, dense)
         carry0 = (
             theta0s, logps0, grads0, da0, log_t0, adam0,
-            welford_init(d, dtype), inv_diag0, jnp.zeros((), jnp.int32),
+            wf0, metric0, jnp.zeros((), jnp.int32),
         )
     idx = start_iter + jnp.arange(config.num_samples)
     thin = max(getattr(config, "thin", 1), 1)
@@ -395,7 +422,7 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             return carry, (w_thetas[-1], info_k)
 
         carry_f, (thetas, info) = jax.lax.scan(outer, carry0, xs2)
-    th_f, lp_f, g_f, da_f, log_t_f, adam_f, wf_f, inv_diag_f, da_t_f = carry_f
+    th_f, lp_f, g_f, da_f, log_t_f, adam_f, wf_f, metric_f, da_t_f = carry_f
     return ChEESResult(
         samples=jnp.swapaxes(thetas, 0, 1),  # (C, N, D)
         info=info,
@@ -405,7 +432,7 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             thetas=th_f, logps=lp_f, grads=g_f, da=da_f, log_t=log_t_f,
             adam_m=adam_f[0], adam_v=adam_f[1],
             wf_count=wf_f.count, wf_mean=wf_f.mean, wf_m2=wf_f.m2,
-            inv_diag=inv_diag_f, da_t=da_t_f,
+            metric=metric_f, da_t=da_t_f,
         ),
     )
 

@@ -57,11 +57,27 @@ class NUTSConfig:
     adapt_mass: bool | str = False
     # host progress line every N draws (0 = silent), as the HMC driver's
     progress_every: int = 0
+    # thin > 1: keep every thin-th draw; num_samples counts TOTAL
+    # transitions (must divide by thin).  Kept row b is the chain state
+    # after transition (b+1)*thin - 1; per-window infos aggregate as mean
+    # accept_prob / any divergent / summed leapfrogs, with the kept draw's
+    # energies, depth and step size.  This is the trace lever for long
+    # runs: the device->host tunnel is slow (~4 MB/s measured), so a
+    # (C, N, D) ensemble trace should shrink on device, not in transit
+    # (same rationale as ChEESConfig.thin).
+    thin: int = 1
 
     def __post_init__(self):
         from .driver import validate_common_config
 
         validate_common_config(self)
+        if self.thin < 1:
+            raise ValueError(f"thin={self.thin}; must be >= 1")
+        if self.thin > 1 and self.num_samples % self.thin:
+            raise ValueError(
+                f"num_samples={self.num_samples} must be divisible by "
+                f"thin={self.thin}"
+            )
 
 
 class _End(NamedTuple):
@@ -101,6 +117,7 @@ class _Subtree(NamedTuple):
     theta_prop: jnp.ndarray
     logp_prop: jnp.ndarray
     grad_prop: jnp.ndarray
+    h_prop: jnp.ndarray  # Hamiltonian at the proposed leaf
     log_weight: jnp.ndarray  # logsumexp of H0 - H over leaves
     sum_alpha: jnp.ndarray
     num_alpha: jnp.ndarray
@@ -129,6 +146,7 @@ def _build_subtree(
         theta_prop=start.theta,
         logp_prop=start.logp,
         grad_prop=start.grad,
+        h_prop=h0,  # overwritten by the first finite leaf (p_take = 1)
         log_weight=-jnp.inf,
         sum_alpha=jnp.zeros(()),
         num_alpha=jnp.zeros((), jnp.int32),
@@ -157,6 +175,7 @@ def _build_subtree(
         theta_prop = jnp.where(take, leaf.theta, tree.theta_prop)
         logp_prop = jnp.where(take, leaf.logp, tree.logp_prop)
         grad_prop = jnp.where(take, leaf.grad, tree.grad_prop)
+        h_prop = jnp.where(take, h, tree.h_prop)
 
         alpha = jnp.minimum(1.0, jnp.exp(jnp.where(jnp.isfinite(delta), delta, -jnp.inf)))
 
@@ -186,6 +205,7 @@ def _build_subtree(
             theta_prop=theta_prop,
             logp_prop=logp_prop,
             grad_prop=grad_prop,
+            h_prop=h_prop,
             log_weight=new_log_w,
             sum_alpha=tree.sum_alpha + alpha,
             num_alpha=tree.num_alpha + 1,
@@ -206,8 +226,11 @@ class NUTSInfo(NamedTuple):
     divergent: jnp.ndarray
     tree_depth: jnp.ndarray
     num_leapfrogs: jnp.ndarray
-    energy: jnp.ndarray
+    energy: jnp.ndarray  # H at trajectory start (fresh momentum) — E-BFMI series
     step_size: jnp.ndarray
+    # H at the state the multinomial selection returned; energy_new - energy
+    # is this draw's trajectory energy error (zero only if the chain stayed)
+    energy_new: jnp.ndarray
 
 
 def nuts_transition(vg, mass: MassOperator, max_depth: int):
@@ -228,6 +251,7 @@ def nuts_transition(vg, mass: MassOperator, max_depth: int):
             theta_prop: jnp.ndarray
             logp_prop: jnp.ndarray
             grad_prop: jnp.ndarray
+            h_prop: jnp.ndarray
             log_weight: jnp.ndarray
             sum_alpha: jnp.ndarray
             num_alpha: jnp.ndarray
@@ -243,6 +267,7 @@ def nuts_transition(vg, mass: MassOperator, max_depth: int):
             theta_prop=theta,
             logp_prop=logp,
             grad_prop=grad,
+            h_prop=h0,  # staying put has zero trajectory energy error
             log_weight=jnp.zeros(()),  # the initial state has weight exp(0)
             sum_alpha=jnp.zeros(()),
             num_alpha=jnp.zeros((), jnp.int32),
@@ -276,6 +301,7 @@ def nuts_transition(vg, mass: MassOperator, max_depth: int):
             theta_prop = jnp.where(take, sub.theta_prop, c.theta_prop)
             logp_prop = jnp.where(take, sub.logp_prop, c.logp_prop)
             grad_prop = jnp.where(take, sub.grad_prop, c.grad_prop)
+            h_prop = jnp.where(take, sub.h_prop, c.h_prop)
             log_weight = jnp.where(
                 invalid, c.log_weight, jnp.logaddexp(c.log_weight, sub.log_weight)
             )
@@ -303,6 +329,7 @@ def nuts_transition(vg, mass: MassOperator, max_depth: int):
                 theta_prop=theta_prop,
                 logp_prop=logp_prop,
                 grad_prop=grad_prop,
+                h_prop=h_prop,
                 log_weight=log_weight,
                 sum_alpha=c.sum_alpha + sub.sum_alpha,
                 num_alpha=c.num_alpha + sub.num_alpha,
@@ -321,10 +348,49 @@ def nuts_transition(vg, mass: MassOperator, max_depth: int):
             num_leapfrogs=final.num_steps,
             energy=h0,
             step_size=step_size,
+            energy_new=final.h_prop,
         )
         return final.theta_prop, final.logp_prop, final.grad_prop, info
 
     return transition
+
+
+def _aggregate_info_window(infos_w: NUTSInfo) -> NUTSInfo:
+    """Collapse a (thin, ...) window of per-draw infos to one kept row."""
+    return NUTSInfo(
+        accept_prob=jnp.mean(infos_w.accept_prob, axis=0),
+        divergent=jnp.any(infos_w.divergent, axis=0),
+        tree_depth=infos_w.tree_depth[-1],
+        num_leapfrogs=jnp.sum(infos_w.num_leapfrogs, axis=0),
+        energy=infos_w.energy[-1],
+        step_size=infos_w.step_size[-1],
+        energy_new=infos_w.energy_new[-1],
+    )
+
+
+def _scan_thinned(step, carry0, xs, thin: int):
+    """lax.scan with every-``thin``-th row kept; stats windows aggregated.
+
+    ``step`` must emit ``(theta(s), info, moved)``; with ``thin > 1`` the
+    scan nests (kept outer, thin inner) so the trace materialised on
+    device is already ``num_samples/thin`` rows.
+    """
+    if thin <= 1:
+        return jax.lax.scan(step, carry0, xs)
+    kept = jax.tree_util.tree_leaves(xs)[0].shape[0] // thin
+    xs = jax.tree_util.tree_map(
+        lambda a: a.reshape((kept, thin) + a.shape[1:]), xs
+    )
+
+    def window(carry, xs_w):
+        carry, (thetas_w, infos_w, moved_w) = jax.lax.scan(step, carry, xs_w)
+        return carry, (
+            jax.tree_util.tree_map(lambda t: t[-1], thetas_w),
+            _aggregate_info_window(infos_w),
+            jnp.any(moved_w, axis=0),
+        )
+
+    return jax.lax.scan(window, carry0, xs)
 
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "config"))
@@ -428,17 +494,18 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
     (
         (theta_f, logp_f, grad_f, da_f, wf_f, metric_f, da_t_f),
         (thetas, infos, moved),
-    ) = jax.lax.scan(
+    ) = _scan_thinned(
         step,
         (theta0, logp0, grad0, da0, wf0, metric0, da_t0),
         (start_iter + jnp.arange(config.num_samples), collect_flags, end_flags),
+        config.thin,
     )
     stats = MCMCStats(
         accept_prob=infos.accept_prob,
         accepted=moved,  # real outcome: the chain moved this draw
         divergent=infos.divergent,
         energy_old=infos.energy,
-        energy_new=infos.energy,
+        energy_new=infos.energy_new,
         step_size=infos.step_size,
         fp_iters=jnp.zeros_like(infos.tree_depth),
         fp_residual=jnp.zeros_like(infos.accept_prob),
@@ -687,16 +754,17 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
     (
         (thetas_f, logps_f, grads_f, da_f, wf_f, metric_f, da_t_f),
         (thetas, infos, moved),
-    ) = jax.lax.scan(
+    ) = _scan_thinned(
         step, carry0,
         (start_iter + jnp.arange(config.num_samples), collect_flags, end_flags),
+        config.thin,
     )
     stats = MCMCStats(
         accept_prob=infos.accept_prob,
         accepted=moved,  # real outcome: each chain moved this draw
         divergent=infos.divergent,
         energy_old=infos.energy,
-        energy_new=infos.energy,
+        energy_new=infos.energy_new,
         step_size=infos.step_size,
         fp_iters=jnp.zeros_like(infos.tree_depth),
         fp_residual=jnp.zeros_like(infos.accept_prob),

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from ..ops.mass import make_mass
 from ..ops.potential import resolve_potential
+from .adaptation import DualAveragingState, da_update
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +51,14 @@ class PTConfig:
     adapt_ladder: bool = False  # swap-rate-equalising ladder (see module docstring)
     ladder_t0: float = 10.0  # adaptation-decay offset kappa = t0/(nu(n+t0))
     ladder_nu: float = 1.0
+    # per-replica dual averaging of the HMC step size during burn, frozen
+    # to the averaged step after (Hoffman & Gelman Algo 5, one state per
+    # temperature slot).  Without it replicas step at the fixed
+    # eps/sqrt(beta) geometric guess, which can collapse per-replica
+    # acceptance on badly scaled targets with nothing to correct it.
+    # Seeded from eps/sqrt(beta_k), so a well-scaled target is unchanged.
+    adapt_step_size: bool = False
+    desired_accept_rate: float = 0.8
     # host progress line every N draws (0 = silent), as the HMC driver's.
     # Vmapped ensembles share ONE bar (the draw index is batch-invariant);
     # sharded runners strip it with a warning (per-device callbacks) and
@@ -67,6 +76,7 @@ class PTInfo(NamedTuple):
     swap_accept: jnp.ndarray  # (N, K-1) adjacent-pair swap outcomes (bool)
     betas: jnp.ndarray  # (K,) final ladder (adapted when adapt_ladder)
     swap_rate_ema: jnp.ndarray  # (K-1,) final per-pair swap-acceptance EMA
+    step_sizes: jnp.ndarray  # (K,) final per-replica steps (adapted when adapt_step_size)
 
 
 class PTResult(NamedTuple):
@@ -84,6 +94,9 @@ class PTCarry(NamedTuple):
     grads: jnp.ndarray  # (K, D) cached gradients
     s: jnp.ndarray  # (K-1,) log temperature gaps (ladder parameterisation)
     ema: jnp.ndarray  # (K-1,) per-pair swap-acceptance EMA
+    # per-replica dual-averaging state ((K,) leaves); step sizes belong to
+    # TEMPERATURE SLOTS, not chain states — they do not move on swaps
+    da: "DualAveragingState"
 
 
 def check_num_temps(theta0: jnp.ndarray, config: PTConfig) -> None:
@@ -116,12 +129,22 @@ def init_pt_carry(log_prob_fn, theta0s, config: PTConfig) -> PTCarry:
         jnp.linspace(0.0, jnp.log(config.max_temp), k_temps)
     ).astype(dtype)
     logps0, grads0 = jax.vmap(jax.value_and_grad(log_prob_fn))(theta0s)
+    # per-replica dual averaging seeded from the geometric eps/sqrt(beta)
+    # guess — the fixed schedule's own values, so adaptation starts where
+    # the non-adaptive sampler would run
+    eps0 = jnp.asarray(config.step_size, dtype) * jnp.sqrt(temps_geo)
     return PTCarry(
         thetas=theta0s,
         logps=logps0,
         grads=grads0,
         s=jnp.log(jnp.diff(temps_geo)),
         ema=jnp.full((k_temps - 1,), 0.5, dtype),
+        da=DualAveragingState(
+            step_size=eps0,
+            log_eps_bar=jnp.zeros((k_temps,), dtype),
+            h_t=jnp.zeros((k_temps,), dtype),
+            mu=jnp.log(10.0 * eps0),
+        ),
     )
 
 
@@ -167,11 +190,14 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None,
         progress_hook = scan_progress(config.num_samples, config.progress_every)
 
     def step(carry, n):
-        thetas, logps, grads, s, ema = carry
+        thetas, logps, grads, s, ema, da = carry
         if progress_hook is not None:
             progress_hook(n - start_iter)  # bar is sized per-run, not global
         betas = betas_from_log_gaps(s, config.max_temp)
-        eps_k = config.step_size / jnp.sqrt(betas)  # wider steps when hotter
+        if config.adapt_step_size:
+            eps_k = da.step_size  # per-replica adapted steps
+        else:
+            eps_k = config.step_size / jnp.sqrt(betas)  # wider steps when hotter
         kn = jax.random.fold_in(key, n)
         k_mom, k_mh, k_swap = jax.random.split(kn, 3)
 
@@ -208,6 +234,26 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None,
         logps = jnp.where(accept, lgp, logps)
         grads = jnp.where(accept[:, None], g, grads)
 
+        if config.adapt_step_size and config.burn > 0:
+            # per-slot dual averaging on THIS draw's (pre-swap) acceptance;
+            # adapt while n < burn, freeze each slot to its averaged step
+            # at n == burn, hold after (the HMC driver's schedule)
+            da_upd = da_update(
+                da, jnp.where(finite, log_ratio, jnp.nan), n,
+                desired_accept_rate=config.desired_accept_rate,
+            )
+            adapting = n < config.burn
+            da = DualAveragingState(
+                step_size=jnp.where(
+                    adapting,
+                    da_upd.step_size,
+                    jnp.where(n == config.burn, jnp.exp(da.log_eps_bar), da.step_size),
+                ),
+                log_eps_bar=jnp.where(adapting, da_upd.log_eps_bar, da.log_eps_bar),
+                h_t=jnp.where(adapting, da_upd.h_t, da.h_t),
+                mu=da.mu,
+            )
+
         # --- replica exchange: alternate even/odd adjacent pairings -------
         partner = jnp.where(n % 2 == 0, partner_even, partner_odd)
         lp_p = logps[partner]
@@ -242,7 +288,7 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None,
             s = jnp.where(n < config.burn, s + ds, s)
 
         info_row = (alpha, swap_mask)
-        return PTCarry(thetas, logps, grads, s, ema), (thetas, info_row)
+        return PTCarry(thetas, logps, grads, s, ema, da), (thetas, info_row)
 
     carry_f, (traj, (alphas, swaps)) = jax.lax.scan(
         step, carry0, start_iter + jnp.arange(config.num_samples)
@@ -285,6 +331,7 @@ def assemble_pt_result(traj, alphas, swaps, carry_f: PTCarry,
             swap_accept=swaps[burn:],
             betas=betas_from_log_gaps(carry_f.s, config.max_temp),
             swap_rate_ema=carry_f.ema,
+            step_sizes=carry_f.da.step_size,
         ),
         final_carry=carry_f,
     )
@@ -345,6 +392,7 @@ def assemble_pt_ensemble_result(traj, alphas, swaps, carry_f: PTCarry,
                 lambda s: betas_from_log_gaps(s, config.max_temp)
             )(carry_f.s),
             swap_rate_ema=carry_f.ema,
+            step_sizes=carry_f.da.step_size,
         ),
         final_carry=carry_f,
     )

@@ -171,3 +171,67 @@ class TestChEESThinning:
         with pytest.raises(ValueError, match="divisible by thin"):
             run_chees(key, corr_gaussian, jnp.zeros(2),
                       ChEESConfig(num_samples=10, thin=3), num_chains=4)
+
+
+class TestDenseChEESWarmup:
+    """adapt_mass='dense': full-covariance cross-chain windowed warmup
+    (the NUTS dense machinery reused; previously 'dense' silently fell
+    back to diagonal adaptation)."""
+
+    def setup_method(self):
+        cov = jnp.asarray([[1.0, 0.95], [0.95, 1.0]])
+        self.prec = jnp.linalg.inv(cov)
+
+    def lp(self, t):
+        return -0.5 * t @ self.prec @ t
+
+    def test_learns_correlation_and_beats_diag(self, key):
+        dense_cfg = ChEESConfig(num_samples=500, step_size=0.2, burn=300,
+                                adapt_mass="dense")
+        diag_cfg = ChEESConfig(num_samples=500, step_size=0.2, burn=300,
+                               adapt_mass=True)
+        r = run_chees(key, self.lp, jnp.zeros(2), dense_cfg, num_chains=16)
+        rd = run_chees(key, self.lp, jnp.zeros(2), diag_cfg, num_chains=16)
+        inv_cov = np.asarray(r.final_carry.metric[0])
+        # the adapted metric is the posterior covariance: strong off-diagonal
+        corr = inv_cov[0, 1] / np.sqrt(inv_cov[0, 0] * inv_cov[1, 1])
+        assert corr > 0.8, corr
+        # a metric matched to the correlation needs far fewer leapfrogs/draw
+        leap_dense = float(jnp.mean(r.info.num_leapfrog[300:]))
+        leap_diag = float(jnp.mean(rd.info.num_leapfrog[300:]))
+        assert leap_dense < 0.7 * leap_diag, (leap_dense, leap_diag)
+        kept = np.asarray(r.samples[:, 300:])
+        assert np.all(np.isfinite(kept))
+        # post-burn moments still correct under the dense metric
+        pooled = kept.reshape(-1, 2)
+        assert np.abs(np.std(pooled, axis=0) - 1.0).max() < 0.2
+
+    def test_dense_resume_matches_direct(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_chees_checkpointed
+
+        full = ChEESConfig(num_samples=200, step_size=0.2, burn=120,
+                           adapt_mass="dense")
+        half = ChEESConfig(num_samples=100, step_size=0.2, burn=120,
+                           adapt_mass="dense")
+        ck = str(tmp_path / "ck")
+        run_chees_checkpointed(key, self.lp, jnp.zeros(2), half, ck,
+                               num_chains=8, chunk_size=100)
+        r_res = run_chees_checkpointed(key, self.lp, jnp.zeros(2), full, ck,
+                                       num_chains=8, chunk_size=100)
+        r_dir = run_chees(key, self.lp, jnp.zeros(2), full, num_chains=8)
+        np.testing.assert_array_equal(
+            np.asarray(r_res.samples), np.asarray(r_dir.samples)
+        )
+
+    def test_bogus_adapt_mass_rejected(self, key):
+        with pytest.raises(ValueError, match="adapt_mass"):
+            run_chees(key, self.lp, jnp.zeros(2),
+                      ChEESConfig(num_samples=10, adapt_mass="full"),
+                      num_chains=4)
+
+    def test_dense_seed_from_block_rejected(self, key):
+        blocks = [jnp.eye(1), jnp.eye(1)]
+        with pytest.raises(ValueError, match="dense"):
+            run_chees(key, self.lp, jnp.zeros(2),
+                      ChEESConfig(num_samples=10, burn=4, adapt_mass="dense"),
+                      num_chains=4, inv_mass=blocks)

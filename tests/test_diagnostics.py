@@ -401,3 +401,57 @@ class TestPartialDirectoryReuse:
         np.testing.assert_allclose(
             float(r_short.acc_rate), float(r_direct.acc_rate), atol=1e-6
         )
+
+
+class TestEBFMI:
+    """Betancourt 2016 energy-BFMI: Var(dE)/Var(E) per chain."""
+
+    def test_iid_energies_near_two(self, key):
+        # independent draws: E[(E_n - E_{n-1})^2] = 2 Var(E) => e_bfmi ~ 2
+        from hamiltorch_tpu.diagnostics import e_bfmi
+
+        e = jax.random.normal(key, (4, 4000))
+        vals = np.asarray(e_bfmi(e))
+        assert vals.shape == (4,)
+        np.testing.assert_allclose(vals, 2.0, atol=0.25)
+
+    def test_flags_funnel_pathology(self, key):
+        """Low E-BFMI flags the funnel where divergence counts are weak:
+        the chain drifts through energy levels instead of jumping."""
+        from hamiltorch_tpu.diagnostics import e_bfmi
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_chains
+
+        def funnel(theta):
+            v, x = theta[0], theta[1:]
+            return (
+                -0.5 * v**2 / 9.0
+                - 0.5 * jnp.sum(x**2) * jnp.exp(-v)
+                - 0.5 * (theta.shape[0] - 1) * v
+            )
+
+        def corr_gaussian(theta):
+            prec = jnp.asarray([[5.263158, -4.736842], [-4.736842, 5.263158]])
+            return -0.5 * theta @ prec @ theta
+
+        cfg = NUTSConfig(num_samples=1000, step_size=0.3, burn=300)
+        _, info_g = run_nuts_chains(
+            key, corr_gaussian, jnp.zeros(2), cfg, num_chains=4
+        )
+        bfmi_g = np.asarray(e_bfmi(info_g.energy[:, 300:]))
+        assert bfmi_g.min() > 0.5, bfmi_g  # healthy target: no flag
+
+        _, info_f = run_nuts_chains(key, funnel, jnp.zeros(11), cfg, num_chains=4)
+        bfmi_f = np.asarray(e_bfmi(info_f.energy[:, 300:]))
+        # at least one chain far below the ~0.3 pathology threshold, while
+        # per-chain divergence rates stay in single-digit percent
+        assert bfmi_f.min() < 0.3, bfmi_f
+        assert float(jnp.mean(info_f.divergent[:, 300:])) < 0.1
+
+    def test_summary_surfaces_e_bfmi(self, key):
+        from hamiltorch_tpu.diagnostics import summary
+
+        samples = jax.random.normal(key, (2, 200, 3))
+        energies = jax.random.normal(jax.random.key(1), (2, 200))
+        out = summary(samples, energies=energies)
+        assert out["e_bfmi"].shape == (2,)
+        assert "e_bfmi" not in summary(samples)

@@ -456,3 +456,88 @@ class TestEntryPointValidation:
                                     jnp.zeros(2),
                                     NUTSConfig(num_samples=4, burn=2, adapt_mass=True),
                                     mesh, num_chains=8, inv_mass=dense)
+
+
+class TestNUTSThinning:
+    def test_thin_matches_full_run_subsample(self, key):
+        """thin=k keeps every k-th draw of the identical transition stream."""
+        full = NUTSConfig(num_samples=120, step_size=0.4, burn=40)
+        thin = NUTSConfig(num_samples=120, step_size=0.4, burn=40, thin=4)
+        r_full, _ = run_nuts(key, corr_gaussian, jnp.zeros(2), full)
+        r_thin, info_t = run_nuts(key, corr_gaussian, jnp.zeros(2), thin)
+        assert r_thin.samples.shape == (30, 2)
+        np.testing.assert_array_equal(
+            np.asarray(r_thin.samples), np.asarray(r_full.samples[3::4])
+        )
+        # the same transitions ran: adaptation end state identical
+        np.testing.assert_allclose(
+            float(r_thin.final_step_size), float(r_full.final_step_size),
+            rtol=1e-6,
+        )
+        # per-window aggregates: leapfrog counts sum over the window
+        assert np.asarray(info_t.num_leapfrogs).sum() > 0
+
+    def test_ensemble_trace_shrinks(self, key):
+        from hamiltorch_tpu.samplers.nuts import run_nuts_ensemble
+
+        full = NUTSConfig(num_samples=80, step_size=0.4, burn=40,
+                          adapt_mass=True)
+        thin = NUTSConfig(num_samples=80, step_size=0.4, burn=40,
+                          adapt_mass=True, thin=4)
+        r_full, _ = run_nuts_ensemble(key, corr_gaussian, jnp.zeros(2), full,
+                                      num_chains=6)
+        r_thin, _ = run_nuts_ensemble(key, corr_gaussian, jnp.zeros(2), thin,
+                                      num_chains=6)
+        assert r_thin.samples.shape == (6, 20, 2)
+        np.testing.assert_array_equal(
+            np.asarray(r_thin.samples), np.asarray(r_full.samples[:, 3::4])
+        )
+
+    def test_thin_divisibility_validated(self):
+        with pytest.raises(ValueError, match="divisible by thin"):
+            NUTSConfig(num_samples=10, thin=3)
+
+    def test_thin_via_facade(self, key):
+        import hamiltorch_tpu as ht
+        from hamiltorch_tpu.enums import Sampler
+
+        samples = ht.sample(
+            corr_gaussian, jnp.zeros(2), num_samples=120, step_size=0.4,
+            burn=40, sampler=Sampler.NUTS, key=key, thin=4, verbose=False,
+        )
+        # [init] + kept rows whose transition index exceeds burn
+        assert samples.shape == (21, 2)
+
+    def test_thin_checkpoint_resume(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_nuts_checkpointed
+
+        full = NUTSConfig(num_samples=120, step_size=0.4, burn=40, thin=4)
+        half = NUTSConfig(num_samples=48, step_size=0.4, burn=40, thin=4)
+        ck = str(tmp_path / "ck")
+        run_nuts_checkpointed(key, corr_gaussian, jnp.zeros(2), half, ck,
+                              chunk_size=48)
+        r_res = run_nuts_checkpointed(key, corr_gaussian, jnp.zeros(2), full,
+                                      ck, chunk_size=48)
+        r_dir, _ = run_nuts(key, corr_gaussian, jnp.zeros(2), full)
+        assert r_res.samples.shape == (30, 2)
+        np.testing.assert_allclose(
+            np.asarray(r_res.samples), np.asarray(r_dir.samples), atol=1e-5
+        )
+
+
+class TestNUTSEnergyAccounting:
+    def test_energy_new_is_accepted_state_hamiltonian(self, key):
+        cfg = NUTSConfig(num_samples=200, step_size=0.4, burn=0,
+                         adapt_step_size=False)
+        result, info = run_nuts(key, corr_gaussian, jnp.zeros(2), cfg)
+        e_old = np.asarray(result.stats.energy_old)
+        e_new = np.asarray(result.stats.energy_new)
+        moved = np.asarray(result.stats.accepted)
+        # when the chain moved, the selected leaf's H differs from H0
+        assert np.any(moved)
+        assert np.all(e_new[moved] != e_old[moved])
+        # when it stayed, the energy error is exactly zero
+        if np.any(~moved):
+            np.testing.assert_array_equal(e_new[~moved], e_old[~moved])
+        # trajectory energy errors are small for a well-tuned chain
+        assert np.median(np.abs(e_new - e_old)[moved]) < 1.0

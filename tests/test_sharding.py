@@ -198,7 +198,7 @@ class TestChEESSharding:
         np.testing.assert_allclose(kept.mean(0), [0, 0, 0], atol=0.6)
         np.testing.assert_allclose(kept.std(0), np.asarray(scales), rtol=0.35)
         # the adapted inverse mass should track the marginal variances
-        inv_diag = np.asarray(result.final_carry.inv_diag)
+        inv_diag = np.asarray(result.final_carry.metric)
         assert inv_diag[2] / inv_diag[0] > 50.0
 
 

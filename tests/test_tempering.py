@@ -101,6 +101,78 @@ class TestLadderAdaptation:
         np.testing.assert_allclose(cold.std(0), [1, 1], atol=0.12)
 
 
+class TestStepSizeAdaptation:
+    def lp_narrow(self, t):
+        """Badly scaled bimodal: modes at +-1 with sd 0.02 — a 0.25 step
+        overshoots the mode width 12-fold and every proposal is rejected."""
+        return jnp.logaddexp(
+            -0.5 * jnp.sum(((t - 1.0) / 0.02) ** 2),
+            -0.5 * jnp.sum(((t + 1.0) / 0.02) ** 2),
+        )
+
+    def test_adaptation_rescues_collapsed_acceptance(self, key):
+        base = dict(num_samples=900, num_steps_per_sample=5, step_size=0.25,
+                    num_temps=4, max_temp=25.0, burn=500)
+        r_fixed = run_parallel_tempering(
+            key, self.lp_narrow, jnp.full(1, 1.0), PTConfig(**base))
+        r_adapt = run_parallel_tempering(
+            key, self.lp_narrow, jnp.full(1, 1.0),
+            PTConfig(**base, adapt_step_size=True))
+        # post-burn per-replica acceptance: collapsed without adaptation,
+        # held near the 0.8 target with it
+        acc_fixed = np.asarray(r_fixed.info.accept_prob).mean(0)
+        acc_adapt = np.asarray(r_adapt.info.accept_prob).mean(0)
+        assert acc_fixed.max() < 0.05, acc_fixed
+        assert acc_adapt.min() > 0.5, acc_adapt
+        # the adapted steps shrank far below the eps/sqrt(beta) seed
+        betas = np.asarray(r_adapt.info.betas)
+        seeds = 0.25 / np.sqrt(betas)
+        assert np.all(np.asarray(r_adapt.info.step_sizes) < 0.2 * seeds)
+
+    def test_well_scaled_target_unchanged_when_off(self, key):
+        """adapt_step_size=False is the exact pre-existing stream."""
+        cfg = PTConfig(num_samples=60, num_steps_per_sample=5, step_size=0.3,
+                       num_temps=4, burn=20)
+        lp = lambda t: -0.5 * jnp.sum(t**2)
+        r0 = run_parallel_tempering(key, lp, jnp.zeros(2), cfg)
+        r1 = run_parallel_tempering(key, lp, jnp.zeros(2), cfg)
+        np.testing.assert_array_equal(np.asarray(r0.samples),
+                                      np.asarray(r1.samples))
+        # and the fixed schedule is reported as the step sizes
+        np.testing.assert_allclose(
+            np.asarray(r0.info.step_sizes),
+            0.3 / np.sqrt(np.asarray(r0.info.betas)), rtol=1e-5)
+
+    def test_adapted_checkpoint_resume_bit_exact(self, key, tmp_path):
+        """Chunked+resumed adapted PT == the uninterrupted run (DA state
+        rides PTCarry; global draw indices keep RNG and freeze aligned)."""
+        from hamiltorch_tpu.checkpoint import run_pt_checkpointed
+
+        full = PTConfig(num_samples=40, num_steps_per_sample=5, step_size=0.3,
+                        num_temps=4, burn=16, adapt_step_size=True,
+                        adapt_ladder=True)
+        half = dataclasses_replace(full, num_samples=15)
+        ck = str(tmp_path / "ck")
+        run_pt_checkpointed(key, self.lp_narrow, jnp.zeros(1), half, ck,
+                            chunk_size=15)
+        r_res = run_pt_checkpointed(key, self.lp_narrow, jnp.zeros(1), full,
+                                    ck, chunk_size=15)
+        r_direct = run_parallel_tempering(key, self.lp_narrow, jnp.zeros(1),
+                                          full)
+        np.testing.assert_allclose(
+            np.asarray(r_res.replica_samples),
+            np.asarray(r_direct.replica_samples), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(r_res.info.step_sizes),
+            np.asarray(r_direct.info.step_sizes), rtol=1e-6)
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
+
+
 class TestEnsemblePT:
     def lp(self, t):
         return jnp.logaddexp(
