@@ -108,14 +108,21 @@ def main():
     def _project(samples, dirs):
         return jnp.stack([samples[c] @ dirs for c in range(samples.shape[0])])
 
-    def min_ess(samples, burn=0):
+    def ess_quantiles(samples, burn=0):
+        """(min, 10th-percentile) ESS over the coordinate slice + random
+        projections.  The min is the headline (worst direction); p10 is
+        reported alongside because a min over ~100 noisy ESS estimates is
+        an extremal statistic with heavy seed variance."""
         dirs = jax.random.normal(jax.random.key(1234), (samples.shape[-1], 32))
         dirs = dirs / jnp.linalg.norm(dirs, axis=0)
         ess_coord = effective_sample_size(samples[:, burn:, :64])
         ess_proj = effective_sample_size(_project(samples, dirs)[:, burn:])
-        return float(jnp.minimum(jnp.min(ess_coord), jnp.min(ess_proj)))
+        all_ess = np.concatenate(
+            [np.asarray(ess_coord).ravel(), np.asarray(ess_proj).ravel()]
+        )
+        return float(all_ess.min()), float(np.percentile(all_ess, 10))
 
-    ess_per_sec = min_ess(samples_flat) / dt
+    ess_per_sec = ess_quantiles(samples_flat)[0] / dt
 
     # sampling-efficiency view: ChEES with cross-chain warmup on the same
     # posterior (trajectory lengths tuned for mixing, not raw grad-steps);
@@ -128,9 +135,16 @@ def main():
     from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
 
     flat_log_prob_fn, theta0 = make_flagship_potential()
+    # burn=600 (vs 300 in rounds 1-2): at burn=300 the adapted trajectory
+    # length still ranged 1.0-3.1 across seeds, making min-ESS/sec swing
+    # ~90% rep-to-rep; at 600 it converges to ~3 and the rep spread drops
+    # to ~30% — the residual is genuine adaptation seed variance, not
+    # measurement noise (wall time and ESS move together with the adapted
+    # trajectory length).  thin=3 keeps the stored trace at 300 rows: the
+    # full (64, 900, 100k) f32 trace would not fit 16 GB HBM.
     chees_cfg = ChEESConfig(
-        num_samples=600, step_size=2e-4, burn=300, adapt_mass=True,
-        init_trajectory_length=0.01,
+        num_samples=900, step_size=2e-4, burn=600, adapt_mass=True,
+        init_trajectory_length=0.01, thin=3,
     )
 
     def run_chees_once(seed):
@@ -142,16 +156,20 @@ def main():
     r = run_chees_once(nonce)  # compile + warm up
     # median-of-3 on the DERIVED metric (min-ESS/sec): both the wall time
     # and the ESS itself vary per seed, so de-noise their ratio directly
-    chees_rates, chees_accs = [], []
+    kept_burn = chees_cfg.burn // chees_cfg.thin
+    chees_rates, chees_p10_rates, chees_accs = [], [], []
     for rep in range(3):
         del r
         gc.collect()
         t1 = time.perf_counter()
         r = run_chees_once(nonce + rep + 1)
         dt_chees = time.perf_counter() - t1
-        chees_rates.append(min_ess(r.samples, burn=chees_cfg.burn) / dt_chees)
-        chees_accs.append(float(jnp.mean(r.info.accept_prob[chees_cfg.burn :])))
+        e_min, e_p10 = ess_quantiles(r.samples, burn=kept_burn)
+        chees_rates.append(e_min / dt_chees)
+        chees_p10_rates.append(e_p10 / dt_chees)
+        chees_accs.append(float(jnp.mean(r.info.accept_prob[kept_burn:])))
     chees_rate = float(np.median(chees_rates))
+    chees_p10_rate = float(np.median(chees_p10_rates))
     chees_spread = (max(chees_rates) - min(chees_rates)) / chees_rate
     chees_acc = float(np.median(chees_accs))
     del r
@@ -167,6 +185,7 @@ def main():
                 "acc_rate": round(acc, 3),
                 "fused_kernel_grad_steps_per_sec": round(fused_rate, 1),
                 "chees_min_ess_per_sec": round(chees_rate, 1),
+                "chees_p10_ess_per_sec": round(chees_p10_rate, 1),
                 "chees_acc_rate": round(chees_acc, 3),
                 "scan_rel_spread": round(scan_spread, 3),
                 "chees_rel_spread": round(chees_spread, 3),

@@ -65,6 +65,11 @@ def sample(
     explicit_binding_const: float = 100.0,
     fixed_point_threshold: float = 1e-5,
     fixed_point_max_iterations: int = 1000,
+    # accepted for signature parity, deliberately UNUSED: the reference
+    # redraws metric jitter up to this many times on NaN gradients
+    # (samplers.py:322-333,373-382); here jitter is fixed per transition and
+    # a NaN energy is a rejection — statistically cleaner and branchless
+    # (documented deviation, docs/DESIGN.md #2)
     jitter_max_tries: int = 10,
     sampler: Sampler = Sampler.HMC,
     integrator: Integrator = Integrator.IMPLICIT,
@@ -83,10 +88,10 @@ def sample(
 
     Extensions past the reference signature (all optional, defaults match
     reference semantics): ``key`` (explicit PRNG key), ``adapt_mass``
-    (Stan-style windowed diagonal mass warmup — ``Sampler.NUTS`` only),
-    ``thin`` (keep every thin-th draw; ``num_samples`` counts transitions
-    and must divide by thin, as must ``burn``), ``progress_every`` (host
-    progress line every N draws).
+    (Stan-style windowed mass warmup — ``Sampler.NUTS`` and the plain-HMC
+    samplers; False/True/'diag'/'dense'), ``thin`` (keep every thin-th
+    draw; ``num_samples`` counts transitions and must divide by thin, as
+    must ``burn``), ``progress_every`` (host progress line every N draws).
     """
     params_init = jnp.asarray(params_init)
     if params_init.ndim != 1:
@@ -109,11 +114,16 @@ def sample(
             "for the plain-HMC paths only; for long NUTS runs use "
             "checkpoint.run_nuts_checkpointed, which streams per chunk."
         )
-    if adapt_mass and sampler != Sampler.NUTS:
+    if adapt_mass and (
+        sampler == Sampler.RMHMC or integrator in _SPLITTING
+    ):
         raise RuntimeError(
             "adapt_mass (windowed mass warmup) is available for Sampler.NUTS "
-            "(or the native run_chees/run_nuts APIs)."
+            "and the plain-HMC samplers (or the native run_hmc/run_nuts/"
+            "run_chees APIs)."
         )
+    if adapt_mass and sampler in (Sampler.HMC, Sampler.HMC_NUTS) and burn <= 0:
+        raise RuntimeError("adapt_mass requires burn > 0 (the warmup phase).")
     if key is None:
         key = next_key()
 
@@ -147,6 +157,7 @@ def sample(
         desired_accept_rate=desired_accept_rate,
         thin=thin,
         progress_every=progress_every,
+        adapt_mass=adapt_mass,
     )
 
     if isinstance(log_prob_func, (list, tuple)) and not (

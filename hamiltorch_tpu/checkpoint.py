@@ -269,23 +269,44 @@ def run_hmc_checkpointed(
     program constant.
     """
     from .samplers.hmc import _run_hmc_jit, init_chain_state
+    from .samplers.warmup import schedule_flags, validate_adapt_mass
 
     theta0 = jnp.asarray(theta0)
     lp, data = resolve_potential(log_prob_fn, pass_grad)
     mass = make_mass(inv_mass, theta0.shape[0])
+    validate_adapt_mass(config.adapt_mass, mass)
     da0 = da_init(config.step_size, dtype=theta0.dtype)
-    template = (_chain_state_template(theta0), da0)
+    windowed = bool(config.adapt_mass) and config.burn > 0
+    if windowed:
+        from .samplers.nuts import init_metric_seed
+
+        dense = config.adapt_mass == "dense"
+        wf0, metric0 = init_metric_seed(mass, theta0.shape[0], theta0.dtype, dense)
+        warm0 = (wf0, metric0, jnp.zeros((), jnp.int32))
+        template = (_chain_state_template(theta0), da0, warm0)
+    else:
+        template = (_chain_state_template(theta0), da0)
 
     def init_carry_fn():
-        return (init_chain_state(_bind_data(lp, data), theta0), da0)
+        state0 = init_chain_state(_bind_data(lp, data), theta0)
+        return (state0, da0, warm0) if windowed else (state0, da0)
 
     def chunk_runner(k, carry, n_done, cfg):
-        state, da = carry
+        state, da = carry[0], carry[1]
+        warm = carry[2] if windowed else None
+        cf = ef = None
+        if windowed:
+            # each chunk gets its slice of the GLOBAL warmup schedule
+            cf, ef = schedule_flags(config.burn, n_done, cfg.num_samples)
         result = _run_hmc_jit(
             k, state.theta, lp, cfg, mass,
             init_state=state, init_da=da, start_iter=n_done, data=data,
+            init_warm=warm, collect_flags=cf, end_flags=ef,
         )
-        return result, (result.final_state, result.final_da)
+        new_carry = (result.final_state, result.final_da)
+        if windowed:
+            new_carry += (result.final_warm,)
+        return result, new_carry
 
     zs, carry = _checkpoint_loop(
         chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
@@ -312,6 +333,7 @@ def run_hmc_chains_checkpointed(
     stats come back with a leading chain axis as from ``run_hmc_chains``.
     """
     from .samplers.hmc import _run_hmc_jit, init_chain_state
+    from .samplers.warmup import schedule_flags, validate_adapt_mass
 
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
@@ -319,22 +341,48 @@ def run_hmc_chains_checkpointed(
     keys = jax.random.split(key, num_chains)
     lp, data = resolve_potential(log_prob_fn, pass_grad)
     mass = make_mass(inv_mass, theta0.shape[-1])
+    validate_adapt_mass(config.adapt_mass, mass)
 
     das0 = jax.vmap(lambda _: da_init(config.step_size, dtype=theta0.dtype))(
         jnp.arange(num_chains)
     )
-    template = (
-        ChainState(theta0, jnp.zeros(theta0.shape[:1], theta0.dtype),
-                   jnp.zeros_like(theta0)),
-        das0,
-    )
+    windowed = bool(config.adapt_mass) and config.burn > 0
+    if windowed:
+        from .samplers.nuts import init_metric_seed
+
+        dense = config.adapt_mass == "dense"
+        wf0, metric0 = init_metric_seed(
+            mass, theta0.shape[-1], theta0.dtype, dense
+        )
+        # per-chain warmup state: every chain estimates its own metric
+        warm0 = jax.tree_util.tree_map(
+            lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape),
+            (wf0, metric0, jnp.zeros((), jnp.int32)),
+        )
+    state_t = ChainState(theta0, jnp.zeros(theta0.shape[:1], theta0.dtype),
+                         jnp.zeros_like(theta0))
+    template = (state_t, das0, warm0) if windowed else (state_t, das0)
 
     def init_carry_fn():
         states = jax.vmap(lambda t: init_chain_state(_bind_data(lp, data), t))(theta0)
-        return (states, das0)
+        return (states, das0, warm0) if windowed else (states, das0)
 
     def chunk_runner(ks, carry, n_done, cfg):
-        states, das = carry
+        states, das = carry[0], carry[1]
+        cf = ef = None
+        if windowed:
+            cf, ef = schedule_flags(config.burn, n_done, cfg.num_samples)
+        if windowed:
+            result = jax.vmap(
+                lambda k, st, da, wm: _run_hmc_jit(
+                    k, st.theta, lp, cfg, mass,
+                    init_state=st, init_da=da, start_iter=n_done, data=data,
+                    init_warm=wm, collect_flags=cf, end_flags=ef,
+                ),
+                in_axes=(0, 0, 0, 0),
+            )(ks, states, das, carry[2])
+            return result, (result.final_state, result.final_da,
+                            result.final_warm)
         result = jax.vmap(
             lambda k, st, da: _run_hmc_jit(
                 k, st.theta, lp, cfg, mass,

@@ -86,29 +86,9 @@ def validate_chees(config: ChEESConfig, mass) -> None:
         )
     if config.thin > 1 and config.num_samples % config.thin:
         raise ValueError("num_samples must be divisible by thin")
-    if config.adapt_mass not in (False, True, "diag", "dense"):
-        raise ValueError(
-            f"adapt_mass={config.adapt_mass!r}; expected False, True, "
-            "'diag' or 'dense'"
-        )
-    if config.adapt_mass == "dense":
-        from ..ops.mass import DenseMass, DiagMass, IdentityMass
+    from .warmup import validate_adapt_mass
 
-        if not isinstance(mass, (DenseMass, DiagMass, IdentityMass)):
-            raise ValueError(
-                "adapt_mass='dense' cannot seed from a block-diagonal "
-                "inv_mass — pass a dense or diagonal inv_mass, or none."
-            )
-    elif config.adapt_mass:
-        from ..ops.mass import DiagMass, IdentityMass
-
-        if not isinstance(mass, (DiagMass, IdentityMass)):
-            raise ValueError(
-                "adapt_mass estimates a DIAGONAL inverse mass; combining it "
-                "with a dense or block inv_mass is not supported — pass a "
-                "diagonal inv_mass (used to seed the adaptation), none, or "
-                "adapt_mass='dense'."
-            )
+    validate_adapt_mass(config.adapt_mass, mass)
 
 
 def _vdc_base2(n):

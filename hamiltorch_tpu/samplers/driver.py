@@ -109,9 +109,22 @@ class MCMCConfig:
     # (must be divisible by thin). Stats are aggregated per kept draw: bools
     # become any-within-window, energies/step size are the kept draw's.
     thin: int = 1
+    # Stan-style windowed mass warmup (samplers/warmup.py), as
+    # NUTSConfig.adapt_mass: False/True/"diag" estimates a diagonal inverse
+    # mass from in-scan Welford variances over doubling slow windows during
+    # burn; "dense" estimates the full posterior covariance.  Honoured by
+    # the HMC runners (run_hmc / run_hmc_chains / checkpointed); samplers
+    # without a warmup path (RMHMC — its metric is position-dependent;
+    # splitting) reject it loudly rather than dropping it.
+    adapt_mass: bool | str = False
 
     def __post_init__(self):
         validate_common_config(self)
+        if self.adapt_mass not in (False, True, "diag", "dense"):
+            raise ValueError(
+                f"adapt_mass={self.adapt_mass!r}; expected False, True, "
+                "'diag' or 'dense'"
+            )
 
 
 # A transition proposes a new state and returns the two Hamiltonians the
@@ -135,6 +148,10 @@ def run_mcmc(
     config: MCMCConfig,
     init_da: DualAveragingState | None = None,
     start_iter: int = 0,
+    make_transition=None,
+    init_warm=None,
+    collect_flags=None,
+    end_flags=None,
 ) -> MCMCResult:
     """Run ``config.num_samples`` draws of ``transition`` from ``init_state``.
 
@@ -142,11 +159,42 @@ def run_mcmc(
     ``(key, init_state)`` for multiple chains.  ``init_da``/``start_iter``
     let chunked (checkpoint/resume) sampling continue the adaptation
     schedule exactly where a previous chunk stopped.
+
+    Windowed mass warmup (``config.adapt_mass`` with ``burn > 0``) needs a
+    metric-dependent transition: the caller passes ``make_transition(metric)
+    -> TransitionFn`` (``transition`` is then ignored), a
+    ``(welford, metric, da_t)`` warmup carry seed via ``init_warm``, and
+    per-draw ``collect_flags``/``end_flags`` schedule arrays (len
+    ``num_samples``; defaults to the draws' slice of the global Stan
+    schedule).  Dual averaging then runs on the window-relative counter and
+    restarts at each slow-window boundary, exactly as the NUTS scan does
+    (nuts._run_nuts_jit).
     """
     # theta may be a flat vector or a parameter pytree (the pytree-native
     # chain-state path); scalars below use the first leaf's dtype
     dtype = jax.tree_util.tree_leaves(init_state.theta)[0].dtype
     da0 = init_da if init_da is not None else da_init(config.step_size, dtype=dtype)
+
+    windowed = make_transition is not None
+    dense = windowed and config.adapt_mass == "dense"
+    if windowed:
+        from .warmup import (
+            schedule_flags,
+            welford_cov_update,
+            welford_update,
+            windowed_step,
+        )
+
+        d = sum(l.size for l in jax.tree_util.tree_leaves(init_state.theta))
+        if collect_flags is None:
+            collect_flags, end_flags = schedule_flags(
+                config.burn, 0, config.num_samples
+            )
+        if init_warm is None:
+            raise ValueError("make_transition requires an init_warm carry seed")
+        warm0 = init_warm
+    else:
+        warm0 = ()
 
     progress_hook = None
     if config.progress_every > 0:
@@ -154,14 +202,19 @@ def run_mcmc(
 
         progress_hook = scan_progress(config.num_samples, config.progress_every)
 
-    def one_transition(state, da, n):
+    def one_transition(state, da, warm, n):
         if progress_hook is not None:
             progress_hook(n - start_iter)  # bar is sized per-run, not global
         # per-draw keys derive from (base key, global draw index): the random
         # stream is identical no matter how the run is chunked for resume
         k_prop, k_mh = jax.random.split(jax.random.fold_in(key, n))
 
-        out = transition(k_prop, state, da.step_size)
+        if windowed:
+            wf, metric, da_t = warm
+            trans = make_transition(metric)
+        else:
+            trans = transition
+        out = trans(k_prop, state, da.step_size)
         proposal, h0, h1 = out[:3]
         aux = out[3] if len(out) > 3 else {}
         log_ratio = h0 - h1
@@ -189,10 +242,12 @@ def run_mcmc(
         if config.adapt_step_size and config.burn > 0:
             # Adapt while n < burn; at n == burn freeze to the averaged
             # step size; afterwards hold (reference: samplers.py:1030-1035).
+            # Windowed warmup restarts dual averaging at each slow-window
+            # boundary, so its iteration counter is window-relative.
             da_upd = da_update(
                 da,
                 jnp.where(finite, log_ratio, jnp.nan),
-                n,
+                da_t if windowed else n,
                 desired_accept_rate=config.desired_accept_rate,
             )
             adapting = n < config.burn
@@ -207,17 +262,29 @@ def run_mcmc(
                 mu=da.mu,
             )
 
-        return state, da, stats
+        if windowed:
+            idx = n - start_iter
+            collect = collect_flags[idx]
+            window_end = end_flags[idx]
+            wf_upd = (welford_cov_update if dense else welford_update)(
+                wf, state.theta
+            )
+            wf, metric, da = windowed_step(
+                wf, metric, da, collect, window_end, wf_upd, dense, d, dtype
+            )
+            warm = (wf, metric, jnp.where(window_end, 0, da_t + 1))
+
+        return state, da, warm, stats
 
     if config.thin <= 1:
         def step(carry, n):
-            state, da = carry
-            state, da, stats = one_transition(state, da, n)
-            return (state, da), (state.theta, stats)
+            state, da, warm = carry
+            state, da, warm, stats = one_transition(state, da, warm, n)
+            return (state, da, warm), (state.theta, stats)
 
-        (final_state, final_da), (thetas, stats) = jax.lax.scan(
+        (final_state, final_da, final_warm), (thetas, stats) = jax.lax.scan(
             step,
-            (init_state, da0),
+            (init_state, da0, warm0),
             start_iter + jnp.arange(config.num_samples),
         )
         acc_rate = jnp.mean(stats.accepted.astype(dtype))
@@ -228,20 +295,20 @@ def run_mcmc(
 
         def outer(carry, k):
             def inner(c, j):
-                state, da, div_any, alpha_sum, acc_cnt = c
+                state, da, warm, div_any, alpha_sum, acc_cnt = c
                 n = start_iter + k * config.thin + j
-                state, da, stats = one_transition(state, da, n)
+                state, da, warm, stats = one_transition(state, da, warm, n)
                 return (
-                    state, da,
+                    state, da, warm,
                     div_any | stats.divergent,
                     alpha_sum + stats.accept_prob,
                     acc_cnt + stats.accepted.astype(dtype),
                 ), stats
 
-            state, da = carry
-            (state, da, div_any, alpha_sum, acc_cnt), window = jax.lax.scan(
+            state, da, warm = carry
+            (state, da, warm, div_any, alpha_sum, acc_cnt), window = jax.lax.scan(
                 inner,
-                (state, da, jnp.asarray(False), jnp.zeros((), dtype), jnp.zeros((), dtype)),
+                (state, da, warm, jnp.asarray(False), jnp.zeros((), dtype), jnp.zeros((), dtype)),
                 jnp.arange(config.thin),
             )
             last = jax.tree_util.tree_map(lambda s: s[-1], window)
@@ -255,10 +322,10 @@ def run_mcmc(
                 fp_iters=jnp.max(window.fp_iters),
                 fp_residual=jnp.max(window.fp_residual),
             )
-            return (state, da), (state.theta, kept_stats, acc_cnt / config.thin)
+            return (state, da, warm), (state.theta, kept_stats, acc_cnt / config.thin)
 
-        (final_state, final_da), (thetas, stats, acc_fracs) = jax.lax.scan(
-            outer, (init_state, da0), jnp.arange(kept)
+        (final_state, final_da, final_warm), (thetas, stats, acc_fracs) = jax.lax.scan(
+            outer, (init_state, da0, warm0), jnp.arange(kept)
         )
         acc_rate = jnp.mean(acc_fracs)
     return MCMCResult(
@@ -268,4 +335,5 @@ def run_mcmc(
         acc_rate=acc_rate,
         final_state=final_state,
         final_da=final_da,
+        final_warm=final_warm if windowed else None,
     )

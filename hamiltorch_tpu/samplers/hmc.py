@@ -49,16 +49,58 @@ def init_chain_state(log_prob_fn, theta0: jnp.ndarray) -> ChainState:
     return ChainState(theta=theta0, logp=logp, grad=grad)
 
 
+def _reject_tree_adapt_mass(config) -> None:
+    """Windowed warmup accumulates flat (D,) / (D, D) moments; the
+    pytree-native chain state has no flat layout to accumulate over."""
+    if config.adapt_mass:
+        raise ValueError(
+            "adapt_mass is not supported with a pytree chain state — pass a "
+            "flat (D,) theta0 (ravel with utils.pytree.tree_ravel), or seed "
+            "a fixed per-leaf inv_mass pytree instead."
+        )
+
+
 @partial(jax.jit, static_argnames=("log_prob_fn", "config"))
 def _run_hmc_jit(key, theta0, log_prob_fn, config, mass, init_state=None,
-                 init_da=None, start_iter=0, data=None):
+                 init_da=None, start_iter=0, data=None, init_warm=None,
+                 collect_flags=None, end_flags=None):
     # ``data`` (when given) reaches the potential as a jit operand; closures
     # over large arrays would be embedded as program constants instead.
     lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
     vg = jax.value_and_grad(lp)
     state = init_state if init_state is not None else init_chain_state(lp, theta0)
-    transition = hmc_transition(vg, mass, config.num_steps_per_sample)
-    return run_mcmc(key, state, transition, config, init_da=init_da, start_iter=start_iter)
+    windowed = bool(config.adapt_mass) and config.burn > 0
+    if not windowed:
+        transition = hmc_transition(vg, mass, config.num_steps_per_sample)
+        return run_mcmc(key, state, transition, config, init_da=init_da,
+                        start_iter=start_iter)
+
+    # Stan-style windowed mass warmup: the metric lives in the scan carry,
+    # so the transition is rebuilt from it each draw (same scheme as
+    # nuts._run_nuts_jit; the machinery is samplers/warmup.py)
+    from ..ops.mass import DenseMass, DiagMass
+    from .nuts import init_metric_seed
+
+    dense = config.adapt_mass == "dense"
+    dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
+    d = sum(l.size for l in jax.tree_util.tree_leaves(theta0))
+    if init_warm is None:
+        wf0, metric0 = init_metric_seed(mass, d, dtype, dense)
+        init_warm = (wf0, metric0, jnp.zeros((), jnp.int32))
+
+    def make_transition(metric):
+        cur = (
+            DenseMass(inv_mass=metric[0], chol_mass=metric[1])
+            if dense
+            else DiagMass(inv_diag=metric)
+        )
+        return hmc_transition(vg, cur, config.num_steps_per_sample)
+
+    return run_mcmc(
+        key, state, None, config, init_da=init_da, start_iter=start_iter,
+        make_transition=make_transition, init_warm=init_warm,
+        collect_flags=collect_flags, end_flags=end_flags,
+    )
 
 
 def run_hmc(
@@ -84,11 +126,15 @@ def run_hmc(
     from ..utils.pytree import is_param_tree
 
     if is_param_tree(theta0):
+        _reject_tree_adapt_mass(config)
         theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
         mass = make_mass_tree(inv_mass, theta0)
     else:
         theta0 = jnp.asarray(theta0)
         mass = make_mass(inv_mass, theta0.shape[0])
+        from .warmup import validate_adapt_mass
+
+        validate_adapt_mass(config.adapt_mass, mass)
     lp, data = resolve_potential(log_prob_fn, pass_grad)
     return _run_hmc_jit(key, theta0, lp, config, mass, data=data)
 
@@ -110,7 +156,11 @@ def run_hmc_host_offload(
     samples in compiled chunks and offloads each chunk's trace to host,
     keeping only O(chunk) draws in HBM — a (draws x D) trace never has to
     fit on device.  The per-draw RNG folds the global draw index into the
-    base key, so results are bit-identical to the unchunked run.
+    base key, so results are bit-identical to the unchunked run (with
+    ``adapt_mass`` the chunked and unchunked programs compile differently
+    and the warmup arithmetic can differ by ~1 ulp at window boundaries —
+    equal to float tolerance there; re-running at the SAME chunking is
+    always bitwise).
 
     Returns an MCMCResult whose ``samples``/``stats`` leaves are host numpy
     arrays.
@@ -122,6 +172,7 @@ def run_hmc_host_offload(
     from ..utils.pytree import is_param_tree
 
     if is_param_tree(theta0):
+        _reject_tree_adapt_mass(config)
         theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
         mass = make_mass_tree(inv_mass, theta0)
         dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
@@ -129,6 +180,9 @@ def run_hmc_host_offload(
         theta0 = jnp.asarray(theta0)
         mass = make_mass(inv_mass, theta0.shape[0])
         dtype = theta0.dtype
+        from .warmup import validate_adapt_mass
+
+        validate_adapt_mass(config.adapt_mass, mass)
     lp, data = resolve_potential(log_prob_fn, pass_grad)
     state = init_chain_state(lp if data is None else (lambda t: lp(t, data)), theta0)
     da = da_init(config.step_size, dtype=dtype)
@@ -137,19 +191,29 @@ def run_hmc_host_offload(
     chunk_size = max(thin, (chunk_size // thin) * thin)
     import dataclasses
 
+    windowed = bool(config.adapt_mass) and config.burn > 0
+    warm = None
     host_samples, host_stats, chunk_accs = [], [], []
     n_done = 0
     while n_done < config.num_samples:
         this_chunk = min(chunk_size, config.num_samples - n_done)
         cfg = dataclasses.replace(config, num_samples=this_chunk)
+        cf = ef = None
+        if windowed:
+            # each chunk gets its slice of the GLOBAL warmup schedule; the
+            # (welford, metric, da_t) carry rides result.final_warm
+            from .warmup import schedule_flags
+
+            cf, ef = schedule_flags(config.burn, n_done, this_chunk)
         result = _run_hmc_jit(
             key, state.theta, lp, cfg, mass,
             init_state=state, init_da=da, start_iter=n_done, data=data,
+            init_warm=warm, collect_flags=cf, end_flags=ef,
         )
         host_samples.append(jax.device_get(result.samples))
         host_stats.append(jax.device_get(result.stats))
         chunk_accs.append((float(result.acc_rate), this_chunk))
-        state, da = result.final_state, result.final_da
+        state, da, warm = result.final_state, result.final_da, result.final_warm
         n_done += this_chunk
 
     # tree_map concatenates per leaf; a flat trace is a single leaf
@@ -201,6 +265,7 @@ def run_hmc_chains(
     if is_param_tree(theta0):
         # pytree params: leaves may be per-chain ((num_chains, ...) leading
         # axis) or single-chain (broadcast to all chains)
+        _reject_tree_adapt_mass(config)
         theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
         stacked = theta0_is_stacked
         if stacked is None:
@@ -221,9 +286,15 @@ def run_hmc_chains(
         if theta0.ndim == 1:
             theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
         mass = make_mass(inv_mass, theta0.shape[-1])
+        from .warmup import validate_adapt_mass
+
+        validate_adapt_mass(config.adapt_mass, mass)
     keys = jax.random.split(key, num_chains)
     lp, data = resolve_potential(log_prob_fn, pass_grad)
 
+    # with adapt_mass each chain runs its own windowed warmup (per-chain
+    # Welford moments in the vmapped carry — single-chain Stan semantics);
+    # cross-chain pooled estimation is the ensemble runners' job
     run = jax.vmap(
         lambda k, t: _run_hmc_jit(k, t, lp, config, mass, data=data),
         in_axes=(0, 0),

@@ -585,26 +585,9 @@ def run_nuts(
 def validate_nuts_mass(config: NUTSConfig, mass) -> None:
     """adapt_mass mode vs user inv_mass compatibility (shared with the
     checkpointed runner)."""
-    from ..ops.mass import DenseMass, DiagMass, IdentityMass
+    from .warmup import validate_adapt_mass
 
-    if config.adapt_mass not in (False, True, "diag", "dense"):
-        raise ValueError(
-            f"adapt_mass={config.adapt_mass!r}; expected False, True, "
-            "'diag' or 'dense'"
-        )
-    if config.adapt_mass == "dense":
-        if not isinstance(mass, (DenseMass, DiagMass, IdentityMass)):
-            raise ValueError(
-                "adapt_mass='dense' cannot seed from a block-diagonal "
-                "inv_mass — pass a dense or diagonal inv_mass, or none."
-            )
-    elif config.adapt_mass and not isinstance(mass, (DiagMass, IdentityMass)):
-        raise ValueError(
-            "adapt_mass estimates a DIAGONAL inverse mass; combining it with "
-            "a dense or block inv_mass is not supported — pass a diagonal "
-            "inv_mass (used to seed the adaptation), none, or "
-            "adapt_mass='dense'."
-        )
+    validate_adapt_mass(config.adapt_mass, mass)
 
 
 def run_nuts_chains(

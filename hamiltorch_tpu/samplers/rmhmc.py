@@ -36,6 +36,11 @@ def _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts, ham_func,
     # data (when given) reaches the potential as a jit operand, not a baked
     # program constant; init_state/init_da/start_iter let chunked
     # (checkpoint/resume) sampling continue the schedule exactly
+    if config.adapt_mass:
+        raise ValueError(
+            "adapt_mass is not supported for RMHMC: its metric G(theta) is "
+            "position-dependent, there is no fixed mass matrix to estimate."
+        )
     lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
     semi = integrator == Integrator.S3
     rm = make_rm_hamiltonian(lp, opts, ham_func=ham_func,

@@ -56,6 +56,12 @@ def _run_split_jit(key, theta0, raw_term_fn, num_terms, config, integrator, mass
                    start_iter=0):
     # ``data`` rides through jit as an operand so stacked minibatch arrays
     # are device buffers, not constants baked into the program.
+    if config.adapt_mass:
+        raise ValueError(
+            "adapt_mass is not supported for splitting integrators — pass a "
+            "fixed inv_mass, or estimate one with run_hmc(adapt_mass=True) "
+            "first."
+        )
     if data is None:
         term_fn = raw_term_fn
         pass_grad_fn = raw_pass_grad

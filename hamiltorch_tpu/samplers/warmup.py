@@ -186,6 +186,31 @@ def windowed_step(wf, metric, da, collect, window_end, wf_upd, dense: bool,
     return wf, metric, da
 
 
+def validate_adapt_mass(adapt_mass, mass) -> None:
+    """adapt_mass mode vs user inv_mass compatibility — shared by every
+    sampler with a windowed-warmup path (NUTS, ChEES, plain HMC)."""
+    from ..ops.mass import DenseMass, DiagMass, IdentityMass
+
+    if adapt_mass not in (False, True, "diag", "dense"):
+        raise ValueError(
+            f"adapt_mass={adapt_mass!r}; expected False, True, "
+            "'diag' or 'dense'"
+        )
+    if adapt_mass == "dense":
+        if not isinstance(mass, (DenseMass, DiagMass, IdentityMass)):
+            raise ValueError(
+                "adapt_mass='dense' cannot seed from a block-diagonal "
+                "inv_mass — pass a dense or diagonal inv_mass, or none."
+            )
+    elif adapt_mass and not isinstance(mass, (DiagMass, IdentityMass)):
+        raise ValueError(
+            "adapt_mass estimates a DIAGONAL inverse mass; combining it with "
+            "a dense or block inv_mass is not supported — pass a diagonal "
+            "inv_mass (used to seed the adaptation), none, or "
+            "adapt_mass='dense'."
+        )
+
+
 def build_schedule(
     burn: int,
     init_buffer: int = 75,

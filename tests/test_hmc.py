@@ -363,3 +363,153 @@ class TestHostOffload:
         np.testing.assert_allclose(
             float(r_off.acc_rate), float(r_dev.acc_rate), atol=1e-6
         )
+
+
+class TestHMCMassAdaptation:
+    """Stan-style windowed mass warmup wired into plain HMC
+    (config.adapt_mass; machinery shared with NUTS via samplers/warmup.py)."""
+
+    def test_adapt_mass_fixes_bad_scaling(self, key):
+        """On a 400:1 scale ratio, warmup recovers both scales; without it
+        the fixed unit metric cannot move the wide direction at all."""
+        scales = jnp.array([0.05, 20.0])
+        lp = lambda t: -0.5 * jnp.sum((t / scales) ** 2)
+        cfg = MCMCConfig(num_samples=1500, step_size=0.5, burn=700,
+                         num_steps_per_sample=8, adapt_mass=True)
+        r = run_hmc(key, lp, jnp.zeros(2), cfg)
+        s = np.asarray(r.samples[800:])
+        np.testing.assert_allclose(s.std(0), np.asarray(scales), rtol=0.3)
+        # learned inverse mass tracks the marginal variances (ratio 1.6e5)
+        inv = np.asarray(r.final_warm[1])
+        assert inv[1] / inv[0] > 1e4
+        # the unadapted run is stuck in the wide direction
+        r0 = run_hmc(key, lp, jnp.zeros(2),
+                     MCMCConfig(num_samples=1500, step_size=0.5, burn=700,
+                                num_steps_per_sample=8))
+        assert np.asarray(r0.samples[800:]).std(0)[1] < 0.5 * 20.0
+
+    def test_dense_adapt_learns_correlation(self, key):
+        """adapt_mass='dense' estimates the full covariance: on a rho=0.95
+        Gaussian the learned inverse mass carries the correlation."""
+        rho = 0.95
+        prec = jnp.linalg.inv(jnp.array([[1.0, rho], [rho, 1.0]]))
+        lp = lambda t: -0.5 * t @ prec @ t
+        cfg = MCMCConfig(num_samples=1500, step_size=0.2, burn=700,
+                         num_steps_per_sample=8, adapt_mass="dense",
+                         adapt_step_size=True)
+        r = run_hmc(key, lp, jnp.zeros(2), cfg)
+        s = np.asarray(r.samples[800:])
+        assert abs(np.corrcoef(s.T)[0, 1] - rho) < 0.1
+        inv = np.asarray(r.final_warm[1][0])  # (inv_mass, chol_mass) pair
+        assert inv[0, 1] / np.sqrt(inv[0, 0] * inv[1, 1]) > 0.8
+
+    def test_chains_adapt_and_checkpoint_roundtrip(self, key, tmp_path):
+        """run_hmc_chains(adapt_mass=True) fixes the scaling per chain and
+        the chunked checkpointed runner reproduces it bit-exactly."""
+        from hamiltorch_tpu.checkpoint import run_hmc_chains_checkpointed
+
+        scales = jnp.array([0.1, 10.0])
+        lp = lambda t: -0.5 * jnp.sum((t / scales) ** 2)
+        cfg = MCMCConfig(num_samples=600, step_size=0.4, burn=300,
+                         num_steps_per_sample=6, adapt_mass=True)
+        import dataclasses
+
+        r = run_hmc_chains(key, lp, jnp.zeros(2), cfg, num_chains=4)
+        s = np.asarray(r.samples[:, 350:]).reshape(-1, 2)
+        np.testing.assert_allclose(s.std(0), np.asarray(scales), rtol=0.3)
+        r_ck = run_hmc_chains_checkpointed(
+            key, lp, jnp.zeros(2), cfg, str(tmp_path / "ck"), 4, chunk_size=150
+        )
+        # direct (one 600-draw scan) vs chunked (4x150) compile to different
+        # programs whose warmup arithmetic can differ by 1 ulp at window
+        # boundaries — equal to float tolerance, not bitwise
+        np.testing.assert_allclose(
+            np.asarray(r.samples), np.asarray(r_ck.samples), atol=1e-5
+        )
+        # the bitwise contract is resume: re-chunking from a mid-run
+        # checkpoint reproduces the uninterrupted chunked run exactly
+        half = dataclasses.replace(cfg, num_samples=300)
+        run_hmc_chains_checkpointed(
+            key, lp, jnp.zeros(2), half, str(tmp_path / "re"), 4, chunk_size=150
+        )
+        r_res = run_hmc_chains_checkpointed(
+            key, lp, jnp.zeros(2), cfg, str(tmp_path / "re"), 4, chunk_size=150
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_ck.samples), np.asarray(r_res.samples)
+        )
+
+    def test_single_chain_chunked_paths_bit_exact(self, key, tmp_path):
+        """Checkpointed, resumed, and host-offload runs all reproduce the
+        in-memory adapt_mass chain bit-exactly (the global warmup schedule
+        is sliced per chunk; the (welford, metric, da_t) carry rides
+        final_warm)."""
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_hmc_checkpointed
+        from hamiltorch_tpu.samplers.hmc import run_hmc_host_offload
+
+        scales = jnp.array([0.1, 10.0])
+        lp = lambda t: -0.5 * jnp.sum((t / scales) ** 2)
+        cfg = MCMCConfig(num_samples=300, step_size=0.3, burn=150,
+                         num_steps_per_sample=5, adapt_mass=True)
+        r = run_hmc(key, lp, jnp.zeros(2), cfg)
+        r_ck = run_hmc_checkpointed(
+            key, lp, jnp.zeros(2), cfg, str(tmp_path / "a"), chunk_size=70
+        )
+        # direct vs chunked are different compiled programs: equal to float
+        # tolerance (warmup arithmetic can fuse differently), not bitwise
+        np.testing.assert_allclose(
+            np.asarray(r.samples), np.asarray(r_ck.samples), atol=1e-5
+        )
+        # interrupted after 140 draws, then resumed to 300: bitwise equal to
+        # the uninterrupted run at the same chunking
+        half = dataclasses.replace(cfg, num_samples=140)
+        run_hmc_checkpointed(
+            key, lp, jnp.zeros(2), half, str(tmp_path / "b"), chunk_size=70
+        )
+        r_res = run_hmc_checkpointed(
+            key, lp, jnp.zeros(2), cfg, str(tmp_path / "b"), chunk_size=70
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_ck.samples), np.asarray(r_res.samples)
+        )
+        r_off = run_hmc_host_offload(key, lp, jnp.zeros(2), cfg, chunk_size=64)
+        np.testing.assert_allclose(
+            np.asarray(r.samples), np.asarray(r_off.samples), atol=1e-5
+        )
+
+    def test_api_sample_adapt_mass_hmc(self, key):
+        """ht.sample(adapt_mass=True) reaches the HMC warmup path."""
+        scales = jnp.array([0.1, 10.0])
+        lp = lambda t: -0.5 * jnp.sum((t / scales) ** 2)
+        s = ht.sample(lp, jnp.zeros(2), num_samples=600, burn=300,
+                      num_steps_per_sample=6, step_size=0.4,
+                      adapt_mass=True, verbose=False, key=key)
+        kept = np.asarray(s)  # burn already sliced off by the facade
+        np.testing.assert_allclose(kept[50:].std(0), np.asarray(scales), rtol=0.35)
+
+    def test_validation(self, key):
+        lp = std_normal_logprob
+        # bad mode string is rejected at config construction
+        with pytest.raises(ValueError, match="adapt_mass"):
+            MCMCConfig(num_samples=10, burn=5, adapt_mass="banana")
+        cfg = MCMCConfig(num_samples=10, burn=5, adapt_mass=True)
+        # diagonal warmup refuses a dense inv_mass seed
+        with pytest.raises(ValueError, match="DIAGONAL"):
+            run_hmc(key, lp, jnp.zeros(2), cfg, inv_mass=jnp.eye(2))
+        # pytree chain state has no flat layout to accumulate over
+        with pytest.raises(ValueError, match="pytree"):
+            run_hmc(key, lambda t: -0.5 * jnp.sum(t["w"] ** 2),
+                    {"w": jnp.zeros(2)}, cfg)
+        # RMHMC / splitting reject loudly instead of dropping the option
+        with pytest.raises(RuntimeError, match="adapt_mass"):
+            ht.sample(lp, jnp.zeros(2), num_samples=10, burn=5,
+                      adapt_mass=True, sampler=ht.Sampler.RMHMC, key=key)
+        with pytest.raises(RuntimeError, match="adapt_mass"):
+            ht.sample([lp, lp], jnp.zeros(2), num_samples=10, burn=5,
+                      adapt_mass=True, key=key,
+                      integrator=ht.Integrator.SPLITTING)
+        with pytest.raises(RuntimeError, match="burn"):
+            ht.sample(lp, jnp.zeros(2), num_samples=10, burn=0,
+                      adapt_mass=True, key=key)
