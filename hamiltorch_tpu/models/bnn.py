@@ -70,7 +70,9 @@ def build_model(model, x_example=None, params_template=None, rng=None):
     ):
         from .interop import from_torch_module
 
-        return from_torch_module(model)
+        # x_example (when the caller has data in hand, e.g. sample_model)
+        # enables the concrete-trace fallback for fx-untraceable forwards
+        return from_torch_module(model, example_input=x_example)
 
     if callable(model):
         if params_template is None:

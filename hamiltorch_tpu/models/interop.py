@@ -20,15 +20,23 @@ Two translation paths:
   hamiltorch/util.py:253-376), e.g. its conv test net
   (reference: tests/test_util.py:64-95).
 
-Leaf layers: Linear, Conv2d, ConvTranspose2d, BatchNorm1d/2d, LayerNorm,
-Embedding, RNN/LSTM/GRU (lax.scan recurrences; torch.fx keeps them atomic
-so they compose with custom forwards), ReLU, Tanh, Sigmoid, GELU, ELU,
-LeakyReLU, Softmax, LogSoftmax, Flatten, Identity, Dropout (inference =
-identity), MaxPool2d, AvgPool2d.  Custom-forward SUBmodules nest (the fx
-fallback recurses).  Not coverable: data-dependent Python control flow in
-``forward`` (untraceable by construction) — define those models in
-flax/JAX instead (``build_model`` accepts flax modules and plain apply
-functions).
+Leaf layers: Linear, Conv1d/2d/3d, ConvTranspose2d, BatchNorm1d/2d/3d,
+LayerNorm, GroupNorm, InstanceNorm1d/2d/3d, Embedding, RNN/LSTM/GRU
+(lax.scan recurrences; torch.fx keeps them atomic so they compose with
+custom forwards), PReLU (learnable slope stays a sampled parameter), ReLU,
+ReLU6, Tanh, Sigmoid, GELU, ELU, SELU, CELU, SiLU, Mish, LeakyReLU,
+Hardtanh, Hardswish, Hardsigmoid, Softplus, Softsign, Softmax, LogSoftmax,
+Flatten, Unflatten, Identity, Dropout/1d/2d (inference = identity),
+MaxPool1d/2d/3d, AvgPool1d/2d/3d, AdaptiveAvgPool1d/2d/3d,
+AdaptiveMaxPool1d/2d/3d.  Custom-forward SUBmodules nest (the fx fallback
+recurses).
+
+Data-dependent Python control flow in ``forward`` is untraceable by fx by
+construction; passing ``example_input=`` enables a third path — a CONCRETE
+``torch.jit.trace`` whose inlined TorchScript graph is interpreted with
+jnp ops (``_from_torch_traced``), with the branch taken on the example
+frozen in.  Alternatively define those models in flax/JAX
+(``build_model`` accepts flax modules and plain apply functions).
 """
 
 from __future__ import annotations
@@ -66,63 +74,87 @@ def _check_padding_mode(mod):
         )
 
 
-def _conv2d(mod):
-    _check_padding_mode(mod)
-    has_bias = mod.bias is not None
-    stride = tuple(mod.stride)
-    padding = tuple((p, p) for p in mod.padding) if not isinstance(mod.padding, str) else mod.padding
-    dilation = tuple(mod.dilation)
-    groups = mod.groups
-    pad_mode = getattr(mod, "padding_mode", "zeros")
+# spatial dimension chars for conv dimension_numbers, by rank
+_SPATIAL = {1: "H", 2: "HW", 3: "DHW"}
 
-    def fn(params, off, x):
-        pads = padding
-        if pad_mode != "zeros" and not isinstance(padding, str):
-            # non-zero border semantics: materialise the border with jnp.pad
-            # and run the conv unpadded
-            x = jnp.pad(
-                x, ((0, 0), (0, 0)) + tuple(padding), mode=_PAD_MODES[pad_mode]
-            )
-            pads = "VALID"
-        w = params[off]  # (O, I/groups, KH, KW), torch layout
-        y = jax.lax.conv_general_dilated(
-            x, w, window_strides=stride, padding=pads,
-            rhs_dilation=dilation, feature_group_count=groups,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+
+def _conv_dn(n):
+    s = _SPATIAL[n]
+    return ("NC" + s, "OI" + s, "NC" + s)
+
+
+def _convnd(n):
+    """nn.Conv1d/2d/3d -> lax.conv_general_dilated (torch NC[spatial] /
+    OI[spatial] layouts are given to XLA directly; no transposes)."""
+
+    def build(mod):
+        _check_padding_mode(mod)
+        has_bias = mod.bias is not None
+        stride = tuple(mod.stride)
+        padding = (
+            tuple((p, p) for p in mod.padding)
+            if not isinstance(mod.padding, str)
+            else mod.padding.upper()
         )
-        if has_bias:
-            y = y + params[off + 1][None, :, None, None]
-        return y, off + (2 if has_bias else 1)
+        dilation = tuple(mod.dilation)
+        groups = mod.groups
+        pad_mode = getattr(mod, "padding_mode", "zeros")
+        dn = _conv_dn(n)
 
-    return fn
+        def fn(params, off, x):
+            pads = padding
+            if pad_mode != "zeros" and not isinstance(padding, str):
+                # non-zero border semantics: materialise the border with
+                # jnp.pad and run the conv unpadded
+                x = jnp.pad(
+                    x, ((0, 0), (0, 0)) + tuple(padding), mode=_PAD_MODES[pad_mode]
+                )
+                pads = "VALID"
+            w = params[off]  # (O, I/groups, *K), torch layout
+            y = jax.lax.conv_general_dilated(
+                x, w, window_strides=stride, padding=pads,
+                rhs_dilation=dilation, feature_group_count=groups,
+                dimension_numbers=dn,
+            )
+            if has_bias:
+                y = y + params[off + 1].reshape((1, -1) + (1,) * n)
+            return y, off + (2 if has_bias else 1)
+
+        return fn
+
+    return build
+
+
+_conv2d = _convnd(2)
 
 
 def _check_pool_semantics(ceil_mode=False, dilation=1, count_include_pad=True,
-                          divisor_override=None):
+                          divisor_override=None, n=2):
     """Refuse pooling options the bridge does not translate — silently
     ignoring them would change output shapes/values with no error."""
-    d = dilation if isinstance(dilation, tuple) else (dilation,) * 2
+    d = dilation if isinstance(dilation, tuple) else (dilation,) * n
     if ceil_mode:
         raise NotImplementedError("pooling with ceil_mode=True is not supported by the torch bridge")
-    if d != (1, 1):
+    if d != (1,) * n:
         raise NotImplementedError("pooling with dilation != 1 is not supported by the torch bridge")
     if not count_include_pad:
-        raise NotImplementedError("avg_pool2d count_include_pad=False is not supported by the torch bridge")
+        raise NotImplementedError("avg_pool count_include_pad=False is not supported by the torch bridge")
     if divisor_override is not None:
-        raise NotImplementedError("avg_pool2d divisor_override is not supported by the torch bridge")
+        raise NotImplementedError("avg_pool divisor_override is not supported by the torch bridge")
 
 
-def _pool(mod, reducer, init, is_avg):
+def _pool(mod, reducer, init, is_avg, n=2):
     _check_pool_semantics(
         ceil_mode=getattr(mod, "ceil_mode", False),
         dilation=getattr(mod, "dilation", 1),
         count_include_pad=getattr(mod, "count_include_pad", True),
         divisor_override=getattr(mod, "divisor_override", None),
+        n=n,
     )
-    k = mod.kernel_size if isinstance(mod.kernel_size, tuple) else (mod.kernel_size,) * 2
+    k = mod.kernel_size if isinstance(mod.kernel_size, tuple) else (mod.kernel_size,) * n
     s = mod.stride if mod.stride is not None else k
-    s = s if isinstance(s, tuple) else (s,) * 2
-    p = mod.padding if isinstance(mod.padding, tuple) else (mod.padding,) * 2
+    s = s if isinstance(s, tuple) else (s,) * n
+    p = mod.padding if isinstance(mod.padding, tuple) else (mod.padding,) * n
 
     def fn(params, off, x):
         y = jax.lax.reduce_window(
@@ -131,10 +163,55 @@ def _pool(mod, reducer, init, is_avg):
             padding=((0, 0), (0, 0)) + tuple((pi, pi) for pi in p),
         )
         if is_avg:
-            y = y / (k[0] * k[1])
+            d = 1
+            for ki in k:
+                d *= ki
+            y = y / d
         return y, off
 
     return fn
+
+
+def _adaptive_reduce(x, out_sizes, reduce_fn):
+    """torch adaptive pooling: output bin i over an axis of size I spans
+    [floor(i*I/O), ceil((i+1)*I/O)).  ``out_sizes`` covers the trailing
+    spatial axes; ``None`` keeps that axis' input size."""
+    for ax_rel, o in enumerate(out_sizes):
+        axis = x.ndim - len(out_sizes) + ax_rel
+        size = x.shape[axis]
+        if o is None or size == o:
+            continue
+        segs = [
+            reduce_fn(
+                jax.lax.slice_in_dim(
+                    x, (i * size) // o, -(-((i + 1) * size) // o), axis=axis
+                ),
+                axis=axis,
+                keepdims=True,
+            )
+            for i in range(o)
+        ]
+        x = jnp.concatenate(segs, axis=axis)
+    return x
+
+
+def _adaptive_pool(n, is_avg):
+    def build(mod):
+        if getattr(mod, "return_indices", False):
+            raise NotImplementedError(
+                "adaptive max pooling with return_indices=True is not "
+                "supported by the torch bridge"
+            )
+        out = mod.output_size
+        out = tuple(out) if isinstance(out, (tuple, list)) else (out,) * n
+        red = jnp.mean if is_avg else jnp.max
+
+        def fn(params, off, x):
+            return _adaptive_reduce(x, out, red), off
+
+        return fn
+
+    return build
 
 
 def _elementwise(op):
@@ -223,6 +300,73 @@ def _layernorm(mod):
         return y, off
 
     return fn
+
+
+def _groupnorm(mod):
+    eps, groups, affine = mod.eps, mod.num_groups, mod.affine
+
+    def fn(params, off, x):
+        n, c = x.shape[0], x.shape[1]
+        xg = x.reshape((n, groups, c // groups) + x.shape[2:])
+        axes = tuple(range(2, xg.ndim))
+        mean = jnp.mean(xg, axis=axes, keepdims=True)
+        var = jnp.var(xg, axis=axes, keepdims=True)
+        y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+        if affine:
+            shape = (1, c) + (1,) * (x.ndim - 2)
+            y = y * params[off].reshape(shape) + params[off + 1].reshape(shape)
+            return y, off + 2
+        return y, off
+
+    return fn
+
+
+def _instancenorm(mod):
+    """Per-sample per-channel normalisation over the spatial axes.  As with
+    the batch-norm patch (reference: hamiltorch/util.py:370-376) running
+    statistics are ignored: the instance moments are always used."""
+    eps, affine = mod.eps, mod.affine
+
+    def fn(params, off, x):
+        axes = tuple(range(2, x.ndim))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        if affine:
+            shape = (1, -1) + (1,) * (x.ndim - 2)
+            y = y * params[off].reshape(shape) + params[off + 1].reshape(shape)
+            return y, off + 2
+        return y, off
+
+    return fn
+
+
+def _prelu(mod):
+    """PReLU carries a LEARNABLE slope (1 or per-channel along dim 1) —
+    it consumes a parameter slot, unlike the stateless activations."""
+    n_params = mod.num_parameters
+
+    def fn(params, off, x):
+        a = params[off]
+        if n_params > 1 and x.ndim > 2:
+            a = a.reshape((-1,) + (1,) * (x.ndim - 2))
+        return jnp.where(x >= 0, x, a * x), off + 1
+
+    return fn
+
+
+def _softplus_beta(x, beta=1.0, threshold=20.0):
+    """torch softplus: linear above threshold (numerical overflow guard)."""
+    scaled = beta * x
+    return jnp.where(scaled > threshold, x, jax.nn.softplus(scaled) / beta)
+
+
+def _hardswish(x):
+    return x * jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+def _hardsigmoid(x):
+    return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
 
 
 def _embedding(mod):
@@ -347,26 +491,59 @@ _LEAF_HANDLERS = {
     "RNN": _rnn_family,
     "LSTM": _rnn_family,
     "GRU": _rnn_family,
+    "Conv1d": _convnd(1),
     "Conv2d": _conv2d,
+    "Conv3d": _convnd(3),
     "ConvTranspose2d": _conv_transpose2d,
     "BatchNorm1d": _batchnorm,
     "BatchNorm2d": _batchnorm,
+    "BatchNorm3d": _batchnorm,
     "LayerNorm": _layernorm,
+    "GroupNorm": _groupnorm,
+    "InstanceNorm1d": _instancenorm,
+    "InstanceNorm2d": _instancenorm,
+    "InstanceNorm3d": _instancenorm,
     "Embedding": _embedding,
+    "PReLU": _prelu,
     "ReLU": _elementwise(lambda m, x: jax.nn.relu(x)),
+    "ReLU6": _elementwise(lambda m, x: jnp.clip(x, 0.0, 6.0)),
     "Tanh": _elementwise(lambda m, x: jnp.tanh(x)),
     "Sigmoid": _elementwise(lambda m, x: jax.nn.sigmoid(x)),
     "GELU": _elementwise(lambda m, x: jax.nn.gelu(
         x, approximate=getattr(m, "approximate", "none") != "none")),
     "ELU": _elementwise(lambda m, x: jax.nn.elu(x, alpha=m.alpha)),
+    "SELU": _elementwise(lambda m, x: jax.nn.selu(x)),
+    "CELU": _elementwise(lambda m, x: jax.nn.celu(x, alpha=m.alpha)),
+    "SiLU": _elementwise(lambda m, x: jax.nn.silu(x)),
+    "Mish": _elementwise(lambda m, x: x * jnp.tanh(jax.nn.softplus(x))),
     "LeakyReLU": _elementwise(lambda m, x: jax.nn.leaky_relu(x, negative_slope=m.negative_slope)),
+    "Hardtanh": _elementwise(lambda m, x: jnp.clip(x, m.min_val, m.max_val)),
+    "Hardswish": _elementwise(lambda m, x: _hardswish(x)),
+    "Hardsigmoid": _elementwise(lambda m, x: _hardsigmoid(x)),
+    "Softplus": _elementwise(lambda m, x: _softplus_beta(x, m.beta, m.threshold)),
+    "Softsign": _elementwise(lambda m, x: x / (1.0 + jnp.abs(x))),
     "Softmax": _elementwise(lambda m, x: jax.nn.softmax(x, axis=m.dim if m.dim is not None else -1)),
     "LogSoftmax": _elementwise(lambda m, x: jax.nn.log_softmax(x, axis=m.dim if m.dim is not None else -1)),
     "Identity": _elementwise(lambda m, x: x),
     "Dropout": _elementwise(lambda m, x: x),  # inference semantics
+    "Dropout1d": _elementwise(lambda m, x: x),
+    "Dropout2d": _elementwise(lambda m, x: x),
     "Flatten": _elementwise(lambda m, x: _flatten_dims(x, m.start_dim, m.end_dim)),
+    "Unflatten": _elementwise(lambda m, x: x.reshape(
+        x.shape[: m.dim % x.ndim] + tuple(m.unflattened_size)
+        + x.shape[m.dim % x.ndim + 1 :])),
+    "MaxPool1d": lambda m: _pool(m, jax.lax.max, -jnp.inf, is_avg=False, n=1),
     "MaxPool2d": lambda m: _pool(m, jax.lax.max, -jnp.inf, is_avg=False),
+    "MaxPool3d": lambda m: _pool(m, jax.lax.max, -jnp.inf, is_avg=False, n=3),
+    "AvgPool1d": lambda m: _pool(m, jax.lax.add, 0.0, is_avg=True, n=1),
     "AvgPool2d": lambda m: _pool(m, jax.lax.add, 0.0, is_avg=True),
+    "AvgPool3d": lambda m: _pool(m, jax.lax.add, 0.0, is_avg=True, n=3),
+    "AdaptiveAvgPool1d": _adaptive_pool(1, is_avg=True),
+    "AdaptiveAvgPool2d": _adaptive_pool(2, is_avg=True),
+    "AdaptiveAvgPool3d": _adaptive_pool(3, is_avg=True),
+    "AdaptiveMaxPool1d": _adaptive_pool(1, is_avg=False),
+    "AdaptiveMaxPool2d": _adaptive_pool(2, is_avg=False),
+    "AdaptiveMaxPool3d": _adaptive_pool(3, is_avg=False),
 }
 
 
@@ -461,7 +638,7 @@ def _fx_tables():
         F.tanh: jnp.tanh,
         torch.sigmoid: jax.nn.sigmoid,
         F.sigmoid: jax.nn.sigmoid,
-        F.softplus: lambda x, beta=1.0, threshold=20.0: jax.nn.softplus(beta * x) / beta,
+        F.softplus: lambda x, beta=1.0, threshold=20.0: _softplus_beta(x, beta, threshold),
         F.softmax: _softmaxish(jax.nn.softmax),
         F.log_softmax: _softmaxish(jax.nn.log_softmax),
         F.dropout: lambda x, p=0.5, training=False, inplace=False: x,
@@ -495,9 +672,37 @@ def _fx_tables():
         torch.min: lambda x, dim=None, keepdim=False: _min_max(jnp.min, jnp.argmin, x, dim, keepdim),
         torch.where: jnp.where,
         F.linear: lambda x, w, b=None: (x @ w.T) if b is None else (x @ w.T + b),
+        F.conv1d: lambda x, w, bias=None, stride=1, padding=0, dilation=1, groups=1: _f_convnd(
+            1, x, w, bias, stride, padding, dilation, groups
+        ),
         F.conv2d: lambda x, w, bias=None, stride=1, padding=0, dilation=1, groups=1: _f_conv2d(
             x, w, bias, stride, padding, dilation, groups
         ),
+        F.conv3d: lambda x, w, bias=None, stride=1, padding=0, dilation=1, groups=1: _f_convnd(
+            3, x, w, bias, stride, padding, dilation, groups
+        ),
+        F.group_norm: _f_group_norm,
+        F.layer_norm: _f_layer_norm,
+        F.batch_norm: _f_batch_norm,
+        F.instance_norm: _f_instance_norm,
+        F.adaptive_avg_pool1d: lambda x, output_size: _f_adaptive_pool(x, output_size, 1, True),
+        F.adaptive_avg_pool2d: lambda x, output_size: _f_adaptive_pool(x, output_size, 2, True),
+        F.adaptive_avg_pool3d: lambda x, output_size: _f_adaptive_pool(x, output_size, 3, True),
+        F.adaptive_max_pool2d: lambda x, output_size, return_indices=False: _f_adaptive_max(
+            x, output_size, 2, return_indices
+        ),
+        F.prelu: _f_prelu,
+        F.hardtanh: lambda x, min_val=-1.0, max_val=1.0, inplace=False: jnp.clip(x, min_val, max_val),
+        F.relu6: lambda x, inplace=False: jnp.clip(x, 0.0, 6.0),
+        F.hardswish: lambda x, inplace=False: _hardswish(x),
+        F.hardsigmoid: lambda x, inplace=False: _hardsigmoid(x),
+        F.mish: lambda x, inplace=False: x * jnp.tanh(jax.nn.softplus(x)),
+        F.selu: lambda x, inplace=False: jax.nn.selu(x),
+        F.celu: lambda x, alpha=1.0, inplace=False: jax.nn.celu(x, alpha=alpha),
+        F.softsign: lambda x: x / (1.0 + jnp.abs(x)),
+        F.pad: _f_pad,
+        torch.sin: jnp.sin,
+        torch.cos: jnp.cos,
         F.normalize: lambda x, p=2.0, dim=1, eps=1e-12: x
         / jnp.maximum(jnp.linalg.norm(x, ord=p, axis=dim, keepdims=True), eps),
         operator.pow: operator.pow,
@@ -599,23 +804,125 @@ def _expand(x, shape):
     return jnp.broadcast_to(x, target)
 
 
-def _f_conv2d(x, w, bias, stride, padding, dilation, groups):
-    """torch.nn.functional.conv2d with live weight/bias tensors."""
-    s = stride if isinstance(stride, tuple) else (stride,) * 2
-    d = dilation if isinstance(dilation, tuple) else (dilation,) * 2
+def _f_convnd(n, x, w, bias, stride, padding, dilation, groups):
+    """torch.nn.functional.conv1d/2d/3d with live weight/bias tensors."""
+    s = stride if isinstance(stride, (tuple, list)) else (stride,) * n
+    d = dilation if isinstance(dilation, (tuple, list)) else (dilation,) * n
     if isinstance(padding, str):
         p = padding.upper()
     else:
-        pp = padding if isinstance(padding, tuple) else (padding,) * 2
+        pp = padding if isinstance(padding, (tuple, list)) else (padding,) * n
         p = tuple((pi, pi) for pi in pp)
     y = jax.lax.conv_general_dilated(
-        x, w, window_strides=s, padding=p, rhs_dilation=d,
+        x, w, window_strides=tuple(s), padding=p, rhs_dilation=tuple(d),
         feature_group_count=groups,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        dimension_numbers=_conv_dn(n),
     )
     if bias is not None:
-        y = y + bias[None, :, None, None]
+        y = y + bias.reshape((1, -1) + (1,) * n)
     return y
+
+
+def _f_conv2d(x, w, bias, stride, padding, dilation, groups):
+    return _f_convnd(2, x, w, bias, stride, padding, dilation, groups)
+
+
+def _f_group_norm(x, num_groups, weight=None, bias=None, eps=1e-5):
+    n, c = x.shape[0], x.shape[1]
+    xg = x.reshape((n, num_groups, c // num_groups) + x.shape[2:])
+    axes = tuple(range(2, xg.ndim))
+    mean = jnp.mean(xg, axis=axes, keepdims=True)
+    var = jnp.var(xg, axis=axes, keepdims=True)
+    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(x.shape)
+    shape = (1, c) + (1,) * (x.ndim - 2)
+    if weight is not None:
+        y = y * weight.reshape(shape)
+    if bias is not None:
+        y = y + bias.reshape(shape)
+    return y
+
+
+def _f_layer_norm(x, normalized_shape, weight=None, bias=None, eps=1e-5):
+    ndims = len(normalized_shape)
+    axes = tuple(range(x.ndim - ndims, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * weight
+    if bias is not None:
+        y = y + bias
+    return y
+
+
+def _f_batch_norm(x, running_mean=None, running_var=None, weight=None,
+                  bias=None, training=False, momentum=0.1, eps=1e-5):
+    """Batch-statistics semantics regardless of running buffers, matching
+    the reference's batch-norm patch (reference: hamiltorch/util.py:370-376)."""
+    axes = (0,) + tuple(range(2, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    if weight is not None:
+        y = y * weight.reshape(shape)
+    if bias is not None:
+        y = y + bias.reshape(shape)
+    return y
+
+
+def _f_instance_norm(x, running_mean=None, running_var=None, weight=None,
+                     bias=None, use_input_stats=True, momentum=0.1, eps=1e-5):
+    axes = tuple(range(2, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    shape = (1, -1) + (1,) * (x.ndim - 2)
+    if weight is not None:
+        y = y * weight.reshape(shape)
+    if bias is not None:
+        y = y + bias.reshape(shape)
+    return y
+
+
+def _f_adaptive_pool(x, output_size, n, is_avg):
+    out = (
+        tuple(output_size)
+        if isinstance(output_size, (tuple, list))
+        else (output_size,) * n
+    )
+    return _adaptive_reduce(x, out, jnp.mean if is_avg else jnp.max)
+
+
+def _f_adaptive_max(x, output_size, n, return_indices):
+    if return_indices:
+        raise NotImplementedError(
+            "adaptive max pooling with return_indices=True is not supported "
+            "by the torch bridge"
+        )
+    return _f_adaptive_pool(x, output_size, n, is_avg=False)
+
+
+def _f_prelu(x, weight):
+    a = weight
+    if a.ndim and a.shape[0] > 1 and x.ndim > 2:
+        a = a.reshape((-1,) + (1,) * (x.ndim - 2))
+    return jnp.where(x >= 0, x, a * x)
+
+
+_F_PAD_MODES = {"constant": "constant", "circular": "wrap",
+                "reflect": "reflect", "replicate": "edge"}
+
+
+def _f_pad(x, pad, mode="constant", value=None):
+    """torch F.pad: ``pad`` lists (left, right) pairs from the LAST axis
+    inward."""
+    pairs = [(0, 0)] * x.ndim
+    for i in range(len(pad) // 2):
+        pairs[x.ndim - 1 - i] = (pad[2 * i], pad[2 * i + 1])
+    if mode == "constant":
+        return jnp.pad(x, pairs, constant_values=0.0 if value is None else value)
+    return jnp.pad(x, pairs, mode=_F_PAD_MODES[mode])
 
 
 def _shape_args(shape):
@@ -765,7 +1072,355 @@ def _from_torch_fx(module) -> Callable:
     return fn
 
 
-def from_torch_module(module) -> Tuple[Callable, List[jnp.ndarray]]:
+# ---------------------------------------------------------------------------
+# concrete-trace fallback: torch.jit.trace + TorchScript-graph interpreter
+
+
+def _aten_table():
+    """aten op name -> jnp handler (positional args as the TS schema lists
+    them).  Built lazily; unlisted ops raise at translation time."""
+
+    def _nd_from_list(v):
+        return tuple(v) if isinstance(v, (tuple, list)) else (v,)
+
+    def _reduce_dims(x, dims, keepdim):
+        axes = tuple(dims) if isinstance(dims, (tuple, list)) else dims
+        return axes if axes is not None else None, keepdim
+
+    def _mean(x, *rest):
+        if not rest or rest[0] is None or not isinstance(rest[0], (list, tuple, int)):
+            return jnp.mean(x)
+        dims, keepdim = rest[0], (rest[1] if len(rest) > 1 else False)
+        axes, keepdim = _reduce_dims(x, dims, keepdim)
+        return jnp.mean(x, axis=axes, keepdims=keepdim)
+
+    def _sum(x, *rest):
+        if not rest or rest[0] is None or not isinstance(rest[0], (list, tuple, int)):
+            return jnp.sum(x)
+        dims, keepdim = rest[0], (rest[1] if len(rest) > 1 else False)
+        axes, keepdim = _reduce_dims(x, dims, keepdim)
+        return jnp.sum(x, axis=axes, keepdims=keepdim)
+
+    def _max(x, *rest):
+        if not rest:
+            return jnp.max(x)
+        if hasattr(rest[0], "ndim") or hasattr(rest[0], "shape"):
+            return jnp.maximum(x, rest[0])  # aten::max.other
+        dim, keepdim = rest[0], (rest[1] if len(rest) > 1 else False)
+        return (jnp.max(x, axis=dim, keepdims=keepdim),
+                jnp.argmax(x, axis=dim, keepdims=keepdim))
+
+    def _min(x, *rest):
+        if not rest:
+            return jnp.min(x)
+        if hasattr(rest[0], "ndim") or hasattr(rest[0], "shape"):
+            return jnp.minimum(x, rest[0])
+        dim, keepdim = rest[0], (rest[1] if len(rest) > 1 else False)
+        return (jnp.min(x, axis=dim, keepdims=keepdim),
+                jnp.argmin(x, axis=dim, keepdims=keepdim))
+
+    def _slice(x, dim=0, start=None, end=None, step=1):
+        size = x.shape[dim]
+        start = 0 if start is None else start
+        end = size if end is None or end > size else end
+        idx = [slice(None)] * x.ndim
+        idx[dim] = slice(start, end, step)
+        return x[tuple(idx)]
+
+    def _conv_transpose(n):
+        def h(x, w, bias=None, stride=1, padding=0, output_padding=0,
+              groups=1, dilation=1):
+            if groups != 1:
+                raise NotImplementedError(
+                    "conv_transpose with groups != 1 is not supported"
+                )
+            s = _nd_from_list(stride) if isinstance(stride, (tuple, list)) else (stride,) * n
+            p = _nd_from_list(padding) if isinstance(padding, (tuple, list)) else (padding,) * n
+            op = _nd_from_list(output_padding) if isinstance(output_padding, (tuple, list)) else (output_padding,) * n
+            d = _nd_from_list(dilation) if isinstance(dilation, (tuple, list)) else (dilation,) * n
+            k = w.shape[2:]
+            pads = tuple(
+                (d[i] * (k[i] - 1) - p[i], d[i] * (k[i] - 1) - p[i] + op[i])
+                for i in range(n)
+            )
+            y = jax.lax.conv_transpose(
+                x, w, strides=s, padding=pads, rhs_dilation=d,
+                dimension_numbers=_conv_dn(n), transpose_kernel=True,
+            )
+            if bias is not None:
+                y = y + bias.reshape((1, -1) + (1,) * n)
+            return y
+
+        return h
+
+    def _pool_core(n, is_avg):
+        def h(x, kernel_size, stride=None, padding=0, *rest):
+            # max_pool: rest = (dilation, ceil_mode); avg_pool: rest =
+            # (ceil_mode, count_include_pad, divisor_override)
+            if is_avg:
+                ceil_mode = rest[0] if rest else False
+                cip = rest[1] if len(rest) > 1 else True
+                div = rest[2] if len(rest) > 2 else None
+                _check_pool_semantics(ceil_mode=ceil_mode, count_include_pad=cip,
+                                      divisor_override=div, n=n)
+            else:
+                dilation = rest[0] if rest else 1
+                ceil_mode = rest[1] if len(rest) > 1 else False
+                _check_pool_semantics(ceil_mode=ceil_mode, dilation=dilation, n=n)
+            k = tuple(kernel_size) if isinstance(kernel_size, (tuple, list)) else (kernel_size,) * n
+            s = stride if stride not in (None, []) else k
+            s = tuple(s) if isinstance(s, (tuple, list)) else (s,) * n
+            p = tuple(padding) if isinstance(padding, (tuple, list)) else (padding,) * n
+            y = jax.lax.reduce_window(
+                x, 0.0 if is_avg else -jnp.inf,
+                jax.lax.add if is_avg else jax.lax.max,
+                window_dimensions=(1, 1) + k, window_strides=(1, 1) + s,
+                padding=((0, 0), (0, 0)) + tuple((pi, pi) for pi in p),
+            )
+            if is_avg:
+                d = 1
+                for ki in k:
+                    d *= ki
+                y = y / d
+            return y
+
+        return h
+
+    table = {
+        "aten::linear": lambda x, w, b=None: (x @ w.T) if b is None else (x @ w.T + b),
+        "aten::addmm": lambda b, x, w, beta=1, alpha=1: beta * b + alpha * (x @ w),
+        "aten::mm": jnp.matmul,
+        "aten::bmm": jnp.matmul,
+        "aten::matmul": jnp.matmul,
+        "aten::t": lambda x: x.T,
+        "aten::relu": jax.nn.relu,
+        "aten::relu_": jax.nn.relu,
+        "aten::relu6": lambda x: jnp.clip(x, 0.0, 6.0),
+        "aten::tanh": jnp.tanh,
+        "aten::sigmoid": jax.nn.sigmoid,
+        "aten::gelu": lambda x, approximate="none": jax.nn.gelu(x, approximate=approximate != "none"),
+        "aten::elu": lambda x, alpha=1.0, scale=1.0, input_scale=1.0: scale * jax.nn.elu(input_scale * x, alpha=alpha),
+        "aten::leaky_relu": lambda x, slope=0.01: jax.nn.leaky_relu(x, negative_slope=slope),
+        "aten::silu": jax.nn.silu,
+        "aten::mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+        "aten::selu": jax.nn.selu,
+        "aten::celu": lambda x, alpha=1.0: jax.nn.celu(x, alpha=alpha),
+        "aten::prelu": _f_prelu,
+        "aten::hardtanh": lambda x, mn=-1.0, mx=1.0: jnp.clip(x, mn, mx),
+        "aten::hardtanh_": lambda x, mn=-1.0, mx=1.0: jnp.clip(x, mn, mx),
+        "aten::hardswish": _hardswish,
+        "aten::hardsigmoid": _hardsigmoid,
+        "aten::softplus": lambda x, beta=1.0, threshold=20.0: _softplus_beta(x, beta, threshold),
+        "aten::erf": jax.scipy.special.erf,
+        "aten::softmax": lambda x, dim=-1, dtype=None: jax.nn.softmax(x, axis=dim),
+        "aten::log_softmax": lambda x, dim=-1, dtype=None: jax.nn.log_softmax(x, axis=dim),
+        "aten::dropout": lambda x, p=0.5, train=False: x,
+        "aten::feature_dropout": lambda x, p=0.5, train=False: x,
+        "aten::add": lambda x, y, alpha=1: x + (alpha * y if alpha != 1 else y),
+        "aten::add_": lambda x, y, alpha=1: x + (alpha * y if alpha != 1 else y),
+        "aten::sub": lambda x, y, alpha=1: x - (alpha * y if alpha != 1 else y),
+        "aten::rsub": lambda x, y, alpha=1: y - (alpha * x if alpha != 1 else x),
+        "aten::mul": lambda x, y: x * y,
+        "aten::mul_": lambda x, y: x * y,
+        "aten::div": lambda x, y, rounding_mode=None: (
+            x / y if rounding_mode is None
+            else (jnp.floor_divide(x, y) if rounding_mode == "floor" else jnp.trunc(x / y))
+        ),
+        "aten::neg": lambda x: -x,
+        "aten::pow": jnp.power,
+        "aten::exp": jnp.exp,
+        "aten::log": jnp.log,
+        "aten::log1p": jnp.log1p,
+        "aten::sqrt": jnp.sqrt,
+        "aten::rsqrt": jax.lax.rsqrt,
+        "aten::abs": jnp.abs,
+        "aten::sin": jnp.sin,
+        "aten::cos": jnp.cos,
+        "aten::clamp": lambda x, mn=None, mx=None: jnp.clip(x, mn, mx),
+        "aten::clamp_min": lambda x, mn: jnp.maximum(x, mn),
+        "aten::clamp_max": lambda x, mx: jnp.minimum(x, mx),
+        "aten::mean": _mean,
+        "aten::sum": _sum,
+        "aten::max": _max,
+        "aten::min": _min,
+        "aten::maximum": jnp.maximum,
+        "aten::minimum": jnp.minimum,
+        "aten::amax": lambda x, dims, keepdim=False: jnp.max(x, axis=tuple(dims), keepdims=keepdim),
+        "aten::amin": lambda x, dims, keepdim=False: jnp.min(x, axis=tuple(dims), keepdims=keepdim),
+        "aten::argmax": lambda x, dim=None, keepdim=False: jnp.argmax(x, axis=dim, keepdims=keepdim),
+        "aten::cat": lambda ts, dim=0: jnp.concatenate(ts, axis=dim),
+        "aten::stack": lambda ts, dim=0: jnp.stack(ts, axis=dim),
+        "aten::chunk": lambda x, chunks, dim=0: tuple(jnp.array_split(x, chunks, axis=dim)),
+        "aten::split": lambda x, size, dim=0: _split(x, size, dim),
+        "aten::view": lambda x, shape: x.reshape(tuple(shape)),
+        "aten::reshape": lambda x, shape: x.reshape(tuple(shape)),
+        "aten::flatten": lambda x, start=0, end=-1: _flatten_dims(x, start, end),
+        "aten::permute": lambda x, dims: jnp.transpose(x, tuple(dims)),
+        "aten::transpose": lambda x, a, b: jnp.swapaxes(x, a, b),
+        "aten::squeeze": lambda x, dim=None: jnp.squeeze(x, axis=dim),
+        "aten::unsqueeze": lambda x, dim: jnp.expand_dims(x, dim),
+        "aten::contiguous": lambda x, memory_format=0: x,
+        "aten::expand": lambda x, sizes, implicit=False: _expand(x, tuple(sizes)),
+        "aten::repeat": lambda x, reps: jnp.tile(x, tuple(reps)),
+        "aten::select": lambda x, dim, idx: jnp.take(x, idx, axis=dim),
+        "aten::slice": _slice,
+        "aten::size": lambda x, dim=None: x.shape if dim is None else x.shape[dim],
+        "aten::conv1d": lambda x, w, b=None, stride=1, padding=0, dilation=1, groups=1: _f_convnd(1, x, w, b, stride, padding, dilation, groups),
+        "aten::conv2d": lambda x, w, b=None, stride=1, padding=0, dilation=1, groups=1: _f_convnd(2, x, w, b, stride, padding, dilation, groups),
+        "aten::conv3d": lambda x, w, b=None, stride=1, padding=0, dilation=1, groups=1: _f_convnd(3, x, w, b, stride, padding, dilation, groups),
+        "aten::conv_transpose1d": _conv_transpose(1),
+        "aten::conv_transpose2d": _conv_transpose(2),
+        "aten::conv_transpose3d": _conv_transpose(3),
+        "aten::max_pool1d": _pool_core(1, is_avg=False),
+        "aten::max_pool2d": _pool_core(2, is_avg=False),
+        "aten::max_pool3d": _pool_core(3, is_avg=False),
+        "aten::avg_pool1d": _pool_core(1, is_avg=True),
+        "aten::avg_pool2d": _pool_core(2, is_avg=True),
+        "aten::avg_pool3d": _pool_core(3, is_avg=True),
+        "aten::adaptive_avg_pool1d": lambda x, out: _f_adaptive_pool(x, tuple(out), 1, True),
+        "aten::adaptive_avg_pool2d": lambda x, out: _f_adaptive_pool(x, tuple(out), 2, True),
+        "aten::adaptive_avg_pool3d": lambda x, out: _f_adaptive_pool(x, tuple(out), 3, True),
+        "aten::adaptive_max_pool2d": lambda x, out: (
+            _f_adaptive_pool(x, tuple(out), 2, False),
+            jnp.zeros((), jnp.int32),  # indices output: never consumed when return_indices=False
+        ),
+        "aten::batch_norm": lambda x, w=None, b=None, rm=None, rv=None, training=False, momentum=0.1, eps=1e-5, cudnn=False: _f_batch_norm(x, rm, rv, w, b, training, momentum, eps),
+        "aten::group_norm": lambda x, g, w=None, b=None, eps=1e-5, cudnn=False: _f_group_norm(x, g, w, b, eps),
+        "aten::layer_norm": lambda x, shape, w=None, b=None, eps=1e-5, cudnn=False: _f_layer_norm(x, tuple(shape), w, b, eps),
+        "aten::instance_norm": lambda x, w=None, b=None, rm=None, rv=None, use_input_stats=True, momentum=0.1, eps=1e-5, cudnn=False: _f_instance_norm(x, rm, rv, w, b, use_input_stats, momentum, eps),
+        "aten::embedding": lambda w, idx, pad=-1, scale=False, sparse=False: jnp.take(w, idx.astype(jnp.int32), axis=0),
+        "aten::masked_fill": lambda x, mask, value: jnp.where(mask, value, x),
+        "aten::where": jnp.where,
+        "aten::detach": lambda x: x,
+        "aten::clone": lambda x, memory_format=0: x,
+        "aten::alias": lambda x: x,
+        "aten::type_as": lambda x, y: x.astype(y.dtype),
+        "aten::constant_pad_nd": lambda x, pad, value=0.0: _f_pad(x, list(pad), "constant", value),
+        "aten::reflection_pad1d": lambda x, pad: _f_pad(x, list(pad), "reflect"),
+        "aten::reflection_pad2d": lambda x, pad: _f_pad(x, list(pad), "reflect"),
+        "aten::replication_pad1d": lambda x, pad: _f_pad(x, list(pad), "replicate"),
+        "aten::replication_pad2d": lambda x, pad: _f_pad(x, list(pad), "replicate"),
+        "aten::Int": int,
+        "aten::ScalarImplicit": lambda x: x,
+        "aten::gt": lambda x, y: x > y,
+        "aten::lt": lambda x, y: x < y,
+        "aten::ge": lambda x, y: x >= y,
+        "aten::le": lambda x, y: x <= y,
+        "aten::eq": lambda x, y: x == y,
+        "aten::ne": lambda x, y: x != y,
+    }
+    return table
+
+
+def _from_torch_traced(module, example_input) -> Callable:
+    """Concrete-trace fallback for forwards torch.fx cannot symbolically
+    trace (data-dependent Python control flow): run ``torch.jit.trace`` on
+    ``example_input`` — which EXECUTES the forward eagerly, as the
+    reference's Scope rewriting does every call (reference:
+    hamiltorch/util.py:318-346) — and interpret the resulting inlined
+    TorchScript graph with jnp ops.
+
+    The crucial caveat (the reason this is opt-in via ``example_input=``):
+    tracing freezes every data-dependent branch to the path taken on the
+    example input.  The translated forward is that ONE path; the reference
+    re-evaluates branches per call.  Parameters stay live (resolved through
+    the live params list, never baked in).
+    """
+    import warnings
+
+    import torch
+
+    flat_ids = {id(p): i for i, p in enumerate(module.parameters())}
+    if not isinstance(example_input, torch.Tensor):
+        import numpy as _np
+
+        # np.array (copy): jax arrays expose a read-only buffer and torch
+        # warns on wrapping non-writable memory
+        example_input = torch.as_tensor(_np.array(example_input))
+    with warnings.catch_warnings():
+        # the tracer warns precisely about branch freezing; we document it
+        warnings.simplefilter("ignore")
+        traced = torch.jit.trace(module, example_input, check_trace=False)
+    graph = traced.inlined_graph
+    aten = _aten_table()
+
+    graph_inputs = list(graph.inputs())
+    if len(graph_inputs) != 2:
+        raise TypeError(
+            f"traced forward takes {len(graph_inputs) - 1} tensor inputs; "
+            "the bridge translates single-input forwards only"
+        )
+
+    # pre-resolve every node: constants and attribute reads happen once at
+    # translation time; unknown ops fail HERE, not mid-sampling
+    steps = []  # (kind, out_uniques, handler_or_none, input_uniques, payload)
+    consts = {}  # unique -> python/jnp constant
+    attr_objs = {graph_inputs[0].unique(): module}  # module hierarchy walk
+    x_unique = graph_inputs[1].unique()
+
+    for node in graph.nodes():
+        kind = node.kind()
+        ins = [v.unique() for v in node.inputs()]
+        outs = [v.unique() for v in node.outputs()]
+        if kind == "prim::Constant":
+            iv = node.output().toIValue()
+            if hasattr(iv, "detach"):
+                iv = jnp.asarray(iv.detach().cpu().numpy())
+            consts[outs[0]] = iv
+        elif kind == "prim::GetAttr":
+            obj = getattr(attr_objs[ins[0]], node.s("name"))
+            if id(obj) in flat_ids:  # live parameter
+                consts[outs[0]] = ("__param__", flat_ids[id(obj)])
+            elif isinstance(obj, torch.Tensor):  # buffer / constant tensor
+                consts[outs[0]] = jnp.asarray(obj.detach().cpu().numpy())
+            else:
+                attr_objs[outs[0]] = obj
+        elif kind in ("prim::ListConstruct", "prim::TupleConstruct"):
+            steps.append(("pack", outs, None, ins, None))
+        elif kind in ("prim::ListUnpack", "prim::TupleUnpack"):
+            steps.append(("unpack", outs, None, ins, None))
+        elif kind == "prim::NumToTensor":
+            steps.append(("call", outs, jnp.asarray, ins, "prim::NumToTensor"))
+        elif kind in aten:
+            steps.append(("call", outs, aten[kind], ins, kind))
+        else:
+            raise TypeError(
+                f"traced graph contains unsupported op {kind!r}; supported "
+                f"aten ops: {sorted(aten)}"
+            )
+    out_uniques = [v.unique() for v in graph.return_node().inputs()]
+
+    def fn(params, off, x):
+        env = dict(consts)
+        env[x_unique] = x
+        for u, v in consts.items():
+            if isinstance(v, tuple) and len(v) == 2 and v[0] == "__param__":
+                env[u] = params[off + v[1]]
+        for kind, outs, handler, ins, name in steps:
+            args = [env[u] for u in ins]
+            if kind == "pack":
+                env[outs[0]] = tuple(args)
+            elif kind == "unpack":
+                for u, v in zip(outs, args[0]):
+                    env[u] = v
+            else:
+                y = handler(*args)
+                if len(outs) == 1:
+                    env[outs[0]] = y
+                else:
+                    for u, v in zip(outs, y):
+                        env[u] = v
+        out = env[out_uniques[0]]
+        if len(out_uniques) > 1:
+            out = tuple(env[u] for u in out_uniques)
+        return out, off + len(flat_ids)
+
+    return fn
+
+
+def from_torch_module(
+    module, example_input=None
+) -> Tuple[Callable, List[jnp.ndarray]]:
     """Translate a supported torch module into (apply_fn, params_template).
 
     ``params_template`` is a list of arrays in ``module.parameters()``
@@ -774,12 +1429,25 @@ def from_torch_module(module) -> Tuple[Callable, List[jnp.ndarray]]:
 
     Sequential/ModuleList compositions translate structurally; custom
     ``forward`` methods go through the torch.fx fallback (see module
-    docstring).
+    docstring).  Forwards torch.fx cannot trace (data-dependent Python
+    control flow) fall back to a CONCRETE trace when ``example_input`` is
+    given: ``torch.jit.trace`` executes the forward eagerly on the example
+    and the taken branch is translated — see ``_from_torch_traced`` for the
+    branch-freezing caveat.
     """
     try:
         fn = _convert(module)
     except TypeError:
-        fn = _from_torch_fx(module)
+        try:
+            fn = _from_torch_fx(module)
+        except TypeError as fx_err:
+            if example_input is None:
+                raise TypeError(
+                    f"{fx_err} For forwards with data-dependent control "
+                    "flow, pass example_input= to freeze the traced branch "
+                    "(concrete torch.jit.trace fallback)."
+                ) from fx_err
+            fn = _from_torch_traced(module, example_input)
     template = [
         jnp.asarray(p.detach().cpu().numpy()) for p in module.parameters()
     ]

@@ -772,3 +772,87 @@ def run_pt_sharded(
     )
     traj, alphas, swaps, carry_f = jax.jit(shard)(keys, theta0, data)
     return assemble_pt_ensemble_result(traj, alphas, swaps, carry_f, config)
+
+
+def sample_pt_sharded(
+    key,
+    loglik_shard_fn: Callable,
+    log_prior_fn: Callable,
+    x,
+    y,
+    theta0,
+    config,  # PTConfig
+    mesh: Mesh,
+    num_ensembles: int,
+    inv_mass=None,
+):
+    """Parallel-tempering ladders over BOTH mesh axes: ensembles sharded
+    over 'chains', the likelihood sharded over 'data'.
+
+    Every replica of every ladder evaluates the EXACT full-batch potential
+    ``log_prior + psum_data(loglik_shard)`` (the custom_vjp value/gradient
+    pairing of ``make_psum_log_prob``), so replica exchange on datasets
+    larger than one device's memory needs no subsampling.  The tempered
+    potentials, HMC steps, swaps, and ladder adaptation all run per device
+    on its slice of the E ladders; the only collectives are the per-
+    evaluation psums over 'data'.  Returns a PTResult with a leading
+    ensemble axis, as ``run_pt_chains``.
+    """
+    from ..samplers.tempering import (
+        _run_pt_jit,
+        assemble_pt_ensemble_result,
+        check_num_temps,
+    )
+
+    if config.burn >= config.num_samples:
+        raise RuntimeError("burn must be less than num_samples.")
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(
+            theta0, (num_ensembles, config.num_temps) + theta0.shape
+        )
+    elif theta0.ndim == 2:
+        theta0 = jnp.broadcast_to(theta0, (num_ensembles,) + theta0.shape)
+    check_num_temps(theta0, config)
+    mass = make_mass(inv_mass, theta0.shape[-1])
+    config = _warn_progress_ignored(config)
+    n_chain_shards = mesh.shape["chains"]
+    if num_ensembles % n_chain_shards:
+        raise ValueError(
+            f"num_ensembles={num_ensembles} not divisible by mesh "
+            f"chains={n_chain_shards}"
+        )
+    keys = jax.random.split(key, num_ensembles)
+
+    def local(keys_l, thetas_l, x_shard, y_shard):
+        log_prob = make_psum_log_prob(
+            loglik_shard_fn, log_prior_fn, x_shard, y_shard
+        )
+
+        return jax.vmap(
+            lambda k, t: _run_pt_jit(k, t, log_prob, config, mass)
+        )(keys_l, thetas_l)
+
+    local_e = num_ensembles // n_chain_shards
+    # collective-free stand-in for out-spec shapes (psum can't run outside
+    # the mesh context shard_map provides)
+    out_specs = _leading_axis_specs(
+        jax.eval_shape(
+            lambda k, t: jax.vmap(
+                lambda kk, tt: _run_pt_jit(kk, tt, log_prior_fn, config, mass)
+            )(k, t),
+            keys[:local_e],
+            theta0[:local_e],
+        ),
+        "chains",
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("chains"), P("chains", None, None), P("data"), P("data")),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    traj, alphas, swaps, carry_f = jax.jit(shard)(keys, theta0, x, y)
+    return assemble_pt_ensemble_result(traj, alphas, swaps, carry_f, config)

@@ -873,3 +873,241 @@ class TestBridgeBreadth:
         np.testing.assert_allclose(
             np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-5
         )
+
+
+class TestBridgeRound3:
+    """Round-3 bridge breadth: 1d/3d convs, Group/InstanceNorm, adaptive
+    pools, PReLU + activation zoo, and the concrete-trace escape hatch for
+    data-dependent control flow (reference: hamiltorch/util.py:253-376)."""
+
+    def _check(self, net, x, atol=1e-5):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        net = net.eval()
+        apply_fn, template = from_torch_module(net)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        got = np.asarray(apply_fn(template, jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref, atol=atol)
+        return got
+
+    def test_conv1d_net_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        torch.manual_seed(31)
+        net = torch.nn.Sequential(
+            torch.nn.Conv1d(3, 8, 5, stride=2, padding=2), torch.nn.ReLU(),
+            torch.nn.Conv1d(8, 4, 3, padding=1, groups=2, dilation=2),
+            torch.nn.AdaptiveAvgPool1d(4), torch.nn.Flatten(),
+            torch.nn.Linear(16, 2),
+        )
+        x = np.random.RandomState(31).randn(2, 3, 20).astype(np.float32)
+        self._check(net, x)
+
+    def test_conv3d_net_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        torch.manual_seed(32)
+        net = torch.nn.Sequential(
+            torch.nn.Conv3d(2, 4, 3, padding=1), torch.nn.SiLU(),
+            torch.nn.AdaptiveAvgPool3d(1), torch.nn.Flatten(),
+        )
+        x = np.random.RandomState(32).randn(2, 2, 5, 6, 7).astype(np.float32)
+        self._check(net, x)
+
+    def test_groupnorm_cnn_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        torch.manual_seed(33)
+        net = torch.nn.Sequential(
+            torch.nn.Conv2d(4, 8, 3, padding=1), torch.nn.GroupNorm(2, 8),
+            torch.nn.Hardswish(), torch.nn.AdaptiveAvgPool2d((2, 3)),
+            torch.nn.Flatten(), torch.nn.Linear(48, 3),
+        )
+        x = np.random.RandomState(33).randn(2, 4, 8, 8).astype(np.float32)
+        self._check(net, x)
+
+    def test_instancenorm_prelu_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        torch.manual_seed(34)
+        net = torch.nn.Sequential(
+            torch.nn.Conv2d(3, 6, 3),
+            torch.nn.InstanceNorm2d(6, affine=True),
+            torch.nn.PReLU(6),
+        )
+        x = np.random.RandomState(34).randn(2, 3, 9, 9).astype(np.float32)
+        self._check(net, x)
+
+    def test_prelu_parameter_is_live(self):
+        """PReLU's slope is a sampled parameter: changing its template
+        entry must change the output (it is not a baked constant)."""
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        net = torch.nn.Sequential(torch.nn.Linear(3, 4), torch.nn.PReLU()).eval()
+        apply_fn, template = from_torch_module(net)
+        x = jnp.asarray(np.random.RandomState(35).randn(5, 3), jnp.float32)
+        out1 = apply_fn(template, x)
+        idx = [i for i, p in enumerate(net.parameters()) if p.numel() == 1][0]
+        t2 = list(template)
+        t2[idx] = jnp.asarray([7.0], jnp.float32)
+        out2 = apply_fn(t2, x)
+        assert not np.allclose(np.asarray(out1), np.asarray(out2))
+
+    def test_activation_zoo_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        torch.manual_seed(36)
+        net = torch.nn.Sequential(
+            torch.nn.Linear(5, 7), torch.nn.Hardtanh(-2, 2),
+            torch.nn.Linear(7, 7), torch.nn.Softplus(beta=2.0),
+            torch.nn.Mish(), torch.nn.SELU(), torch.nn.CELU(0.5),
+            torch.nn.ReLU6(), torch.nn.Hardsigmoid(), torch.nn.Softsign(),
+        )
+        x = np.random.RandomState(36).randn(4, 5).astype(np.float32)
+        self._check(net, x)
+
+    def test_adaptive_pools_ragged_match_torch(self):
+        """Non-divisible adaptive pooling uses torch's exact
+        floor/ceil bin edges, not a uniform reshape."""
+        torch = pytest.importorskip("torch")
+        x = np.random.RandomState(37).randn(2, 3, 10, 13).astype(np.float32)
+        self._check(torch.nn.Sequential(torch.nn.AdaptiveAvgPool2d((3, 5))), x)
+        self._check(torch.nn.Sequential(torch.nn.AdaptiveMaxPool2d((3, 5))), x)
+
+    def test_pool1d_and_unflatten(self):
+        torch = pytest.importorskip("torch")
+        torch.manual_seed(38)
+        net = torch.nn.Sequential(
+            torch.nn.Conv1d(2, 4, 3), torch.nn.MaxPool1d(2), torch.nn.AvgPool1d(2)
+        )
+        self._check(net, np.random.RandomState(38).randn(2, 2, 17).astype(np.float32))
+        net = torch.nn.Sequential(torch.nn.Linear(6, 12), torch.nn.Unflatten(1, (3, 4)))
+        self._check(net, np.random.RandomState(38).randn(2, 6).astype(np.float32))
+
+    def test_fx_functional_norms_and_pads(self):
+        """Custom forward exercising the new F.* table entries."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+        torch.manual_seed(39)
+
+        class Custom(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.c1 = torch.nn.Conv1d(3, 8, 3, padding=1)
+                self.gn_w = torch.nn.Parameter(torch.randn(8))
+                self.gn_b = torch.nn.Parameter(torch.randn(8))
+                self.lin = torch.nn.Linear(8, 4)
+                self.slope = torch.nn.Parameter(torch.randn(1).abs())
+
+            def forward(self, x):
+                h = self.c1(x)
+                h = F.group_norm(h, 4, self.gn_w, self.gn_b)
+                h = F.hardswish(h)
+                h = F.pad(h, (1, 1), mode="reflect")
+                h = F.adaptive_avg_pool1d(h, 1).squeeze(-1)
+                h = F.prelu(self.lin(h), self.slope)
+                return F.relu6(h) + torch.sin(h) * F.hardsigmoid(h)
+
+        x = np.random.RandomState(39).randn(2, 3, 11).astype(np.float32)
+        self._check(Custom(), x)
+
+    def test_concrete_trace_branch_parity(self):
+        """Data-dependent control flow via example_input: torch.jit.trace
+        executes the forward eagerly and the taken branch is translated;
+        parameters stay live."""
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        torch.manual_seed(40)
+
+        class DataDependent(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.l = torch.nn.Linear(3, 3)
+                self.m = torch.nn.Linear(3, 3)
+                self.register_buffer("shift", torch.tensor([0.5, -0.5, 1.0]))
+
+            def forward(self, x):
+                h = self.l(x)
+                if h.sum() > 0:
+                    return (torch.relu(h) + self.shift).mean(-1)
+                return (self.m(h) * 2.0).mean(-1)
+
+        net = DataDependent().eval()
+        with torch.no_grad():  # pin the positive branch across perturbations
+            net.l.bias += 5.0
+        rs = np.random.RandomState(40)
+        ex = np.abs(rs.randn(4, 3)).astype(np.float32) + 2  # positive branch
+        assert float(net.l(torch.tensor(ex)).sum()) > 0
+        apply_fn, template = from_torch_module(net, example_input=torch.tensor(ex))
+        with torch.no_grad():
+            ref = net(torch.tensor(ex)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(template, jnp.asarray(ex))), ref, atol=1e-6
+        )
+        # parameters are live, not baked trace constants
+        t2 = list(template)
+        t2[0] = t2[0] + 1.0
+        with torch.no_grad():
+            net.l.weight += 1.0
+            ref2 = net(torch.tensor(ex)).numpy()
+            net.l.weight -= 1.0
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(t2, jnp.asarray(ex))), ref2, atol=1e-5
+        )
+        # the negative-branch example freezes the OTHER path
+        with torch.no_grad():
+            net.l.bias -= 10.0
+        exn = -np.abs(rs.randn(4, 3)).astype(np.float32) - 2
+        assert float(net.l(torch.tensor(exn)).sum()) < 0
+        apply_n, tpl_n = from_torch_module(net, example_input=torch.tensor(exn))
+        with torch.no_grad():
+            refn = net(torch.tensor(exn)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_n(tpl_n, jnp.asarray(exn))), refn, atol=1e-6
+        )
+
+    def test_concrete_trace_error_without_example(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class DataDependent(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.l = torch.nn.Linear(2, 2)
+
+            def forward(self, x):
+                if x.sum() > 0:
+                    return self.l(x)
+                return x
+
+        with pytest.raises(TypeError, match="example_input"):
+            from_torch_module(DataDependent())
+
+    def test_concrete_trace_samples_end_to_end(self, key):
+        """sample_model passes x as the trace example automatically, so a
+        data-dependent torch forward samples without extra plumbing."""
+        torch = pytest.importorskip("torch")
+
+        class Gated(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.l = torch.nn.Linear(2, 1)
+
+            def forward(self, x):
+                h = self.l(x)
+                if h.abs().sum() >= 0:  # always true, but fx-untraceable
+                    return h
+                return h * 2.0
+
+        torch.manual_seed(41)
+        rs = np.random.RandomState(41)
+        x = rs.randn(32, 2).astype(np.float32)
+        w = np.array([1.5, -0.8], np.float32)
+        y = (x @ w[:, None] + 0.05 * rs.randn(32, 1)).astype(np.float32)
+        samples = sample_model(
+            Gated().eval(), jnp.asarray(x), jnp.asarray(y),
+            model_loss="regression", num_samples=150, num_steps_per_sample=10,
+            step_size=0.002, tau_out=100.0, key=key, verbose=False,
+        )
+        assert bool(jnp.all(jnp.isfinite(samples)))
+        post = np.asarray(samples[50:]).mean(0)
+        np.testing.assert_allclose(post[:2], w, atol=0.4)
