@@ -429,6 +429,7 @@ def predict_model(
     tau_list=None,
     verbose: bool = False,
     params_template=None,
+    stream_batches: Optional[int] = None,
 ):
     """Posterior predictive over weight samples (reference: samplers.py:1468-1562).
 
@@ -438,8 +439,19 @@ def predict_model(
     reference's batched loop, samplers.py:1520-1541) so only one
     (S, batch) activation block is live at a time — the full test set is
     never materialised as a single forward.
+
+    ``stream_batches=k`` additionally bounds HOST memory: the loader is
+    consumed lazily, at most k batches staged at a time, each chunk's
+    predictions offloaded to host numpy before the next loads — test sets
+    larger than host memory stream end to end (returns numpy arrays).
     """
     samples = jnp.stack(list(samples)) if not isinstance(samples, jnp.ndarray) else samples
+
+    if test_loader is not None and stream_batches:
+        return _predict_streaming(
+            model, samples, test_loader, model_loss, tau_out, tau_list,
+            params_template, int(stream_batches),
+        )
 
     if test_loader is not None:
         # stacked equal-size run + ragged remainder (usually the final
@@ -495,3 +507,79 @@ def predict_model(
 
     lps, preds = batched(samples)
     return preds, lps
+
+
+def _predict_streaming(model, samples, test_loader, model_loss, tau_out,
+                       tau_list, params_template, stream_batches: int):
+    """Lazy chunked posterior predictive: consume ``test_loader`` without
+    ever staging more than ``stream_batches`` batches; each chunk's
+    predictions land in host numpy before the next chunk loads.
+
+    The per-batch ``raw(theta, batch)`` counts the prior once, so after n
+    batches the summed log prob over-counts it (n-1) times; corrected at
+    the end exactly as the materialised path does.
+    """
+    import numpy as np
+
+    raw = None
+    prior_fn = None
+    chunk_fn = None
+    host_preds, lls, priors = [], None, None
+    n_batches = 0
+    buf_x, buf_y, buf_n = [], [], None
+
+    def flush():
+        nonlocal lls, n_batches
+        if not buf_x:
+            return
+        xs_ = jnp.stack([jnp.asarray(b) for b in buf_x])
+        ys_ = jnp.stack([jnp.asarray(b) for b in buf_y])
+        lp_c, out_c = chunk_fn(samples, xs_, ys_)
+        # (M, S, B, O) -> (S, M*B, O); offload to host before the next chunk
+        preds = jnp.swapaxes(out_c, 0, 1).reshape(
+            (samples.shape[0], -1) + out_c.shape[3:]
+        )
+        host_preds.append(np.asarray(jax.device_get(preds)))
+        lls = lp_c if lls is None else lls + lp_c
+        n_batches += len(buf_x)
+        buf_x.clear()
+        buf_y.clear()
+
+    for bx, by in test_loader:
+        bx = np.asarray(bx) if not hasattr(bx, "detach") else bx.detach().cpu().numpy()
+        by = np.asarray(by) if not hasattr(by, "detach") else by.detach().cpu().numpy()
+        if raw is None:
+            log_prob_func, _, _ = define_model_log_prob(
+                model, model_loss, jnp.asarray(bx), jnp.asarray(by),
+                tau_list=tau_list, tau_out=tau_out, predict=True,
+                params_template=params_template,
+            )
+            raw = log_prob_func._raw_fn
+            prior_fn = jax.jit(jax.vmap(lambda t: raw(t, None)))
+
+            @jax.jit
+            def chunk_fn(thetas, xs_, ys_):
+                def per_batch(acc, xy):
+                    lp_b, out_b = jax.vmap(lambda t: raw(t, xy))(thetas)
+                    return acc + lp_b, out_b
+
+                return jax.lax.scan(
+                    per_batch,
+                    jnp.zeros(thetas.shape[:1], thetas.dtype),
+                    (xs_, ys_),
+                )
+
+        if buf_n is not None and bx.shape[0] != buf_n:
+            flush()  # size change (ragged tail): finish the current run
+            buf_n = None
+        if buf_n is None:
+            buf_n = bx.shape[0]
+        buf_x.append(bx)
+        buf_y.append(by)
+        if len(buf_x) >= stream_batches:
+            flush()
+    flush()
+    if n_batches == 0:
+        raise ValueError("test_loader yielded no batches")
+    lps = lls - (n_batches - 1) * prior_fn(samples)
+    return np.concatenate(host_preds, axis=1), np.asarray(jax.device_get(lps))

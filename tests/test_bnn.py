@@ -335,6 +335,36 @@ class TestStreamedPredict:
         np.testing.assert_allclose(np.asarray(p_stream), np.asarray(p_whole), atol=1e-5)
         np.testing.assert_allclose(np.asarray(lp_stream), np.asarray(lp_whole), rtol=1e-5)
 
+    def test_lazy_streaming_bounds_host_memory(self, key):
+        """stream_batches=k consumes the loader lazily (a generator works),
+        covers ragged tails, and matches the materialised path exactly."""
+        x = jnp.linspace(-1, 1, 26)[:, None]  # 26 = 8*3 + 2 (ragged tail)
+        y = jnp.sin(3 * x)
+        model = MLP(features=(8, 1))
+        tau_list = [1.0] * 4
+        samples = sample_model(
+            model, x, y, model_loss="regression", num_samples=30,
+            num_steps_per_sample=10, step_size=0.002, tau_out=100.0,
+            tau_list=tau_list, key=key, verbose=False,
+        )
+
+        def loader():  # one-shot generator: lazy consumption required
+            for i in range(0, 26, 8):
+                yield np.asarray(x[i:i + 8]), np.asarray(y[i:i + 8])
+
+        p_mat, lp_mat = predict_model(
+            model, samples, test_loader=list(loader()), model_loss="regression",
+            tau_out=100.0, tau_list=tau_list,
+        )
+        p_str, lp_str = predict_model(
+            model, samples, test_loader=loader(), model_loss="regression",
+            tau_out=100.0, tau_list=tau_list, stream_batches=2,
+        )
+        assert isinstance(p_str, np.ndarray)  # chunk results live on host
+        assert p_str.shape == (30, 26, 1)
+        np.testing.assert_allclose(np.asarray(p_mat), p_str, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lp_mat), lp_str, rtol=1e-5)
+
 
 class TestTorchFxInterop:
     """Custom-forward torch modules via the torch.fx fallback — the
