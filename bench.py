@@ -132,31 +132,60 @@ def main():
     del samples_flat
     gc.collect()
     from hamiltorch_tpu.models.flagship import make_flagship_potential
-    from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
+    from hamiltorch_tpu.ops.mass import make_mass
+    from hamiltorch_tpu.ops.potential import resolve_potential
+    from hamiltorch_tpu.samplers.chees import (
+        ChEESConfig,
+        _run_chees_jit,
+        validate_chees,
+    )
+    from hamiltorch_tpu.samplers.warmup import schedule_flags
 
     flat_log_prob_fn, theta0 = make_flagship_potential()
     # burn=600 (vs 300 in rounds 1-2): at burn=300 the adapted trajectory
     # length still ranged 1.0-3.1 across seeds, making min-ESS/sec swing
     # ~90% rep-to-rep; at 600 it converges to ~3 and the rep spread drops
     # to ~30% — the residual is genuine adaptation seed variance, not
-    # measurement noise (wall time and ESS move together with the adapted
-    # trajectory length).  thin=3 keeps the stored trace at 300 rows: the
-    # full (64, 900, 100k) f32 trace would not fit 16 GB HBM.
+    # measurement noise.  The run is CHUNKED in two (the checkpoint
+    # runner's resume mechanics): a warmup chunk storing one thinned row
+    # (the full (64, 600, 100k) f32 warmup trace would not fit 16 GB HBM)
+    # and an UNTHINNED 300-draw sampling chunk — ChEES draws are nearly
+    # independent, so thinning the sampling phase would discard real ESS
+    # (measured: thin=3 halved min-ESS/sec).
     chees_cfg = ChEESConfig(
         num_samples=900, step_size=2e-4, burn=600, adapt_mass=True,
-        init_trajectory_length=0.01, thin=3,
+        init_trajectory_length=0.01,
     )
+    import dataclasses
+
+    cfg_warm = dataclasses.replace(chees_cfg, num_samples=600, thin=600)
+    cfg_samp = dataclasses.replace(chees_cfg, num_samples=300, thin=1)
+    lp_chees, chees_data = resolve_potential(flat_log_prob_fn, None)
+    mass_chees = make_mass(None, theta0.shape[0])
+    validate_chees(chees_cfg, mass_chees)
+    cf_w, ef_w = schedule_flags(chees_cfg.burn, 0, 600)
+    cf_s, ef_s = schedule_flags(chees_cfg.burn, 600, 300)
 
     def run_chees_once(seed):
-        r = run_chees(jax.random.key(seed), flat_log_prob_fn, theta0, chees_cfg,
-                      num_chains=num_chains)
+        k_init, key = jax.random.split(jax.random.key(seed))
+        thetas0 = theta0[None, :] + 0.01 * jax.random.normal(
+            k_init, (num_chains, theta0.shape[0]), theta0.dtype
+        )
+        r_w = _run_chees_jit(
+            key, thetas0, lp_chees, cfg_warm, mass_chees, data=chees_data,
+            collect_flags=cf_w, end_flags=ef_w,
+        )
+        r = _run_chees_jit(
+            key, r_w.final_carry.thetas, lp_chees, cfg_samp, mass_chees,
+            data=chees_data, init_carry=r_w.final_carry, start_iter=600,
+            collect_flags=cf_s, end_flags=ef_s,
+        )
         jax.block_until_ready(r.samples)
         return r
 
     r = run_chees_once(nonce)  # compile + warm up
     # median-of-3 on the DERIVED metric (min-ESS/sec): both the wall time
     # and the ESS itself vary per seed, so de-noise their ratio directly
-    kept_burn = chees_cfg.burn // chees_cfg.thin
     chees_rates, chees_p10_rates, chees_accs = [], [], []
     for rep in range(3):
         del r
@@ -164,10 +193,10 @@ def main():
         t1 = time.perf_counter()
         r = run_chees_once(nonce + rep + 1)
         dt_chees = time.perf_counter() - t1
-        e_min, e_p10 = ess_quantiles(r.samples, burn=kept_burn)
+        e_min, e_p10 = ess_quantiles(r.samples)  # all 300 rows are post-burn
         chees_rates.append(e_min / dt_chees)
         chees_p10_rates.append(e_p10 / dt_chees)
-        chees_accs.append(float(jnp.mean(r.info.accept_prob[kept_burn:])))
+        chees_accs.append(float(jnp.mean(r.info.accept_prob)))
     chees_rate = float(np.median(chees_rates))
     chees_p10_rate = float(np.median(chees_p10_rates))
     chees_spread = (max(chees_rates) - min(chees_rates)) / chees_rate

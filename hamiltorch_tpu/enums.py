@@ -24,6 +24,9 @@ class Integrator(Enum):
     SPLITTING = 4
     SPLITTING_RAND = 5
     SPLITTING_KMID = 6
+    # extension: implicit midpoint for RMHMC (integrators/midpoint.py) —
+    # one joint fixed point per step, symplectic for any Hamiltonian
+    MIDPOINT = 7
 
 
 class Metric(Enum):

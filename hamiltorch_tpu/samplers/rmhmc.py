@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..enums import Integrator, Metric
 from ..integrators.explicit import explicit_leapfrog
 from ..integrators.implicit import implicit_leapfrog
+from ..integrators.midpoint import implicit_midpoint
 from ..ops.metrics import RMOptions, make_rm_hamiltonian
 from ..ops.potential import resolve_potential
 from .driver import ChainState, MCMCConfig, MCMCResult, run_mcmc
@@ -62,6 +63,12 @@ def _run_rmhmc_jit(key, theta0, log_prob_fn, config, integrator, opts, ham_func,
             )
             theta1, p1 = end.theta, end.p
             aux = {}
+        elif integrator == Integrator.MIDPOINT:
+            theta1, p1, fp_iters, fp_residual = implicit_midpoint(
+                rm, opts, state.theta, p, step_size,
+                config.num_steps_per_sample, jitter_u,
+            )
+            aux = {"fp_iters": fp_iters, "fp_residual": fp_residual}
         else:  # IMPLICIT or S3 use the generalized leapfrog
             theta1, p1, fp_iters, fp_residual = implicit_leapfrog(
                 rm, opts, state.theta, p, step_size,
@@ -99,7 +106,8 @@ def resolve_rmhmc_options(kwargs: dict):
     )
     if kw:
         raise TypeError(f"unknown RMHMC options: {sorted(kw)}")
-    if integrator not in (Integrator.IMPLICIT, Integrator.EXPLICIT, Integrator.S3):
+    if integrator not in (Integrator.IMPLICIT, Integrator.EXPLICIT,
+                          Integrator.S3, Integrator.MIDPOINT):
         raise NotImplementedError(f"RMHMC integrator {integrator}")
     return integrator, opts, ham_func, custom_metric
 

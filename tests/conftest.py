@@ -37,3 +37,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def key():
     return jax.random.key(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The suite compiles many hundreds of XLA CPU programs; with all of them
+    held live, the CPU backend's JIT was observed to segfault inside
+    backend_compile_and_load late in a full single-process run (twice, at
+    different tests ~80% in).  Per-module cache clearing bounds the
+    accumulation; within-module sharing (the expensive scans) is preserved.
+    """
+    yield
+    jax.clear_caches()
