@@ -15,6 +15,50 @@ import jax
 import jax.numpy as jnp
 
 
+def as_flat_samples(samples, like=None) -> jnp.ndarray:
+    """Canonicalise a trace to a (C, N, D) / (N, D) matrix.
+
+    Arrays pass through.  A parameter PYTREE trace (as the pytree-native
+    ``run_hmc``/``run_hmc_chains`` return: leaves (N, *shape) or
+    (C, N, *shape)) flattens each leaf's parameter dims and concatenates
+    leaves in tree order — the same per-draw layout ``tree_ravel`` gives.
+
+    ``like``: the theta0 pytree (or any same-structure template) pins how
+    many leading axes are chain/draw axes.  Without it the split is
+    inferred: leaves whose first TWO dims all agree are read as (C, N, …);
+    a tree whose every leaf has identical shape is ambiguous and raises —
+    pass ``like=`` there.
+    """
+    if hasattr(samples, "ndim"):
+        return samples
+    leaves = jax.tree_util.tree_leaves(samples)
+    if like is not None:
+        t_leaves = jax.tree_util.tree_leaves(like)
+        extra = leaves[0].ndim - t_leaves[0].ndim
+        if extra not in (1, 2):
+            raise ValueError(
+                f"trace leaves have {extra} extra leading dims vs the "
+                "template; expected 1 (draws) or 2 (chains, draws)"
+            )
+    else:
+        lead2 = leaves[0].shape[:2]
+        two = all(l.ndim >= 2 and l.shape[:2] == lead2 for l in leaves)
+        one = all(l.shape[0] == leaves[0].shape[0] for l in leaves)
+        if two and one and len(leaves) > 1 and all(
+            l.shape == leaves[0].shape for l in leaves
+        ):
+            raise ValueError(
+                "ambiguous pytree trace (every leaf has the same shape): "
+                "pass like=theta0 to pin the chain/draw axes"
+            )
+        extra = 2 if two else 1
+    if extra == 1:
+        mats = [l.reshape(l.shape[0], -1) for l in leaves]
+    else:
+        mats = [l.reshape(l.shape[0], l.shape[1], -1) for l in leaves]
+    return jnp.concatenate(mats, axis=-1)
+
+
 def _autocovariance(x: jnp.ndarray) -> jnp.ndarray:
     """Biased autocovariance of a 1-d series via FFT, lags 0..N-1."""
     n = x.shape[0]
@@ -32,6 +76,7 @@ def effective_sample_size(samples: jnp.ndarray) -> jnp.ndarray:
     multi-chain estimator: mean of within-chain autocovariances combined
     with between-chain variance, Geyer initial positive/monotone sequence.
     """
+    samples = as_flat_samples(samples)
     if samples.ndim == 2:
         samples = samples[None]
     c, n, d = samples.shape
@@ -68,6 +113,7 @@ def effective_sample_size(samples: jnp.ndarray) -> jnp.ndarray:
 
 def potential_scale_reduction(samples: jnp.ndarray) -> jnp.ndarray:
     """Split-R-hat per dimension; ``samples``: (num_chains, num_draws, D)."""
+    samples = as_flat_samples(samples)
     if samples.ndim == 2:
         samples = samples[None]
     c, n, d = samples.shape
@@ -117,6 +163,7 @@ def rank_normalized_rhat(samples: jnp.ndarray, z_bulk=None) -> jnp.ndarray:
     ``z_bulk`` optionally passes precomputed ``_rank_normalize(samples)``
     (``summary`` shares it with ``bulk_ess``).
     """
+    samples = as_flat_samples(samples)
     if samples.ndim == 2:
         samples = samples[None]
     if z_bulk is None:
@@ -130,6 +177,7 @@ def rank_normalized_rhat(samples: jnp.ndarray, z_bulk=None) -> jnp.ndarray:
 
 def bulk_ess(samples: jnp.ndarray, z_bulk=None) -> jnp.ndarray:
     """Rank-normalized ESS — mixing in the bulk of the distribution."""
+    samples = as_flat_samples(samples)
     if samples.ndim == 2:
         samples = samples[None]
     if z_bulk is None:
@@ -144,6 +192,7 @@ def tail_ess(samples: jnp.ndarray, prob: float = 0.05) -> jnp.ndarray:
     pathologies that leave the bulk well-mixed but the tails sticky show up
     here first.  ``samples``: (num_chains, num_draws, D) or (num_draws, D).
     """
+    samples = as_flat_samples(samples)
     if samples.ndim == 2:
         samples = samples[None]
     dtype = samples.dtype
@@ -158,6 +207,7 @@ def tail_ess(samples: jnp.ndarray, prob: float = 0.05) -> jnp.ndarray:
 
 def mcse_mean(samples: jnp.ndarray, ess=None) -> jnp.ndarray:
     """Monte Carlo standard error of the posterior mean: sd / sqrt(ESS)."""
+    samples = as_flat_samples(samples)
     if samples.ndim == 2:
         samples = samples[None]
     sd = jnp.std(samples.reshape(-1, samples.shape[-1]), axis=0, ddof=1)
@@ -189,14 +239,17 @@ def e_bfmi(energies: jnp.ndarray) -> jnp.ndarray:
     return num / den
 
 
-def summary(samples: jnp.ndarray, energies=None) -> Dict[str, jnp.ndarray]:
+def summary(samples, energies=None, like=None) -> Dict[str, jnp.ndarray]:
     """Per-dimension posterior summary: mean, std, ESS (raw + bulk + tail),
     split-R-hat (classic + rank-normalized), MCSE of the mean; pass the
     per-draw energy series (``MCMCStats.energy_old`` / ``NUTSInfo.energy``,
-    draw axis last) to also get per-chain ``e_bfmi``.
+    draw axis last) to also get per-chain ``e_bfmi``.  ``samples`` may be
+    a parameter-pytree trace (pytree-native chain state); ``like=theta0``
+    disambiguates its chain/draw axes when needed (as_flat_samples).
 
     The FFT-ESS and rank-normalization passes dominate the cost (O(C*D*
     N log N)); each is computed once and shared across the statistics."""
+    samples = as_flat_samples(samples, like=like)
     if samples.ndim == 2:
         samples = samples[None]
     flat = samples.reshape(-1, samples.shape[-1])

@@ -455,3 +455,42 @@ class TestEBFMI:
         out = summary(samples, energies=energies)
         assert out["e_bfmi"].shape == (2,)
         assert "e_bfmi" not in summary(samples)
+
+
+class TestPytreeDiagnostics:
+    """Diagnostics accept pytree traces from the pytree-native chain state
+    (as_flat_samples canonicalisation)."""
+
+    def test_summary_on_tree_traces(self, key):
+        from hamiltorch_tpu.diagnostics import as_flat_samples, summary
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        from hamiltorch_tpu.samplers.hmc import run_hmc, run_hmc_chains
+
+        lp = lambda t: -0.5 * (jnp.sum(t["a"] ** 2) + jnp.sum(t["b"] ** 2))
+        t0 = {"a": jnp.zeros(2), "b": jnp.zeros((2, 2))}
+        cfg = MCMCConfig(num_samples=200, num_steps_per_sample=5, step_size=0.3)
+        r = run_hmc_chains(key, lp, t0, cfg, num_chains=4)
+        s = summary(r.samples)
+        assert s["ess"].shape == (6,)  # 2 + 4 flattened dims, tree order
+        assert bool(jnp.all(s["r_hat"] < 1.2))
+        # flat layout matches per-leaf flatten in tree order
+        mat = as_flat_samples(r.samples)
+        np.testing.assert_array_equal(
+            np.asarray(mat[:, :, :2]), np.asarray(r.samples["a"])
+        )
+        # single-chain trace disambiguated by like=
+        r1 = run_hmc(key, lp, t0, cfg)
+        s1 = summary(r1.samples, like=t0)
+        assert s1["ess"].shape == (6,)
+
+    def test_ambiguous_tree_raises(self):
+        from hamiltorch_tpu.diagnostics import as_flat_samples
+
+        with pytest.raises(ValueError, match="like="):
+            as_flat_samples({"a": jnp.zeros((10, 3)), "b": jnp.zeros((10, 3))})
+        # like= resolves it
+        out = as_flat_samples(
+            {"a": jnp.zeros((10, 3)), "b": jnp.zeros((10, 3))},
+            like={"a": jnp.zeros(3), "b": jnp.zeros(3)},
+        )
+        assert out.shape == (10, 6)
