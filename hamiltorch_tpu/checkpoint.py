@@ -971,7 +971,15 @@ def run_chees_checkpointed(
     )
     from .samplers.nuts import init_metric_seed
     from .samplers.warmup import schedule_flags
+    from .utils.pytree import is_param_tree
 
+    if is_param_tree(theta0):
+        raise TypeError(
+            "run_chees_checkpointed takes a flat (D,) theta0 — the chunked "
+            "carry is persisted in the flat layout.  Ravel the pytree "
+            "(utils.pytree.ravel_pytree_fn) or use run_chees, whose "
+            "pytree-native path has no checkpointed counterpart yet."
+        )
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         k_init, key = jax.random.split(key)

@@ -509,7 +509,15 @@ def run_chees_sharded(
     (per-chain randomness derives from sharded per-chain keys).
     """
     from ..samplers.chees import _run_chees_jit, validate_chees
+    from ..utils.pytree import is_param_tree
 
+    if is_param_tree(theta0):
+        raise TypeError(
+            "run_chees_sharded takes a flat (D,) theta0 — the mesh carry "
+            "specs are built for the flat layout.  Ravel the pytree "
+            "(utils.pytree.ravel_pytree_fn) or use run_chees's local "
+            "pytree-native path."
+        )
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         k_init, key = jax.random.split(key)

@@ -165,6 +165,30 @@ def _batched_leapfrog(vg_batch, velocity, thetas, ps, logps, grads, eps, num_ste
     return th, p, logp, g
 
 
+def _batched_leapfrog_tree(vg_batch, velocity, thetas, ps, logps, grads, eps,
+                           num_steps, cap):
+    """Pytree variant of :func:`_batched_leapfrog`: leaves update in their
+    natural shapes — no flat-layout slicing inside the hot loop."""
+    tmap = jax.tree_util.tree_map
+    p = tmap(lambda pl, gl: pl + 0.5 * eps * gl, ps, grads)
+
+    def cond(c):
+        return c[0] < jnp.minimum(num_steps, cap)
+
+    def body(c):
+        i, th, p, logp, g = c
+        th = tmap(lambda tl, vl: tl + eps * vl, th, velocity(p))
+        logp, g = vg_batch(th)
+        p = tmap(lambda pl, gl: pl + eps * gl, p, g)
+        return (i + 1, th, p, logp, g)
+
+    _, th, p, logp, g = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), thetas, p, logps, grads)
+    )
+    p = tmap(lambda pl, gl: pl - 0.5 * eps * gl, p, g)
+    return th, p, logp, g
+
+
 @partial(jax.jit, static_argnames=("log_prob_fn", "config", "axis_name"))
 def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=None,
                    chain_keys=None, axis_name=None, init_carry=None, start_iter=0,
@@ -180,13 +204,77 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
     """
     lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
     vg_batch = jax.vmap(jax.value_and_grad(lp))
-    c, d = theta0s.shape
-    dtype = theta0s.dtype
+
+    # theta0s may be a (C, D) block or a parameter PYTREE with (C, ...)
+    # leaves (the pytree-native ensemble: the hot leapfrog loop updates
+    # leaves in their natural shapes — no flat-layout slicing tax — while
+    # the per-draw adaptation bridges through ONE flat view per draw)
+    from ..ops.mass import TreeMass
+    from ..utils.pytree import is_param_tree
+
+    is_tree = is_param_tree(theta0s)
+    tmap = jax.tree_util.tree_map
+    if is_tree:
+        _leaves0 = jax.tree_util.tree_leaves(theta0s)
+        c = _leaves0[0].shape[0]
+        dtype = _leaves0[0].dtype
+        _pshapes = tuple(tuple(l.shape[1:]) for l in _leaves0)
+        _psizes = tuple(
+            int(l.size) // c for l in _leaves0
+        )
+        d = sum(_psizes)
+        _tdef = jax.tree_util.tree_structure(theta0s)
+        seed_mass = mass.inner if isinstance(mass, TreeMass) else mass
+    else:
+        c, d = theta0s.shape
+        dtype = theta0s.dtype
+        seed_mass = mass
 
     def _gsum(x):
         """Sum over ALL chains (local sum + psum across the mesh axis)."""
         local = jnp.sum(x, axis=0)
         return jax.lax.psum(local, axis_name) if axis_name is not None else local
+
+    def t_where(mask, new, old):
+        """Per-chain select broadcast over each leaf's parameter dims."""
+        return tmap(
+            lambda nl, ol: jnp.where(
+                mask.reshape((c,) + (1,) * (nl.ndim - 1)), nl, ol
+            ),
+            new, old,
+        )
+
+    def t_flat(t):
+        """(C, D) flat view of a (C, ...)-leaf tree, tree order."""
+        return jnp.concatenate(
+            [l.reshape(c, -1) for l in jax.tree_util.tree_leaves(t)], axis=-1
+        )
+
+    def t_unflat_batch(m):
+        """Inverse of t_flat: (C, D) columns back into (C, ...) leaves."""
+        parts, off = [], 0
+        for size, shape in zip(_psizes, _pshapes):
+            parts.append(m[:, off : off + size].reshape((c,) + shape))
+            off += size
+        return jax.tree_util.tree_unflatten(_tdef, parts)
+
+    def t_unflat_diag(v):
+        """(D,) vector into parameter-shaped leaves (per-leaf diagonals)."""
+        parts, off = [], 0
+        for size, shape in zip(_psizes, _pshapes):
+            parts.append(v[off : off + size].reshape(shape))
+            off += size
+        return jax.tree_util.tree_unflatten(_tdef, parts)
+
+    def t_chain_dot(a, b):
+        """Per-chain inner product over all parameter dims -> (C,)."""
+        parts = [
+            jnp.sum((al * bl).reshape(c, -1), axis=-1)
+            for al, bl in zip(
+                jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+            )
+        ]
+        return sum(parts)
 
     c_total = jnp.asarray(float(c), dtype)
     if axis_name is not None:
@@ -235,9 +323,37 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
         elif windowed:
             cur_mass = DiagMass(inv_diag=metric)
         else:
-            cur_mass = mass
-        velocity = jax.vmap(cur_mass.velocity)
-        kinetic = jax.vmap(cur_mass.kinetic)
+            cur_mass = mass if not is_tree else mass.inner
+        if is_tree:
+            # leafwise velocity/kinetic: the per-draw adapted diagonal (or
+            # the fixed TreeMass diagonal) unravels ONCE per draw into
+            # parameter-shaped leaves; the hot loop then multiplies leafwise
+            if windowed:
+                inv_tree = t_unflat_diag(metric)
+            elif isinstance(mass, TreeMass) and mass.inv_diag_tree is not None:
+                inv_tree = mass.inv_diag_tree
+            else:
+                inv_tree = None  # identity
+
+            def velocity(p):
+                if inv_tree is None:
+                    return p
+                return tmap(lambda iv, x: iv * x, inv_tree, p)
+
+            def kinetic(p):
+                if inv_tree is None:
+                    return 0.5 * t_chain_dot(p, p)
+                parts = [
+                    jnp.sum((iv * pl * pl).reshape(c, -1), axis=-1)
+                    for iv, pl in zip(
+                        jax.tree_util.tree_leaves(inv_tree),
+                        jax.tree_util.tree_leaves(p),
+                    )
+                ]
+                return 0.5 * sum(parts)
+        else:
+            velocity = jax.vmap(cur_mass.velocity)
+            kinetic = jax.vmap(cur_mass.kinetic)
         kn = jax.random.fold_in(key, n)
         k_mom, k_jit, k_mh = jax.random.split(kn, 3)
         if chain_keys is None:
@@ -267,9 +383,17 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             config.max_leapfrog_steps,
         )
 
-        ps = jax.vmap(lambda k: cur_mass.sample(k, dtype=dtype))(mom_keys)
+        if is_tree:
+            # momentum draws stay flat (bit-compatible with the flat path)
+            # and split into leaves once per draw
+            ps = t_unflat_batch(
+                jax.vmap(lambda k: cur_mass.sample(k, dtype=dtype))(mom_keys)
+            )
+        else:
+            ps = jax.vmap(lambda k: cur_mass.sample(k, dtype=dtype))(mom_keys)
         h0 = -logps + kinetic(ps)
-        th_new, p_new, logp_new, grad_new = _batched_leapfrog(
+        lf = _batched_leapfrog_tree if is_tree else _batched_leapfrog
+        th_new, p_new, logp_new, grad_new = lf(
             vg_batch, velocity, thetas, ps, logps, grads, eps, num_steps,
             config.max_leapfrog_steps,
         )
@@ -279,10 +403,14 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
         alpha = jnp.where(finite, jnp.exp(jnp.minimum(0.0, log_ratio)), 0.0)
         accept = finite & (jnp.log(mh_u) < log_ratio)
 
-        sel = accept[:, None]
-        thetas_out = jnp.where(sel, th_new, thetas)
+        if is_tree:
+            thetas_out = t_where(accept, th_new, thetas)
+            grads_out = t_where(accept, grad_new, grads)
+        else:
+            sel = accept[:, None]
+            thetas_out = jnp.where(sel, th_new, thetas)
+            grads_out = jnp.where(sel, grad_new, grads)
         logps_out = jnp.where(accept, logp_new, logps)
-        grads_out = jnp.where(sel, grad_new, grads)
 
         # record the values actually used for THIS draw (pre-update), matching
         # the driver's convention
@@ -293,11 +421,22 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
         # n==burn would clobber step_size with exp(log_eps_bar)=1
         if config.adapt and config.burn > 0:
             # --- ChEES gradient wrt trajectory time ------------------------
-            mu = _gsum(thetas_out) / c_total  # ensemble centre (all chains)
-            dsq_new = jnp.sum((th_new - mu) ** 2, axis=1)
-            dsq_old = jnp.sum((thetas - mu) ** 2, axis=1)
-            v_end = velocity(p_new)  # d theta'/dt at the endpoint
-            per_chain = (dsq_new - dsq_old) * jnp.sum((th_new - mu) * v_end, axis=1)
+            if is_tree:
+                mu = tmap(lambda l: _gsum(l) / c_total, thetas_out)
+                diff_new = tmap(lambda a, m: a - m, th_new, mu)
+                diff_old = tmap(lambda a, m: a - m, thetas, mu)
+                dsq_new = t_chain_dot(diff_new, diff_new)
+                dsq_old = t_chain_dot(diff_old, diff_old)
+                v_end = velocity(p_new)  # d theta'/dt at the endpoint
+                per_chain = (dsq_new - dsq_old) * t_chain_dot(diff_new, v_end)
+            else:
+                mu = _gsum(thetas_out) / c_total  # ensemble centre (all chains)
+                dsq_new = jnp.sum((th_new - mu) ** 2, axis=1)
+                dsq_old = jnp.sum((thetas - mu) ** 2, axis=1)
+                v_end = velocity(p_new)  # d theta'/dt at the endpoint
+                per_chain = (dsq_new - dsq_old) * jnp.sum(
+                    (th_new - mu) * v_end, axis=1
+                )
             w = alpha / jnp.maximum(_gsum(alpha), 1e-6)
             # d/d log T = t * dC/dt (t = u*T); halt gradient on divergences
             grad_log_t = traj_t * _gsum(jnp.where(finite, w * per_chain, 0.0))
@@ -341,7 +480,9 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
         if windowed:
             from .warmup import windowed_step
 
-            wf_upd = batch_welford_merge(wf, thetas_out)
+            wf_upd = batch_welford_merge(
+                wf, t_flat(thetas_out) if is_tree else thetas_out
+            )
             wf, metric, da = windowed_step(
                 wf, metric, da, collect, window_end, wf_upd, dense, d, dtype
             )
@@ -371,7 +512,7 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
     else:
         from .nuts import init_metric_seed
 
-        wf0, metric0 = init_metric_seed(mass, d, dtype, dense)
+        wf0, metric0 = init_metric_seed(seed_mass, d, dtype, dense)
         carry0 = (
             theta0s, logps0, grads0, da0, log_t0, adam0,
             wf0, metric0, jnp.zeros((), jnp.int32),
@@ -399,12 +540,17 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
             info_k = info_k._replace(
                 divergent=jnp.any(w_info.divergent, axis=0)
             )
-            return carry, (w_thetas[-1], info_k)
+            th_k = tmap(lambda s: s[-1], w_thetas)  # last draw in the window
+            return carry, (th_k, info_k)
 
         carry_f, (thetas, info) = jax.lax.scan(outer, carry0, xs2)
     th_f, lp_f, g_f, da_f, log_t_f, adam_f, wf_f, metric_f, da_t_f = carry_f
     return ChEESResult(
-        samples=jnp.swapaxes(thetas, 0, 1),  # (C, N, D)
+        samples=(
+            tmap(lambda l: jnp.swapaxes(l, 0, 1), thetas)  # (C, N, ...) leaves
+            if is_tree
+            else jnp.swapaxes(thetas, 0, 1)  # (C, N, D)
+        ),
         info=info,
         final_step_size=da_f.step_size,
         final_trajectory_length=jnp.exp(log_t_f),
@@ -424,9 +570,61 @@ def run_chees(
     config: ChEESConfig,
     num_chains: int = 16,
     inv_mass=None,
+    theta0_is_stacked: bool | None = None,
 ) -> ChEESResult:
     """ChEES-HMC over a chain ensemble; needs num_chains >= ~8 for a stable
-    cross-chain criterion gradient."""
+    cross-chain criterion gradient.
+
+    ``theta0`` may be a flat (D,) vector / (C, D) block, or a parameter
+    PYTREE — single-chain (spread with small per-leaf noise) or with a
+    leading ``num_chains`` axis on every leaf (``theta0_is_stacked``
+    overrides the auto-detection).  With a pytree the hot leapfrog loop
+    updates leaves in their natural shapes (no flat-layout slicing tax;
+    ``samples`` comes back as a tree of (C, N, ...) leaves) and ``inv_mass``
+    may be None, a flat (D,) diagonal, or a matching per-leaf pytree of
+    diagonals — dense/block metrics and ``adapt_mass='dense'`` stay
+    flat-path-only.
+    """
+    from ..ops.mass import BlockDiagMass, DenseMass, make_mass_tree
+    from ..utils.pytree import is_param_tree
+
+    if is_param_tree(theta0):
+        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+        leaves, tdef = jax.tree_util.tree_flatten(theta0)
+        stacked = theta0_is_stacked
+        if stacked is None:
+            stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
+        if stacked:
+            template = jax.tree_util.tree_unflatten(tdef, [l[0] for l in leaves])
+        else:
+            template = theta0
+            k_init, key = jax.random.split(key)
+            keys_l = jax.random.split(k_init, len(leaves))
+            leaves = [
+                l[None] + 0.01 * jax.random.normal(
+                    kl, (num_chains,) + l.shape, l.dtype
+                )
+                for l, kl in zip(leaves, keys_l)
+            ]
+            theta0 = jax.tree_util.tree_unflatten(tdef, leaves)
+        if config.adapt_mass == "dense":
+            raise ValueError(
+                "adapt_mass='dense' is not supported with a pytree ensemble "
+                "— the dense metric operates on the flat layout; pass a "
+                "flat (D,) theta0, or use diagonal adaptation."
+            )
+        mass = make_mass_tree(inv_mass, template)
+        if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
+            raise ValueError(
+                "pytree ChEES ensembles support diagonal metrics only — "
+                "pass inv_mass=None, a flat (D,) diagonal, or a per-leaf "
+                "pytree of diagonals (dense/block inv_mass needs the flat "
+                "(D,) theta0 path)."
+            )
+        validate_chees(config, mass.inner)
+        lp, data = resolve_potential(log_prob_fn, None)
+        return _run_chees_jit(key, theta0, lp, config, mass, data=data)
+
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         k_init, key = jax.random.split(key)

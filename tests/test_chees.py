@@ -235,3 +235,109 @@ class TestDenseChEESWarmup:
             run_chees(key, self.lp, jnp.zeros(2),
                       ChEESConfig(num_samples=10, burn=4, adapt_mass="dense"),
                       num_chains=4, inv_mass=blocks)
+
+
+class TestTreeChEES:
+    """Pytree-native ChEES ensembles: the hot leapfrog loop updates
+    parameter leaves in their natural shapes (no flat-layout slicing tax);
+    the per-draw adaptation bridges through one flat view per draw."""
+
+    def tree_lp(self, t):
+        prec = jnp.asarray(PREC, jnp.float32)
+        return -0.5 * (t["xy"] @ prec @ t["xy"]) - 0.5 * jnp.sum(t["w"] ** 2)
+
+    def test_tree_statistics(self, key):
+        """A tree ensemble samples the right posterior per leaf."""
+        cfg = ChEESConfig(num_samples=800, step_size=0.3, burn=400)
+        r_tree = run_chees(
+            key, self.tree_lp, {"w": jnp.zeros(3), "xy": jnp.zeros(2)}, cfg,
+            num_chains=16,
+        )
+        assert set(r_tree.samples.keys()) == {"w", "xy"}
+        assert r_tree.samples["xy"].shape == (16, 800, 2)
+        pooled = np.asarray(r_tree.samples["xy"][:, 500:]).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(pooled.T), COV, atol=0.15)
+        w = np.asarray(r_tree.samples["w"][:, 500:]).reshape(-1, 3)
+        np.testing.assert_allclose(w.std(0), [1.0, 1.0, 1.0], rtol=0.2)
+        assert float(r_tree.final_trajectory_length) > 0.0
+
+    def test_tree_matches_flat_per_draw(self, key):
+        """With identical stacked inits, a flat potential in tree-ravel order
+        (dict keys sort: w before xy) and adaptation off, tree and flat runs
+        share the RNG schedule draw for draw — samples agree to float
+        tolerance (reductions reassociate, so not bitwise)."""
+        flat_lp = lambda v: -0.5 * jnp.sum(v[:3] ** 2) + corr_gaussian(v[3:])
+        cfg = ChEESConfig(num_samples=40, step_size=0.25, burn=0, adapt=False)
+        k0 = jax.random.fold_in(key, 7)
+        w0 = jax.random.normal(k0, (16, 3))
+        xy0 = jax.random.normal(jax.random.fold_in(key, 8), (16, 2))
+        r_flat = run_chees(
+            key, flat_lp, jnp.concatenate([w0, xy0], axis=-1), cfg,
+            num_chains=16,
+        )
+        r_tree = run_chees(
+            key, self.tree_lp, {"w": w0, "xy": xy0}, cfg, num_chains=16,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_tree.samples["w"]),
+            np.asarray(r_flat.samples[:, :, :3]), rtol=2e-4, atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r_tree.samples["xy"]),
+            np.asarray(r_flat.samples[:, :, 3:]), rtol=2e-4, atol=2e-4,
+        )
+
+    def test_tree_adapt_mass_fixes_bad_scaling(self, key):
+        """Cross-chain windowed diag warmup works on tree ensembles (the
+        Welford merge sees the per-draw flat view)."""
+        lp = lambda t: (-0.5 * jnp.sum((t["a"] / 0.1) ** 2)
+                        - 0.5 * jnp.sum((t["b"] / 10.0) ** 2))
+        cfg = ChEESConfig(num_samples=600, step_size=0.3, burn=400,
+                          adapt_mass=True, init_trajectory_length=0.1)
+        r = run_chees(key, lp, {"a": jnp.zeros(2), "b": jnp.zeros((2, 1))},
+                      cfg, num_chains=16)
+        a = np.asarray(r.samples["a"][:, 450:]).reshape(-1, 2)
+        b = np.asarray(r.samples["b"][:, 450:]).reshape(-1, 2)
+        np.testing.assert_allclose(a.std(0), [0.1, 0.1], rtol=0.35)
+        np.testing.assert_allclose(b.std(0), [10.0, 10.0], rtol=0.35)
+        # learned metric is the flat (D,) diagonal in tree-ravel order
+        inv = np.asarray(r.final_carry.metric)
+        assert inv.shape == (4,)
+        assert inv[2] / inv[0] > 100.0
+
+    def test_tree_with_inv_mass_tree(self, key):
+        """A per-leaf inv_mass pytree seeds the fixed metric."""
+        lp = lambda t: (-0.5 * jnp.sum((t["a"] / 0.1) ** 2)
+                        - 0.5 * jnp.sum((t["b"] / 10.0) ** 2))
+        cfg = ChEESConfig(num_samples=500, step_size=0.3, burn=300,
+                          init_trajectory_length=0.1)
+        inv_mass = {"a": jnp.full((2,), 0.01), "b": jnp.full((2, 1), 100.0)}
+        r = run_chees(key, lp, {"a": jnp.zeros(2), "b": jnp.zeros((2, 1))},
+                      cfg, num_chains=16, inv_mass=inv_mass)
+        a = np.asarray(r.samples["a"][:, 350:]).reshape(-1, 2)
+        b = np.asarray(r.samples["b"][:, 350:]).reshape(-1, 2)
+        np.testing.assert_allclose(a.std(0), [0.1, 0.1], rtol=0.35)
+        np.testing.assert_allclose(b.std(0), [10.0, 10.0], rtol=0.35)
+
+    def test_tree_thin_and_stacked_init(self, key):
+        """thin= works on tree traces; a (C, ...)-stacked tree init is
+        taken as per-chain starting points."""
+        cfg = ChEESConfig(num_samples=300, step_size=0.3, burn=150, thin=3)
+        t0 = {"w": 0.01 * jnp.ones((16, 3)), "xy": jnp.zeros((16, 2))}
+        r = run_chees(key, self.tree_lp, t0, cfg, num_chains=16)
+        assert r.samples["w"].shape == (16, 100, 3)
+        assert r.samples["xy"].shape == (16, 100, 2)
+        assert bool(np.isfinite(np.asarray(r.samples["xy"])).all())
+
+    def test_tree_rejects_dense_adapt_and_sharded(self, key):
+        cfg = ChEESConfig(num_samples=10, burn=5, adapt_mass="dense")
+        with pytest.raises(ValueError, match="dense|pytree"):
+            run_chees(key, self.tree_lp, {"w": jnp.zeros(3), "xy": jnp.zeros(2)},
+                      cfg, num_chains=8)
+        from hamiltorch_tpu.checkpoint import run_chees_checkpointed
+
+        with pytest.raises((ValueError, TypeError), match="pytree|flat"):
+            run_chees_checkpointed(
+                key, self.tree_lp, {"w": jnp.zeros(3), "xy": jnp.zeros(2)},
+                ChEESConfig(num_samples=10, burn=5), "/tmp/nope", num_chains=8,
+            )
