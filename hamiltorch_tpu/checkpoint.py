@@ -518,7 +518,14 @@ def run_nuts_checkpointed(
     """
     from .samplers.nuts import _run_nuts_jit, init_metric_seed, validate_nuts_mass
     from .samplers.warmup import schedule_flags
+    from .utils.pytree import reject_param_tree
 
+    reject_param_tree(
+        theta0, "run_nuts_checkpointed",
+        "the chunked carry is persisted in the flat layout",
+        "use run_nuts, whose pytree-native path has no checkpointed "
+        "counterpart yet",
+    )
     theta0 = jnp.asarray(theta0)
     lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[0])
@@ -594,7 +601,14 @@ def run_nuts_ensemble_checkpointed(
         validate_nuts_mass,
     )
     from .samplers.warmup import schedule_flags
+    from .utils.pytree import reject_param_tree
 
+    reject_param_tree(
+        theta0, "run_nuts_ensemble_checkpointed",
+        "the chunked pooled carry is persisted in the flat layout",
+        "use run_nuts_ensemble, whose pytree-native path has no "
+        "checkpointed counterpart yet",
+    )
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
@@ -971,15 +985,14 @@ def run_chees_checkpointed(
     )
     from .samplers.nuts import init_metric_seed
     from .samplers.warmup import schedule_flags
-    from .utils.pytree import is_param_tree
+    from .utils.pytree import reject_param_tree
 
-    if is_param_tree(theta0):
-        raise TypeError(
-            "run_chees_checkpointed takes a flat (D,) theta0 — the chunked "
-            "carry is persisted in the flat layout.  Ravel the pytree "
-            "(utils.pytree.ravel_pytree_fn) or use run_chees, whose "
-            "pytree-native path has no checkpointed counterpart yet."
-        )
+    reject_param_tree(
+        theta0, "run_chees_checkpointed",
+        "the chunked carry is persisted in the flat layout",
+        "use run_chees, whose pytree-native path has no checkpointed "
+        "counterpart yet",
+    )
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         k_init, key = jax.random.split(key)

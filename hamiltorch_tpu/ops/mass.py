@@ -250,6 +250,29 @@ class TreeMass:
     def kinetic(self, p):
         return self.inner.kinetic(tree_ravel(p))
 
+    def kinetic_leafwise(self, p):
+        """0.5 pᵀM⁻¹p reduced PER LEAF — no flat concatenation.
+
+        ``kinetic`` ravels the momentum tree into one (D,) vector, which is
+        fine once per transition (and keeps the reduction bitwise identical
+        to the flat path) but would reintroduce the flat-layout copy tax
+        inside per-leaf-step energy evaluations (NUTS computes H at every
+        leaf).  This variant sums per-leaf reductions instead: float-level
+        (not bitwise) equivalent to ``kinetic``.  Dense/block inner
+        operators need the flat layout and fall back to ``kinetic``.
+        """
+        p_leaves = jax.tree_util.tree_leaves(p)
+        if self.inv_diag_tree is not None:
+            d_leaves = jax.tree_util.tree_leaves(self.inv_diag_tree)
+            parts = [
+                jnp.sum(pl * pl * dl) for pl, dl in zip(p_leaves, d_leaves)
+            ]
+        elif isinstance(self.inner, IdentityMass):
+            parts = [jnp.sum(pl * pl) for pl in p_leaves]
+        else:
+            return self.kinetic(p)
+        return 0.5 * sum(parts)
+
 
 def make_mass_tree(inv_mass, params_template) -> TreeMass:
     """Build a TreeMass for a parameter pytree.

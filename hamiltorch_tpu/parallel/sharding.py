@@ -274,10 +274,14 @@ def run_nuts_chains_sharded(
     for large ensembles prefer run_chees, whose trajectory length is shared
     by construction.
     """
-    from ..samplers.nuts import _run_nuts_jit
+    from ..samplers.nuts import _run_nuts_jit, validate_nuts_mass
+    from ..utils.pytree import reject_param_tree
 
-    from ..samplers.nuts import validate_nuts_mass
-
+    reject_param_tree(
+        theta0, "run_nuts_chains_sharded",
+        "the mesh shard specs are built for the flat layout",
+        "use run_nuts_chains's local pytree-native path",
+    )
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
@@ -455,7 +459,13 @@ def run_nuts_ensemble_sharded(
         init_metric_seed,
         validate_nuts_mass,
     )
+    from ..utils.pytree import reject_param_tree
 
+    reject_param_tree(
+        theta0, "run_nuts_ensemble_sharded",
+        "the mesh carry specs are built for the flat layout",
+        "use run_nuts_ensemble's local pytree-native path",
+    )
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
@@ -509,15 +519,13 @@ def run_chees_sharded(
     (per-chain randomness derives from sharded per-chain keys).
     """
     from ..samplers.chees import _run_chees_jit, validate_chees
-    from ..utils.pytree import is_param_tree
+    from ..utils.pytree import reject_param_tree
 
-    if is_param_tree(theta0):
-        raise TypeError(
-            "run_chees_sharded takes a flat (D,) theta0 — the mesh carry "
-            "specs are built for the flat layout.  Ravel the pytree "
-            "(utils.pytree.ravel_pytree_fn) or use run_chees's local "
-            "pytree-native path."
-        )
+    reject_param_tree(
+        theta0, "run_chees_sharded",
+        "the mesh carry specs are built for the flat layout",
+        "use run_chees's local pytree-native path",
+    )
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         k_init, key = jax.random.split(key)

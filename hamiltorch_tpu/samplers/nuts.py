@@ -39,6 +39,56 @@ from .driver import MCMCResult, MCMCStats
 
 DIVERGENCE_THRESHOLD = 1000.0
 
+# The NUTS core is SHAPE-POLYMORPHIC: the chain state may be a flat (D,)
+# vector (the reference's convention) or a parameter PYTREE with leaves in
+# their natural shapes (the pytree-native path — no flat-layout slicing in
+# the hot loop; docs/BENCHMARKS.md "Where the time goes").  A bare array is
+# itself a one-leaf pytree, so a single tree_map-based code path serves
+# both; on flat vectors every operation below lowers to exactly the same
+# XLA program as the direct expressions it replaced.
+
+_tmap = jax.tree_util.tree_map
+
+
+def _t_dot(a, b):
+    """Scalar ⟨a, b⟩ over all leaves (== jnp.dot for flat vectors)."""
+    parts = [
+        jnp.dot(al.ravel(), bl.ravel())
+        for al, bl in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    ]
+    return parts[0] if len(parts) == 1 else sum(parts)
+
+
+def _t_where(cond, new, old):
+    """Scalar-predicate select applied leafwise."""
+    return _tmap(lambda n, o: jnp.where(cond, n, o), new, old)
+
+
+def _t_any_neq(a, b):
+    """True when any leaf element differs (the chain moved)."""
+    parts = [
+        jnp.any(al != bl)
+        for al, bl in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b))
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out | p
+    return out
+
+
+def _t_dtype(t):
+    return jax.tree_util.tree_leaves(t)[0].dtype
+
+
+def _kinetic(mass, p):
+    """Per-leaf-step kinetic energy: leafwise for TreeMass (no flat concat
+    inside the tree-building loop), the operator's own reduction otherwise."""
+    from ..ops.mass import TreeMass
+
+    if isinstance(mass, TreeMass):
+        return mass.kinetic_leafwise(p)
+    return mass.kinetic(p)
+
 
 @dataclasses.dataclass(frozen=True)
 class NUTSConfig:
@@ -97,18 +147,18 @@ def _popcount(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _single_step(vg, mass, end: _End, eps) -> _End:
-    p_half = end.p + 0.5 * eps * end.grad
-    theta = end.theta + eps * mass.velocity(p_half)
+    p_half = _tmap(lambda p, g: p + 0.5 * eps * g, end.p, end.grad)
+    theta = _tmap(lambda t, v: t + eps * v, end.theta, mass.velocity(p_half))
     logp, grad = vg(theta)
-    p = p_half + 0.5 * eps * grad
+    p = _tmap(lambda ph, g: ph + 0.5 * eps * g, p_half, grad)
     return _End(theta, p, logp, grad)
 
 
 def _is_uturn(mass, theta_minus, p_minus, theta_plus, p_plus):
     """True when either end's velocity points back across the span."""
-    dtheta = theta_plus - theta_minus
-    return (jnp.dot(dtheta, mass.velocity(p_minus)) < 0) | (
-        jnp.dot(dtheta, mass.velocity(p_plus)) < 0
+    dtheta = _tmap(lambda tp, tm: tp - tm, theta_plus, theta_minus)
+    return (_t_dot(dtheta, mass.velocity(p_minus)) < 0) | (
+        _t_dot(dtheta, mass.velocity(p_plus)) < 0
     )
 
 
@@ -134,12 +184,16 @@ def _build_subtree(
     ``depth`` is traced; the loop is a while_loop bounded by 2^depth with
     early exit on U-turn/divergence.
     """
-    d_model = start.theta.shape[0]
     signed_eps = eps * direction
     n_leaves = jnp.int32(1) << depth
 
-    ck_theta = jnp.zeros((max_depth + 1, d_model), start.theta.dtype)
-    ck_p = jnp.zeros((max_depth + 1, d_model), start.theta.dtype)
+    # dyadic-interval checkpoint slabs, one (max_depth+1, ...) slab per
+    # state leaf (a flat state is one leaf: the original (max_depth+1, D))
+    def slab(leaf):
+        return jnp.zeros((max_depth + 1,) + leaf.shape, leaf.dtype)
+
+    ck_theta = _tmap(slab, start.theta)
+    ck_p = _tmap(slab, start.p)
 
     init = _Subtree(
         end=start,
@@ -163,7 +217,7 @@ def _build_subtree(
         s, tree, ck_theta, ck_p, key = carry
         key, k_sel = jax.random.split(key)
         leaf = _single_step(vg, mass, tree.end, signed_eps)
-        h = -leaf.logp + mass.kinetic(leaf.p)
+        h = -leaf.logp + _kinetic(mass, leaf.p)
         delta = h0 - h  # log leaf weight
         diverging = ~jnp.isfinite(delta) | (delta < -DIVERGENCE_THRESHOLD)
         delta_safe = jnp.where(diverging, -jnp.inf, delta)
@@ -172,9 +226,9 @@ def _build_subtree(
         new_log_w = jnp.logaddexp(tree.log_weight, delta_safe)
         p_take = jnp.exp(delta_safe - new_log_w)  # w_leaf / w_subtree
         take = jax.random.uniform(k_sel, ()) < p_take
-        theta_prop = jnp.where(take, leaf.theta, tree.theta_prop)
+        theta_prop = _t_where(take, leaf.theta, tree.theta_prop)
         logp_prop = jnp.where(take, leaf.logp, tree.logp_prop)
-        grad_prop = jnp.where(take, leaf.grad, tree.grad_prop)
+        grad_prop = _t_where(take, leaf.grad, tree.grad_prop)
         h_prop = jnp.where(take, h, tree.h_prop)
 
         alpha = jnp.minimum(1.0, jnp.exp(jnp.where(jnp.isfinite(delta), delta, -jnp.inf)))
@@ -182,8 +236,14 @@ def _build_subtree(
         # checkpoint even positions; slot = popcount(s) is collision-free
         slot = _popcount(s)
         is_even = (s & 1) == 0
-        ck_theta = jnp.where(is_even, ck_theta.at[slot].set(leaf.theta), ck_theta)
-        ck_p = jnp.where(is_even, ck_p.at[slot].set(leaf.p), ck_p)
+        ck_theta = _tmap(
+            lambda ck, lf: jnp.where(is_even, ck.at[slot].set(lf), ck),
+            ck_theta, leaf.theta,
+        )
+        ck_p = _tmap(
+            lambda ck, lf: jnp.where(is_even, ck.at[slot].set(lf), ck),
+            ck_p, leaf.p,
+        )
 
         # U-turn over every dyadic interval ending at s: [a, s] with
         # a = s - 2^k + 1 whenever 2^k divides s+1.
@@ -191,10 +251,15 @@ def _build_subtree(
             size = jnp.int32(1) << k
             applies = ((s + 1) % size == 0) & (size <= s + 1)
             a = s - size + 1
-            th_a = ck_theta[_popcount(a)]
-            p_a = ck_p[_popcount(a)]
+            slot_a = _popcount(a)
+            th_a = _tmap(lambda ck: ck[slot_a], ck_theta)
+            p_a = _tmap(lambda ck: ck[slot_a], ck_p)
             turn = _is_uturn(
-                mass, th_a, direction * p_a, leaf.theta, direction * leaf.p
+                mass,
+                th_a,
+                _tmap(lambda x: direction * x, p_a),
+                leaf.theta,
+                _tmap(lambda x: direction * x, leaf.p),
             )
             return turning | (applies & turn)
 
@@ -238,8 +303,8 @@ def nuts_transition(vg, mass: MassOperator, max_depth: int):
 
     def transition(key, theta, logp, grad, step_size):
         key, k_mom = jax.random.split(key)
-        p0 = mass.sample(k_mom, dtype=theta.dtype)
-        h0 = -logp + mass.kinetic(p0)
+        p0 = mass.sample(k_mom, dtype=_t_dtype(theta))
+        h0 = -logp + _kinetic(mass, p0)
 
         left = _End(theta, p0, logp, grad)
         right = left
@@ -283,7 +348,7 @@ def nuts_transition(vg, mass: MassOperator, max_depth: int):
         def body(c: Carry):
             key, k_dir, k_sub, k_merge = jax.random.split(c.key, 4)
             go_right = jax.random.bernoulli(k_dir)
-            direction = jnp.where(go_right, 1.0, -1.0).astype(theta.dtype)
+            direction = jnp.where(go_right, 1.0, -1.0).astype(_t_dtype(theta))
             start = jax.tree_util.tree_map(
                 lambda r, l: jnp.where(go_right, r, l), c.right, c.left
             )
@@ -298,9 +363,9 @@ def nuts_transition(vg, mass: MassOperator, max_depth: int):
             take = (~invalid) & (
                 jnp.log(jax.random.uniform(k_merge, ())) < log_ratio
             )
-            theta_prop = jnp.where(take, sub.theta_prop, c.theta_prop)
+            theta_prop = _t_where(take, sub.theta_prop, c.theta_prop)
             logp_prop = jnp.where(take, sub.logp_prop, c.logp_prop)
-            grad_prop = jnp.where(take, sub.grad_prop, c.grad_prop)
+            grad_prop = _t_where(take, sub.grad_prop, c.grad_prop)
             h_prop = jnp.where(take, sub.h_prop, c.h_prop)
             log_weight = jnp.where(
                 invalid, c.log_weight, jnp.logaddexp(c.log_weight, sub.log_weight)
@@ -405,9 +470,10 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
         theta0, logp0, grad0 = init_state
     else:
         logp0, grad0 = vg(theta0)
-    da0 = init_da if init_da is not None else da_init(config.step_size, dtype=theta0.dtype)
+    da0 = init_da if init_da is not None else da_init(config.step_size, dtype=_t_dtype(theta0))
 
-    from ..ops.mass import DenseMass, DiagMass
+    from ..ops.mass import DenseMass, DiagMass, TreeMass, tree_ravel
+    from ..utils.pytree import is_param_tree
     from .warmup import (
         schedule_flags,
         welford_cov_update,
@@ -415,7 +481,34 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
         windowed_step,
     )
 
-    d = theta0.shape[0]
+    # theta0 may be a flat (D,) vector or a parameter PYTREE (the
+    # shape-polymorphic core handles both); warmup moments always
+    # accumulate in the flat layout, bridged once per draw
+    is_tree = is_param_tree(theta0)
+    if is_tree:
+        _leaves0 = jax.tree_util.tree_leaves(theta0)
+        d = sum(int(l.size) for l in _leaves0)
+        _tdef = jax.tree_util.tree_structure(theta0)
+        _shapes = tuple(tuple(l.shape) for l in _leaves0)
+        seed_mass = mass.inner if isinstance(mass, TreeMass) else mass
+
+        def _tree_diag_mass(metric_flat):
+            parts, off = [], 0
+            for shape in _shapes:
+                n = 1
+                for s in shape:
+                    n *= s
+                parts.append(metric_flat[off : off + n].reshape(shape))
+                off += n
+            return TreeMass(
+                inner=DiagMass(inv_diag=metric_flat),
+                inv_diag_tree=jax.tree_util.tree_unflatten(_tdef, parts),
+                treedef=_tdef,
+                shapes=_shapes,
+            )
+    else:
+        d = theta0.shape[0]
+        seed_mass = mass
     windowed = bool(config.adapt_mass) and config.burn > 0
     dense = windowed and config.adapt_mass == "dense"
     if collect_flags is None:
@@ -439,7 +532,7 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
         if dense:
             cur_mass = DenseMass(inv_mass=metric[0], chol_mass=metric[1])
         elif windowed:
-            cur_mass = DiagMass(inv_diag=metric)
+            cur_mass = _tree_diag_mass(metric) if is_tree else DiagMass(inv_diag=metric)
         else:
             cur_mass = mass
         # per-draw key from (base key, global index): chunk-transparent
@@ -449,7 +542,7 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
         theta, logp, grad, info = transition(sub, theta, logp, grad, da.step_size)
         # real per-draw outcome: did the multinomial selection move the chain
         # (NUTS has no MH reject; a synthetic accept bool would be fiction)
-        moved = jnp.any(theta != theta_prev)
+        moved = _t_any_neq(theta, theta_prev)
 
         # requires a warmup phase; with burn <= 0 the freeze at n==burn would
         # clobber step_size with exp(log_eps_bar)=1 on the first draw
@@ -477,10 +570,11 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
             )
 
         if windowed:
-            wf_upd = (welford_cov_update if dense else welford_update)(wf, theta)
+            theta_flat = tree_ravel(theta) if is_tree else theta
+            wf_upd = (welford_cov_update if dense else welford_update)(wf, theta_flat)
             wf, metric, da = windowed_step(
                 wf, metric, da, collect, window_end, wf_upd, dense, d,
-                theta.dtype,
+                _t_dtype(theta),
             )
 
         da_t = jnp.where(window_end, 0, da_t + 1)
@@ -489,7 +583,7 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
     if init_warm is not None:
         wf0, metric0, da_t0 = init_warm
     else:
-        wf0, metric0 = init_metric_seed(mass, d, theta0.dtype, dense)
+        wf0, metric0 = init_metric_seed(seed_mass, d, _t_dtype(theta0), dense)
         da_t0 = jnp.zeros((), jnp.int32)
     (
         (theta_f, logp_f, grad_f, da_f, wf_f, metric_f, da_t_f),
@@ -560,6 +654,51 @@ def init_dense_metric(mass, d: int, dtype):
     return eye, eye
 
 
+def _tree_nuts_mass(inv_mass, template, config: NUTSConfig):
+    """Validated TreeMass for a pytree NUTS entry (diagonal metrics only).
+
+    The pytree-native path keeps the hot tree-building loop in per-leaf
+    shapes; dense/block metrics and dense windowed warmup operate on the
+    flat layout and stay flat-path-only, exactly as in the pytree ChEES
+    entry (samplers/chees.py)."""
+    from ..ops.mass import BlockDiagMass, DenseMass, make_mass_tree
+
+    if config.adapt_mass == "dense":
+        raise ValueError(
+            "adapt_mass='dense' is not supported with a pytree chain state "
+            "— the dense metric operates on the flat layout; pass a flat "
+            "(D,) theta0, or use diagonal adaptation."
+        )
+    mass = make_mass_tree(inv_mass, template)
+    if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
+        raise ValueError(
+            "pytree NUTS supports diagonal metrics only — pass "
+            "inv_mass=None, a flat (D,) diagonal, or a per-leaf pytree of "
+            "diagonals (dense/block inv_mass needs the flat (D,) theta0 "
+            "path)."
+        )
+    validate_nuts_mass(config, mass.inner)
+    return mass
+
+
+def _stack_tree_chains(key, theta0, num_chains, stacked):
+    """(template, stacked_tree): broadcast a single pytree state to
+    ``num_chains`` leading-axis copies unless its leaves already carry a
+    chain axis (``stacked`` overrides the auto-detection)."""
+    theta0 = _tmap(jnp.asarray, theta0)
+    leaves, tdef = jax.tree_util.tree_flatten(theta0)
+    if stacked is None:
+        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
+    if stacked:
+        template = jax.tree_util.tree_unflatten(tdef, [l[0] for l in leaves])
+        return template, theta0
+    template = theta0
+    stacked_tree = _tmap(
+        lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
+    )
+    return template, stacked_tree
+
+
 def run_nuts(
     key,
     log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray],
@@ -574,7 +713,21 @@ def run_nuts(
     inverse mass is estimated in-scan from Welford variance statistics over
     doubling slow windows, with dual averaging restarted at each window
     boundary (samplers/warmup.py).
+
+    ``theta0`` may be a flat (D,) vector or a parameter PYTREE.  With a
+    pytree the tree-building loop updates leaves in their natural shapes
+    (no flat-layout slicing tax; ``samples`` is a tree of (N, ...) leaves)
+    and ``inv_mass`` may be None, a flat (D,) diagonal, or a matching
+    per-leaf pytree of diagonals; dense/block metrics and
+    ``adapt_mass='dense'`` stay flat-path-only (they raise).
     """
+    from ..utils.pytree import is_param_tree
+
+    if is_param_tree(theta0):
+        theta0 = _tmap(jnp.asarray, theta0)
+        mass = _tree_nuts_mass(inv_mass, theta0, config)
+        lp, data = resolve_potential(log_prob_fn, pass_grad)
+        return _run_nuts_jit(key, theta0, lp, config, mass, data=data)
     theta0 = jnp.asarray(theta0)
     lp, data = resolve_potential(log_prob_fn, pass_grad)
     mass = make_mass(inv_mass, theta0.shape[0])
@@ -597,19 +750,33 @@ def run_nuts_chains(
     config: NUTSConfig,
     num_chains: int,
     inv_mass=None,
+    theta0_is_stacked: bool | None = None,
 ):
     """Vectorised independent NUTS chains via vmap.
 
     Each chain adapts its own step size / mass.  For a SHARED cross-chain
     adaptation (C-fold-faster warmup) see :func:`run_nuts_ensemble`.
+
+    ``theta0`` may be flat ((D,) broadcast, or a (C, D) block) or a
+    parameter PYTREE — single state or (C, ...)-stacked leaves
+    (``theta0_is_stacked`` overrides the auto-detection); see
+    :func:`run_nuts` for the pytree path's metric support.
     """
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    from ..utils.pytree import is_param_tree
+
     keys = jax.random.split(key, num_chains)
     lp, data = resolve_potential(log_prob_fn, None)
-    mass = make_mass(inv_mass, theta0.shape[-1])
-    validate_nuts_mass(config, mass)
+    if is_param_tree(theta0):
+        template, theta0 = _stack_tree_chains(
+            key, theta0, num_chains, theta0_is_stacked
+        )
+        mass = _tree_nuts_mass(inv_mass, template, config)
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+        mass = make_mass(inv_mass, theta0.shape[-1])
+        validate_nuts_mass(config, mass)
     return jax.vmap(
         lambda k, t: _run_nuts_jit(k, t, lp, config, mass, data=data)
     )(keys, theta0)
@@ -636,16 +803,53 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
     """
     lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
     vg = jax.value_and_grad(lp)
-    c, d = theta0s.shape
-    dtype = theta0s.dtype
 
-    from ..ops.mass import DenseMass, DiagMass
+    from ..ops.mass import DenseMass, DiagMass, TreeMass
+    from ..utils.pytree import is_param_tree
     from .warmup import (
         schedule_flags,
         welford_cov_merge_batch,
         welford_merge_batch,
         windowed_step,
     )
+
+    # theta0s may be a (C, D) block or a parameter PYTREE with (C, ...)
+    # leaves; per-chain transitions are shape-polymorphic (vmapped over the
+    # leading axis of every leaf) and the pooled Welford estimate bridges
+    # through one flat (C, D) view per draw
+    is_tree = is_param_tree(theta0s)
+    if is_tree:
+        _leaves0 = jax.tree_util.tree_leaves(theta0s)
+        c = _leaves0[0].shape[0]
+        dtype = _leaves0[0].dtype
+        _pshapes = tuple(tuple(l.shape[1:]) for l in _leaves0)
+        d = sum(int(l.size) // c for l in _leaves0)
+        _tdef = jax.tree_util.tree_structure(theta0s)
+        seed_mass = mass.inner if isinstance(mass, TreeMass) else mass
+
+        def _t_flat_batch(t):
+            return jnp.concatenate(
+                [l.reshape(c, -1) for l in jax.tree_util.tree_leaves(t)], axis=-1
+            )
+
+        def _tree_diag_mass(metric_flat):
+            parts, off = [], 0
+            for shape in _pshapes:
+                n = 1
+                for s in shape:
+                    n *= s
+                parts.append(metric_flat[off : off + n].reshape(shape))
+                off += n
+            return TreeMass(
+                inner=DiagMass(inv_diag=metric_flat),
+                inv_diag_tree=jax.tree_util.tree_unflatten(_tdef, parts),
+                treedef=_tdef,
+                shapes=_pshapes,
+            )
+    else:
+        c, d = theta0s.shape
+        dtype = theta0s.dtype
+        seed_mass = mass
 
     windowed = config.adapt_mass and config.burn > 0
     dense = windowed and config.adapt_mass == "dense"
@@ -685,7 +889,7 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
         if dense:
             cur_mass = DenseMass(inv_mass=metric[0], chol_mass=metric[1])
         elif windowed:
-            cur_mass = DiagMass(inv_diag=metric)
+            cur_mass = _tree_diag_mass(metric) if is_tree else DiagMass(inv_diag=metric)
         else:
             cur_mass = mass
         transition = nuts_transition(vg, cur_mass, config.max_tree_depth)
@@ -694,7 +898,19 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
         thetas, logps, grads, info = jax.vmap(
             lambda k, t, l, g: transition(k, t, l, g, da.step_size)
         )(keys_n, thetas, logps, grads)
-        moved = jnp.any(thetas != thetas_prev, axis=1)
+        if is_tree:
+            neq = [
+                jnp.any((al != bl).reshape(c, -1), axis=-1)
+                for al, bl in zip(
+                    jax.tree_util.tree_leaves(thetas),
+                    jax.tree_util.tree_leaves(thetas_prev),
+                )
+            ]
+            moved = neq[0]
+            for part in neq[1:]:
+                moved = moved | part
+        else:
+            moved = jnp.any(thetas != thetas_prev, axis=1)
 
         if config.adapt_step_size and config.burn > 0:
             da_upd = da_update(
@@ -716,8 +932,9 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
             )
 
         if windowed:
+            thetas_flat = _t_flat_batch(thetas) if is_tree else thetas
             wf_upd = (welford_cov_merge_batch if dense else welford_merge_batch)(
-                wf, thetas, gsum=gsum, count=gcount
+                wf, thetas_flat, gsum=gsum, count=gcount
             )
             wf, metric, da = windowed_step(
                 wf, metric, da, collect, window_end, wf_upd, dense, d, dtype
@@ -730,7 +947,7 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
         carry0 = init_carry
     else:
         logps0, grads0 = jax.vmap(vg)(theta0s)
-        wf0, metric0 = init_metric_seed(mass, d, dtype, dense)
+        wf0, metric0 = init_metric_seed(seed_mass, d, dtype, dense)
         carry0 = (theta0s, logps0, grads0,
                   da_init(config.step_size, dtype=dtype), wf0, metric0,
                   jnp.zeros((), jnp.int32))
@@ -756,7 +973,8 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
 
     return (
         MCMCResult(
-            samples=jnp.swapaxes(thetas, 0, 1),  # (C, N, D)
+            # (C, N, D) chain-major — per leaf for a pytree ensemble
+            samples=_tmap(lambda l: jnp.swapaxes(l, 0, 1), thetas),
             stats=stats,
             final_step_size=da_f.step_size,
             acc_rate=gmean(infos.accept_prob),
@@ -777,6 +995,7 @@ def run_nuts_ensemble(
     config: NUTSConfig,
     num_chains: int,
     inv_mass=None,
+    theta0_is_stacked: bool | None = None,
 ):
     """NUTS chain ensemble with pooled (cross-chain) adaptation.
 
@@ -792,11 +1011,24 @@ def run_nuts_ensemble(
     warmup carry as in ``run_nuts``: ``final_warm[1]`` is the adapted
     inverse-mass diagonal, or the ``(inv_mass, chol_mass)`` pair for the
     dense metric.
+
+    ``theta0`` may also be a parameter PYTREE — single state (broadcast to
+    ``num_chains``) or (C, ...)-stacked leaves (``theta0_is_stacked``
+    overrides the auto-detection).  ``samples`` then comes back as a tree
+    of (C, N, ...) leaves; diagonal metrics only (see :func:`run_nuts`).
     """
+    from ..utils.pytree import is_param_tree
+
+    lp, data = resolve_potential(log_prob_fn, None)
+    if is_param_tree(theta0):
+        template, theta0 = _stack_tree_chains(
+            key, theta0, num_chains, theta0_is_stacked
+        )
+        mass = _tree_nuts_mass(inv_mass, template, config)
+        return _run_nuts_ensemble_jit(key, theta0, lp, config, mass, data=data)
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
-    lp, data = resolve_potential(log_prob_fn, None)
     mass = make_mass(inv_mass, theta0.shape[-1])
     validate_nuts_mass(config, mass)
     return _run_nuts_ensemble_jit(key, theta0, lp, config, mass, data=data)

@@ -47,3 +47,14 @@ def is_param_tree(theta: Any) -> bool:
     if len(leaves) == 1 and leaves[0] is theta:
         return False
     return any(getattr(leaf, "ndim", 0) >= 1 for leaf in leaves)
+
+
+def reject_param_tree(theta, entry_point: str, why: str, alternative: str) -> None:
+    """Raise a uniform TypeError when a flat-layout-only entry point
+    receives a parameter pytree (checkpointed carries and mesh specs are
+    built for the flat layout; the pytree-native paths are local-only)."""
+    if is_param_tree(theta):
+        raise TypeError(
+            f"{entry_point} takes a flat (D,) theta0 — {why}.  Ravel the "
+            f"pytree (utils.pytree.ravel_pytree_fn) or {alternative}."
+        )

@@ -541,3 +541,119 @@ class TestNUTSEnergyAccounting:
             np.testing.assert_array_equal(e_new[~moved], e_old[~moved])
         # trajectory energy errors are small for a well-tuned chain
         assert np.median(np.abs(e_new - e_old)[moved]) < 1.0
+
+
+class TestPytreeNUTS:
+    """Pytree-native NUTS: the shape-polymorphic core runs the tree-building
+    loop over parameter leaves in their natural shapes (no flat-layout
+    slicing tax); warmup moments bridge through one flat view per draw."""
+
+    def tree_lp(self, t):
+        prec = jnp.asarray(PREC, jnp.float32)
+        return -0.5 * (t["xy"] @ prec @ t["xy"]) - 0.5 * jnp.sum(t["w"] ** 2)
+
+    def test_tree_statistics_single_chain(self, key):
+        cfg = NUTSConfig(num_samples=2500, step_size=0.4, burn=500)
+        r, info = run_nuts(key, self.tree_lp,
+                           {"w": jnp.zeros((1, 3)), "xy": jnp.zeros(2)}, cfg)
+        assert r.samples["w"].shape == (2500, 1, 3)
+        xy = np.asarray(r.samples["xy"][500:])
+        np.testing.assert_allclose(np.cov(xy.T), COV, atol=0.15)
+        w = np.asarray(r.samples["w"][500:]).reshape(-1, 3)
+        np.testing.assert_allclose(w.std(0), [1, 1, 1], rtol=0.15)
+        assert np.asarray(info.tree_depth).max() > 1
+
+    def test_first_draw_matches_flat(self, key):
+        """One transition from the same start under the same key: the tree
+        and flat paths integrate the same trajectory (float tolerance —
+        per-leaf reductions reassociate the flat sums)."""
+        flat_lp = lambda v: -0.5 * jnp.sum(v[:3] ** 2) + corr_gaussian(v[3:])
+        cfg = NUTSConfig(num_samples=3, step_size=0.3, burn=0,
+                         adapt_step_size=False)
+        r_flat, _ = run_nuts(key, flat_lp, jnp.zeros(5), cfg)
+        r_tree, _ = run_nuts(
+            key, self.tree_lp, {"w": jnp.zeros(3), "xy": jnp.zeros(2)}, cfg
+        )
+        flat_tree = np.concatenate(
+            [np.asarray(r_tree.samples["w"]), np.asarray(r_tree.samples["xy"])],
+            axis=-1,
+        )
+        np.testing.assert_allclose(
+            flat_tree[0], np.asarray(r_flat.samples)[0], rtol=1e-4, atol=1e-5
+        )
+
+    def test_tree_adapt_mass_fixes_bad_scaling(self, key):
+        """Windowed diag warmup on a tree state: the flat Welford bridge
+        learns per-leaf scales that fixed-metric NUTS at this budget misses."""
+        lp = lambda t: (-0.5 * jnp.sum((t["a"] / 0.05) ** 2)
+                        - 0.5 * jnp.sum((t["b"] / 20.0) ** 2))
+        t0 = {"a": jnp.zeros(2), "b": jnp.zeros((2, 1))}
+        cfg = NUTSConfig(num_samples=1200, step_size=0.3, burn=600,
+                         adapt_mass=True)
+        r, info = run_nuts(key, lp, t0, cfg)
+        a = np.asarray(r.samples["a"][800:])
+        b = np.asarray(r.samples["b"][800:]).reshape(-1, 2)
+        np.testing.assert_allclose(a.std(0), [0.05, 0.05], rtol=0.3)
+        np.testing.assert_allclose(b.std(0), [20.0, 20.0], rtol=0.3)
+        # the learned flat diagonal (tree-ravel order: a then b) is wildly
+        # anisotropic, matching the target scales
+        inv = np.asarray(r.final_warm[1])
+        assert inv.shape == (4,)
+        assert inv[2] / inv[0] > 1e3
+
+    def test_tree_ensemble_pooled_warmup(self, key):
+        from hamiltorch_tpu.samplers.nuts import run_nuts_ensemble
+
+        cfg = NUTSConfig(num_samples=600, step_size=0.4, burn=300,
+                         adapt_mass=True)
+        r, info = run_nuts_ensemble(
+            key, self.tree_lp, {"w": jnp.zeros(3), "xy": jnp.zeros(2)}, cfg,
+            num_chains=8,
+        )
+        assert r.samples["w"].shape == (8, 600, 3)
+        assert r.samples["xy"].shape == (8, 600, 2)
+        xy = np.asarray(r.samples["xy"][:, 400:]).reshape(-1, 2)
+        np.testing.assert_allclose(np.cov(xy.T), COV, atol=0.15)
+
+    def test_tree_chains_per_leaf_inv_mass_and_stacked(self, key):
+        lp = lambda t: (-0.5 * jnp.sum((t["a"] / 0.1) ** 2)
+                        - 0.5 * jnp.sum((t["b"] / 10.0) ** 2))
+        inv_mass = {"a": jnp.full((2,), 0.01), "b": jnp.full((2, 1), 100.0)}
+        t0 = {"a": jnp.zeros((4, 2)), "b": jnp.zeros((4, 2, 1))}  # stacked
+        cfg = NUTSConfig(num_samples=800, step_size=0.5, burn=200)
+        r, info = run_nuts_chains(key, lp, t0, cfg, num_chains=4,
+                                  inv_mass=inv_mass)
+        assert r.samples["a"].shape == (4, 800, 2)
+        a = np.asarray(r.samples["a"][:, 300:]).reshape(-1, 2)
+        b = np.asarray(r.samples["b"][:, 300:]).reshape(-1, 2)
+        np.testing.assert_allclose(a.std(0), [0.1, 0.1], rtol=0.3)
+        np.testing.assert_allclose(b.std(0), [10.0, 10.0], rtol=0.3)
+
+    def test_tree_thin(self, key):
+        cfg = NUTSConfig(num_samples=300, step_size=0.4, burn=100, thin=3)
+        r, info = run_nuts(key, self.tree_lp,
+                           {"w": jnp.zeros(3), "xy": jnp.zeros(2)}, cfg)
+        assert r.samples["w"].shape == (100, 3)
+        assert r.samples["xy"].shape == (100, 2)
+        assert bool(np.isfinite(np.asarray(r.samples["xy"])).all())
+
+    def test_tree_rejections(self, key):
+        t0 = {"w": jnp.zeros(3), "xy": jnp.zeros(2)}
+        with pytest.raises(ValueError, match="dense|pytree"):
+            run_nuts(key, self.tree_lp, t0,
+                     NUTSConfig(num_samples=10, burn=5, adapt_mass="dense"))
+        with pytest.raises(ValueError, match="diagonal"):
+            run_nuts(key, self.tree_lp, t0, NUTSConfig(num_samples=10),
+                     inv_mass=jnp.eye(5))
+        from hamiltorch_tpu.checkpoint import run_nuts_checkpointed
+
+        with pytest.raises(TypeError, match="flat"):
+            run_nuts_checkpointed(key, self.tree_lp, t0,
+                                  NUTSConfig(num_samples=10), "/tmp/nope")
+        from hamiltorch_tpu.parallel.sharding import run_nuts_ensemble_sharded
+
+        with pytest.raises(TypeError, match="flat"):
+            run_nuts_ensemble_sharded(
+                key, self.tree_lp, t0, NUTSConfig(num_samples=10),
+                mesh=None, num_chains=8,
+            )
