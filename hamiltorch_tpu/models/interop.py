@@ -486,8 +486,227 @@ def _rnn_family(mod):
     return fn
 
 
+# keyword arguments the MultiheadAttention handler understands; the fx
+# bridge forwards exactly these (everything else is rejected loudly)
+_MHA_KWARGS = frozenset({
+    "key_padding_mask", "need_weights", "attn_mask",
+    "average_attn_weights", "is_causal",
+})
+
+# per-module-type (max positional args, allowed kwargs) for fx submodule
+# calls; anything else takes exactly one tensor and no keywords — silently
+# dropping extra args would compute wrong results with no error
+_MODULE_CALL_SURFACE = {
+    "RNN": (2, frozenset()),
+    "LSTM": (2, frozenset()),
+    "GRU": (2, frozenset()),
+    "MultiheadAttention": (3, _MHA_KWARGS),
+    "TransformerEncoderLayer": (
+        2, frozenset({"src_mask", "src_key_padding_mask", "is_causal"})
+    ),
+    "TransformerEncoder": (
+        2, frozenset({"mask", "src_key_padding_mask", "is_causal"})
+    ),
+}
+
+
+def _multihead_attention(mod):
+    """nn.MultiheadAttention (self- or cross-attention), inference
+    semantics (dropout off, like the Dropout handler).
+
+    Covers batched and unbatched inputs, batch_first either way,
+    bias/no-bias, float or bool attn_mask ((L, S) or (N*heads, L, S)),
+    key_padding_mask, is_causal, and need_weights/average_attn_weights —
+    the call surface the reference reaches by executing the user's forward
+    eagerly (reference: hamiltorch/util.py:318-346).  kdim/vdim !=
+    embed_dim, add_bias_kv, and add_zero_attn raise loudly.  Returns the
+    torch tuple (attn_output, attn_weights-or-None); fx forwards index it
+    with getitem.
+    """
+    if not mod._qkv_same_embed_dim:
+        raise TypeError(
+            "MultiheadAttention with kdim/vdim != embed_dim is not supported"
+        )
+    if mod.bias_k is not None or mod.add_zero_attn:
+        raise TypeError(
+            "MultiheadAttention add_bias_kv/add_zero_attn is not supported"
+        )
+    num_heads = mod.num_heads
+    embed_dim = mod.embed_dim
+    head_dim = embed_dim // num_heads
+    has_bias = mod.in_proj_bias is not None
+    out_has_bias = mod.out_proj.bias is not None
+    batch_first = mod.batch_first
+
+    def fn(params, off, query, key=None, value=None, key_padding_mask=None,
+           need_weights=True, attn_mask=None, average_attn_weights=True,
+           is_causal=False):
+        w_in = params[off]
+        o = off + 1
+        b_in = None
+        if has_bias:
+            b_in, o = params[o], o + 1
+        w_out, o = params[o], o + 1
+        b_out = None
+        if out_has_bias:
+            b_out, o = params[o], o + 1
+
+        key = query if key is None else key
+        value = key if value is None else value
+        unbatched = query.ndim == 2
+        if unbatched:
+            q, k, v = query[None], key[None], value[None]
+        elif batch_first:
+            q, k, v = query, key, value
+        else:  # (L, N, E) -> (N, L, E)
+            q = jnp.swapaxes(query, 0, 1)
+            k = jnp.swapaxes(key, 0, 1)
+            v = jnp.swapaxes(value, 0, 1)
+
+        wq, wk, wv = jnp.split(w_in, 3, axis=0)
+        q, k, v = q @ wq.T, k @ wk.T, v @ wv.T
+        if b_in is not None:
+            bq, bk, bv = jnp.split(b_in, 3)
+            q, k, v = q + bq, k + bk, v + bv
+        n, l, _ = q.shape
+        s = k.shape[1]
+        qh = q.reshape(n, l, num_heads, head_dim).transpose(0, 2, 1, 3)
+        kh = k.reshape(n, s, num_heads, head_dim).transpose(0, 2, 1, 3)
+        vh = v.reshape(n, s, num_heads, head_dim).transpose(0, 2, 1, 3)
+        logits = (qh / jnp.sqrt(jnp.asarray(head_dim, qh.dtype))) @ jnp.swapaxes(kh, -1, -2)
+
+        if is_causal and attn_mask is None:
+            attn_mask = ~jnp.tril(jnp.ones((l, s), bool))
+        if attn_mask is not None:
+            am = jnp.asarray(attn_mask)
+            if am.dtype == jnp.bool_:
+                am = jnp.where(am, -jnp.inf, 0.0).astype(logits.dtype)
+            am = am[None, None] if am.ndim == 2 else am.reshape(n, num_heads, l, s)
+            logits = logits + am
+        if key_padding_mask is not None:
+            kpm = jnp.asarray(key_padding_mask)
+            if kpm.dtype == jnp.bool_:
+                kpm = jnp.where(kpm, -jnp.inf, 0.0).astype(logits.dtype)
+            if kpm.ndim == 1:  # unbatched (S,)
+                kpm = kpm[None]
+            logits = logits + kpm[:, None, None, :]
+
+        weights = jax.nn.softmax(logits, axis=-1)  # (N, H, L, S)
+        out = (weights @ vh).transpose(0, 2, 1, 3).reshape(n, l, embed_dim)
+        out = out @ w_out.T
+        if b_out is not None:
+            out = out + b_out
+
+        if unbatched:
+            out = out[0]
+        elif not batch_first:
+            out = jnp.swapaxes(out, 0, 1)
+        if not need_weights:
+            return (out, None), o
+        w = jnp.mean(weights, axis=1) if average_attn_weights else weights
+        if unbatched:
+            w = w[0]
+        return (out, w), o
+
+    return fn
+
+
+def _transformer_encoder_layer(mod):
+    """nn.TransformerEncoderLayer (pre- or post-norm), inference semantics.
+
+    Not fx-traceable (torch's fast-path probing breaks on Proxy inputs),
+    so it is a composite LEAF built from the attention / linear / layernorm
+    handlers.  Parameter offsets follow torch's REGISTRATION order
+    (self_attn, linear1, linear2, norm1, norm2), which differs from
+    pre-norm execution order.
+    """
+    import torch.nn.functional as F
+
+    act_table = {
+        F.relu: jax.nn.relu,
+        # torch F.gelu default is the EXACT erf form, not the tanh approx
+        F.gelu: lambda x: jax.nn.gelu(x, approximate=False),
+    }
+    act = act_table.get(mod.activation)
+    if act is None:
+        name = getattr(mod.activation, "__name__", repr(mod.activation))
+        raise TypeError(
+            f"TransformerEncoderLayer activation {name} is not supported "
+            "(relu/gelu only)"
+        )
+    attn_fn = _multihead_attention(mod.self_attn)
+    lin1, lin2 = _linear(mod.linear1), _linear(mod.linear2)
+    ln1, ln2 = _layernorm(mod.norm1), _layernorm(mod.norm2)
+    norm_first = mod.norm_first
+    counts = [
+        len(list(m.parameters()))
+        for m in (mod.self_attn, mod.linear1, mod.linear2, mod.norm1, mod.norm2)
+    ]
+    o_attn = 0
+    o_lin1 = o_attn + counts[0]
+    o_lin2 = o_lin1 + counts[1]
+    o_norm1 = o_lin2 + counts[2]
+    o_norm2 = o_norm1 + counts[3]
+    total = o_norm2 + counts[4]
+
+    def fn(params, off, src, src_mask=None, src_key_padding_mask=None,
+           is_causal=False):
+        def attn_block(x):
+            (y, _), _o = attn_fn(
+                params, off + o_attn, x, x, x,
+                key_padding_mask=src_key_padding_mask, need_weights=False,
+                attn_mask=src_mask, is_causal=is_causal,
+            )
+            return y
+
+        def ff_block(x):
+            h, _ = lin1(params, off + o_lin1, x)
+            y, _ = lin2(params, off + o_lin2, act(h))
+            return y
+
+        def norm1(x):
+            return ln1(params, off + o_norm1, x)[0]
+
+        def norm2(x):
+            return ln2(params, off + o_norm2, x)[0]
+
+        if norm_first:
+            x = src + attn_block(norm1(src))
+            x = x + ff_block(norm2(x))
+        else:
+            x = norm1(src + attn_block(src))
+            x = norm2(x + ff_block(x))
+        return x, off + total
+
+    return fn
+
+
+def _transformer_encoder(mod):
+    """nn.TransformerEncoder: a deep-copied layer stack + optional final
+    norm; parameter order is layers.0..layers.N-1 then norm."""
+    layer_fns = [_transformer_encoder_layer(l) for l in mod.layers]
+    final_norm = _layernorm(mod.norm) if mod.norm is not None else None
+
+    def fn(params, off, src, mask=None, src_key_padding_mask=None,
+           is_causal=None):
+        x = src
+        o = off
+        for lf in layer_fns:
+            x, o = lf(params, o, x, src_mask=mask,
+                      src_key_padding_mask=src_key_padding_mask,
+                      is_causal=bool(is_causal))
+        if final_norm is not None:
+            x, o = final_norm(params, o, x)
+        return x, o
+
+    return fn
+
+
 _LEAF_HANDLERS = {
     "Linear": _linear,
+    "MultiheadAttention": _multihead_attention,
+    "TransformerEncoderLayer": _transformer_encoder_layer,
+    "TransformerEncoder": _transformer_encoder,
     "RNN": _rnn_family,
     "LSTM": _rnn_family,
     "GRU": _rnn_family,
@@ -971,7 +1190,7 @@ def _from_torch_fx(module) -> Callable:
     # remove_duplicate=False: a shared layer reachable under two names
     # must resolve for BOTH call_module targets
     submods = dict(module.named_modules(remove_duplicate=False))
-    handlers, param_idx, rnn_targets = {}, {}, set()
+    handlers, param_idx, call_surface = {}, {}, {}
     functions, methods = _fx_tables()
 
     n_placeholders = sum(1 for n in gm.graph.nodes if n.op == "placeholder")
@@ -992,22 +1211,22 @@ def _from_torch_fx(module) -> Callable:
                     # nested custom-forward module: recurse through fx
                     handlers[node.target] = _from_torch_fx(sub)
                 param_idx[node.target] = [flat_ids[id(p)] for p in sub.parameters()]
-                if type(sub).__name__ in ("RNN", "LSTM", "GRU"):
-                    rnn_targets.add(node.target)
-            # only the RNN family takes a 2nd argument (the initial hidden
-            # state); silently dropping extra args would compute wrong
-            # results with no error
-            if node.kwargs:
+                call_surface[node.target] = _MODULE_CALL_SURFACE.get(
+                    type(sub).__name__, (1, frozenset())
+                )
+            max_args, allowed_kwargs = call_surface[node.target]
+            if any(kw not in allowed_kwargs for kw in node.kwargs):
                 raise TypeError(
                     f"submodule call {node.target!r} passes keyword arguments "
-                    f"{sorted(node.kwargs)}; the bridge supports positional "
-                    "tensor inputs only"
+                    f"{sorted(node.kwargs)}; this module type accepts "
+                    f"{sorted(allowed_kwargs) or 'none'}"
                 )
-            if len(node.args) > (2 if node.target in rnn_targets else 1):
+            if len(node.args) > max_args:
                 raise TypeError(
                     f"submodule call {node.target!r} passes {len(node.args)} "
-                    "arguments; only RNN/LSTM/GRU submodules accept a second "
-                    "(initial hidden state) argument"
+                    f"positional arguments; this module type accepts at most "
+                    f"{max_args} (extra inputs beyond RNN hidden state / "
+                    "attention (query, key, value) / masks are unsupported)"
                 )
         elif node.op == "call_function" and node.target not in functions:
             raise TypeError(
@@ -1046,7 +1265,7 @@ def _from_torch_fx(module) -> Callable:
             kwargs = map_arg(node.kwargs, load)
             if node.op == "call_module":
                 sub_params = [params[off + i] for i in param_idx[node.target]]
-                y, _ = handlers[node.target](sub_params, 0, *args)
+                y, _ = handlers[node.target](sub_params, 0, *args, **kwargs)
                 env[node.name] = y
             elif node.op == "call_function":
                 env[node.name] = functions[node.target](*args, **kwargs)

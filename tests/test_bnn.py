@@ -1141,3 +1141,147 @@ class TestBridgeRound3:
         assert bool(jnp.all(jnp.isfinite(samples)))
         post = np.asarray(samples[50:]).mean(0)
         np.testing.assert_allclose(post[:2], w, atol=0.4)
+
+
+class TestAttentionInterop:
+    """MultiheadAttention / TransformerEncoder(Layer) through the bridge:
+    self- and cross-attention, masks, pre/post-norm, and end-to-end
+    sampling of a tiny transformer BNN."""
+
+    def _check(self, net, x, atol=1e-5):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        net = net.eval()
+        apply_fn, template = from_torch_module(net)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        got = np.asarray(apply_fn(template, jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref, atol=atol)
+
+    def test_self_attention_matches_torch(self):
+        torch = pytest.importorskip("torch")
+
+        class SelfAttn(torch.nn.Module):
+            def __init__(self, batch_first, bias):
+                super().__init__()
+                self.attn = torch.nn.MultiheadAttention(
+                    8, 2, bias=bias, batch_first=batch_first)
+                self.lin = torch.nn.Linear(8, 3)
+
+            def forward(self, x):
+                y, w = self.attn(x, x, x)
+                return self.lin(y) + w.sum() * 0.0
+
+        for bf in (True, False):
+            for bias in (True, False):
+                torch.manual_seed(41)
+                x = np.random.RandomState(41).randn(5, 7, 8).astype(np.float32)
+                self._check(SelfAttn(bf, bias), x)
+
+    def test_cross_attention_with_masks(self):
+        torch = pytest.importorskip("torch")
+
+        class CrossAttn(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.attn = torch.nn.MultiheadAttention(8, 4, batch_first=True)
+                self.kv = torch.nn.Linear(8, 8)
+                self.register_buffer(
+                    "mask", torch.triu(torch.ones(6, 6, dtype=torch.bool), 1))
+                self.register_buffer(
+                    "kpm", torch.tensor([[False] * 6,
+                                         [False, False, False, True, True, True]]))
+
+            def forward(self, x):
+                kv = self.kv(x)
+                y, _ = self.attn(x, kv, kv, need_weights=False,
+                                 attn_mask=self.mask, is_causal=True,
+                                 key_padding_mask=self.kpm)
+                return y
+
+        torch.manual_seed(42)
+        x = np.random.RandomState(42).randn(2, 6, 8).astype(np.float32)
+        self._check(CrossAttn(), x)
+
+    def test_unbatched_attention(self):
+        torch = pytest.importorskip("torch")
+
+        class Unbatched(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.attn = torch.nn.MultiheadAttention(8, 2)
+
+            def forward(self, x):
+                return self.attn(x, x, x)[0]
+
+        torch.manual_seed(43)
+        x = np.random.RandomState(43).randn(6, 8).astype(np.float32)
+        self._check(Unbatched(), x)
+
+    def test_encoder_layer_pre_and_post_norm(self):
+        torch = pytest.importorskip("torch")
+        for nf in (False, True):
+            torch.manual_seed(44)
+            net = torch.nn.TransformerEncoderLayer(
+                d_model=8, nhead=2, dim_feedforward=16, batch_first=True,
+                dropout=0.0, norm_first=nf)
+            x = np.random.RandomState(44).randn(4, 5, 8).astype(np.float32)
+            self._check(net, x)
+
+    def test_encoder_stack_gelu_final_norm(self):
+        torch = pytest.importorskip("torch")
+        torch.manual_seed(45)
+        net = torch.nn.TransformerEncoder(
+            torch.nn.TransformerEncoderLayer(
+                8, 2, 16, batch_first=True, dropout=0.0, activation="gelu"),
+            num_layers=3, norm=torch.nn.LayerNorm(8))
+        x = np.random.RandomState(45).randn(2, 6, 8).astype(np.float32)
+        self._check(net, x)
+
+    def test_unsupported_attention_configs_raise(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import _multihead_attention
+
+        with pytest.raises(TypeError, match="kdim|embed_dim"):
+            _multihead_attention(
+                torch.nn.MultiheadAttention(8, 2, kdim=4, vdim=4))
+        with pytest.raises(TypeError, match="add_bias_kv|add_zero_attn"):
+            _multihead_attention(
+                torch.nn.MultiheadAttention(8, 2, add_bias_kv=True))
+
+    def test_sample_tiny_transformer_bnn(self, key):
+        """End to end: a transformer regression BNN ports and samples."""
+        torch = pytest.importorskip("torch")
+        torch.manual_seed(46)
+
+        class TinyTransformer(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.emb = torch.nn.Linear(1, 8)
+                self.enc = torch.nn.TransformerEncoder(
+                    torch.nn.TransformerEncoderLayer(
+                        8, 2, 16, batch_first=True, dropout=0.0),
+                    num_layers=1)
+                self.head = torch.nn.Linear(8, 1)
+
+            def forward(self, x):
+                h = self.enc(self.emb(x))
+                return self.head(h.mean(dim=1))
+
+        net = TinyTransformer().eval()
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        apply_fn, template = from_torch_module(net)
+        x = np.linspace(-1, 1, 8, dtype=np.float32)[:, None, None]  # (N, S=1, 1)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-5)
+        y = jnp.sin(2 * jnp.asarray(x[:, 0, :]))
+        samples = sample_model(
+            net, jnp.asarray(x), y, model_loss="regression",
+            num_samples=30, burn=10, step_size=0.001, num_steps_per_sample=5,
+            tau_out=10.0, key=key, verbose=False,
+        )
+        assert bool(jnp.all(jnp.isfinite(samples)))
