@@ -253,6 +253,7 @@ class TestBatchNormInterop:
         )
 
 
+@pytest.mark.slow
 class TestSamplerCombinations:
     """Model layer x sampler matrix: every sampler family on a BNN potential."""
 
@@ -308,6 +309,7 @@ class TestSamplerCombinations:
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-5)
 
 
+@pytest.mark.slow
 class TestStreamedPredict:
     def test_loader_predict_matches_whole_tensor(self, key):
         """The streamed (lax.scan over batches) loader path must agree with
@@ -905,6 +907,7 @@ class TestBridgeBreadth:
         )
 
 
+@pytest.mark.slow
 class TestBridgeRound3:
     """Round-3 bridge breadth: 1d/3d convs, Group/InstanceNorm, adaptive
     pools, PReLU + activation zoo, and the concrete-trace escape hatch for
@@ -1143,6 +1146,7 @@ class TestBridgeRound3:
         np.testing.assert_allclose(post[:2], w, atol=0.4)
 
 
+@pytest.mark.slow
 class TestAttentionInterop:
     """MultiheadAttention / TransformerEncoder(Layer) through the bridge:
     self- and cross-attention, masks, pre/post-norm, and end-to-end

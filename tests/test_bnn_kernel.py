@@ -31,6 +31,7 @@ def _potential(x, y, tau):
     return logp
 
 
+@pytest.mark.slow
 class TestFusedBNNKernelLogic:
     def setup_method(self, _):
         rng = np.random.RandomState(0)

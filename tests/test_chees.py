@@ -15,6 +15,7 @@ def corr_gaussian(theta):
     return -0.5 * theta @ jnp.asarray(PREC, jnp.float32) @ theta
 
 
+@pytest.mark.slow
 class TestChEES:
     def test_gaussian_moments(self, key):
         config = ChEESConfig(num_samples=1200, step_size=0.3, burn=500)
@@ -128,6 +129,7 @@ class TestLeapfrogCapReporting:
         assert int(jnp.max(r.info.num_leapfrog)) >= 25  # cap actually binds here
 
 
+@pytest.mark.slow
 class TestChEESThinning:
     def test_thin_matches_full_run_subsample(self, key):
         """thin=k keeps exactly every k-th draw of the identical stream:
@@ -173,6 +175,7 @@ class TestChEESThinning:
                       ChEESConfig(num_samples=10, thin=3), num_chains=4)
 
 
+@pytest.mark.slow
 class TestDenseChEESWarmup:
     """adapt_mass='dense': full-covariance cross-chain windowed warmup
     (the NUTS dense machinery reused; previously 'dense' silently fell
@@ -237,6 +240,7 @@ class TestDenseChEESWarmup:
                       num_chains=4, inv_mass=blocks)
 
 
+@pytest.mark.slow
 class TestTreeChEES:
     """Pytree-native ChEES ensembles: the hot leapfrog loop updates
     parameter leaves in their natural shapes (no flat-layout slicing tax);

@@ -20,6 +20,7 @@ MASSES = {
 }
 
 
+@pytest.mark.slow
 class TestSampleCombinations:
     @pytest.mark.parametrize("mass_name", list(MASSES))
     @pytest.mark.parametrize(

@@ -13,6 +13,7 @@ from hamiltorch_tpu.diagnostics import (
 from hamiltorch_tpu.samplers.driver import MCMCConfig
 
 
+@pytest.mark.slow
 class TestESS:
     def test_iid_samples(self, key):
         x = jax.random.normal(key, (4, 1000, 3))
@@ -42,6 +43,7 @@ class TestESS:
         assert ess > n  # antithetic chains super-efficient
 
 
+@pytest.mark.slow
 class TestRhat:
     def test_converged_chains(self, key):
         x = jax.random.normal(key, (4, 500, 2))
@@ -64,6 +66,7 @@ class TestRhat:
         assert s["mean"].shape == (3,)
 
 
+@pytest.mark.slow
 class TestRankNormalizedDiagnostics:
     """Vehtari et al. 2021 rank-normalized R-hat / bulk-ESS / tail-ESS."""
 
@@ -201,6 +204,7 @@ class TestNUTSCheckpoint:
         )
 
 
+@pytest.mark.slow
 class TestAdaptiveCheckpoint:
     """Round-2 resume coverage: windowed warmup, ChEES, vmapped chains."""
 
@@ -403,6 +407,7 @@ class TestPartialDirectoryReuse:
         )
 
 
+@pytest.mark.slow
 class TestEBFMI:
     """Betancourt 2016 energy-BFMI: Var(dE)/Var(E) per chain."""
 
@@ -457,6 +462,7 @@ class TestEBFMI:
         assert "e_bfmi" not in summary(samples)
 
 
+@pytest.mark.slow
 class TestPytreeDiagnostics:
     """Diagnostics accept pytree traces from the pytree-native chain state
     (as_flat_samples canonicalisation)."""

@@ -365,6 +365,7 @@ class TestHostOffload:
         )
 
 
+@pytest.mark.slow
 class TestHMCMassAdaptation:
     """Stan-style windowed mass warmup wired into plain HMC
     (config.adapt_mass; machinery shared with NUTS via samplers/warmup.py)."""

@@ -33,6 +33,7 @@ class TestPopcount:
         np.testing.assert_array_equal(np.asarray(jax.vmap(_popcount)(vals)), expected)
 
 
+@pytest.mark.slow
 class TestNUTSStatistics:
     def test_correlated_gaussian_moments(self, key):
         config = NUTSConfig(num_samples=2000, step_size=0.5, burn=500)
@@ -185,6 +186,7 @@ class TestWindowedWarmup:
         assert float(np.asarray(info.tree_depth[800:]).mean()) < 6
 
 
+@pytest.mark.slow
 class TestReviewRegressions:
     def test_burn0_default_keeps_step_size(self, key):
         """burn=0 with adaptation enabled must not clobber step_size with
@@ -235,6 +237,7 @@ class TestReviewRegressions:
             run_nuts(key, corr_gaussian, jnp.zeros(2), config, inv_mass=jnp.eye(2))
 
 
+@pytest.mark.slow
 class TestEnsembleNUTS:
     def test_pooled_warmup_beats_single_chain_on_short_burn(self, key):
         """With only 120 burn draws, the pooled Welford estimate (16 chains
@@ -364,6 +367,7 @@ class TestEnsembleNUTS:
         np.testing.assert_array_equal(ss, np.broadcast_to(ss[:, :1], ss.shape))
 
 
+@pytest.mark.slow
 class TestDenseMassWarmup:
     """adapt_mass='dense': full-covariance Stan-style windowed warmup."""
 
@@ -458,6 +462,7 @@ class TestEntryPointValidation:
                                     mesh, num_chains=8, inv_mass=dense)
 
 
+@pytest.mark.slow
 class TestNUTSThinning:
     def test_thin_matches_full_run_subsample(self, key):
         """thin=k keeps every k-th draw of the identical transition stream."""
@@ -543,6 +548,7 @@ class TestNUTSEnergyAccounting:
         assert np.median(np.abs(e_new - e_old)[moved]) < 1.0
 
 
+@pytest.mark.slow
 class TestPytreeNUTS:
     """Pytree-native NUTS: the shape-polymorphic core runs the tree-building
     loop over parameter leaves in their natural shapes (no flat-layout

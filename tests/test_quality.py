@@ -38,6 +38,7 @@ def kl_gaussian_fit(samples: np.ndarray) -> float:
     return float(kl)
 
 
+@pytest.mark.slow
 class TestKLQuality:
     def test_hmc_kl(self, key):
         # Single chains at the notebook budget scatter KL over 0.02-1.4 —

@@ -150,6 +150,7 @@ class TestImplicitLeapfrog:
         assert abs(h1 - h0) < 1e-2
 
 
+@pytest.mark.slow
 class TestRMHMCStatistics:
     def test_implicit_gaussian_moments(self, key):
         config = MCMCConfig(num_samples=600, num_steps_per_sample=8, step_size=0.3)
@@ -241,6 +242,7 @@ def banana_logprob(theta, b=0.1):
     return -0.5 * (x**2 / 4.0) - 0.5 * ((y - b * (x**2 - 4.0)) ** 2) / 0.5
 
 
+@pytest.mark.slow
 class TestBananaRMHMC:
     @pytest.mark.parametrize("integ", [Integrator.IMPLICIT, Integrator.EXPLICIT])
     def test_softabs_banana(self, key, integ):
@@ -329,6 +331,7 @@ class TestFixedPointDiagnostics:
         assert float(jnp.max(result.stats.fp_residual)) <= 1e-10
 
 
+@pytest.mark.slow
 class TestRMHMCChains:
     def test_vmapped_chains_match_single(self, key):
         """Chain 0 of the vmapped batch equals a single run with its key."""
@@ -364,6 +367,7 @@ class TestRMHMCChains:
         np.testing.assert_allclose(cov, np.linalg.inv(np.asarray(PREC)), atol=0.15)
 
 
+@pytest.mark.slow
 class TestRMHMCCheckpoint:
     def test_resume_matches_direct(self, key, tmp_path):
         """Chunked + resumed RMHMC reproduces the uninterrupted run exactly
@@ -420,6 +424,7 @@ class TestRMHMCCheckpoint:
                                    bogus=1)
 
 
+@pytest.mark.slow
 class TestImplicitMidpoint:
     """Integrator.MIDPOINT (integrators/midpoint.py) — extension per
     Brofos & Lederman (arXiv:2102.07139): one joint fixed point per step,

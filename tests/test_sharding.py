@@ -105,6 +105,7 @@ class TestDataSharding:
             )
 
 
+@pytest.mark.slow
 class TestChEESSharding:
     def test_sharded_chees_matches_local(self, key):
         """Same per-chain keys -> same draws: the only difference between the
@@ -202,6 +203,7 @@ class TestChEESSharding:
         assert inv_diag[2] / inv_diag[0] > 50.0
 
 
+@pytest.mark.slow
 class TestChEESDataSharding:
     def test_chains_by_data_matches_local_fullbatch(self, key):
         """ChEES over BOTH axes (chains-sharded ensemble x data-sharded
@@ -247,6 +249,7 @@ class TestChEESDataSharding:
         np.testing.assert_allclose(post.mean(0), w_true, atol=0.25)
 
 
+@pytest.mark.slow
 class TestNUTSSharding:
     def test_sharded_nuts_matches_vmap(self, key):
         from hamiltorch_tpu.parallel.sharding import run_nuts_chains_sharded
@@ -348,6 +351,7 @@ class TestNUTSSharding:
         np.testing.assert_allclose(np.cov(kept.T), np.asarray(cov), atol=0.2)
 
 
+@pytest.mark.slow
 class TestNUTSDataSharding:
     def test_pooled_ensemble_chains_by_data(self, key):
         """Pooled ensemble NUTS over BOTH axes: the data psum rebuilds the
@@ -434,6 +438,7 @@ class TestNUTSDataSharding:
         )
 
 
+@pytest.mark.slow
 class TestRMHMCSharding:
     def test_sharded_rmhmc_matches_vmap(self, key):
         from hamiltorch_tpu.parallel.sharding import run_rmhmc_chains_sharded
@@ -499,6 +504,7 @@ class TestMultihostHelpers:
         assert r.samples.shape == (8, 10, 2)
 
 
+@pytest.mark.slow
 class TestPTSharding:
     def test_sharded_matches_vmapped(self, key):
         """Mesh-sharded ensembles == the single-device vmapped runner."""

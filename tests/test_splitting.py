@@ -59,6 +59,7 @@ class TestSplittingIntegrator:
         np.testing.assert_allclose(np.asarray(p_s), np.asarray(end.momentum), atol=1e-5)
 
 
+@pytest.mark.slow
 class TestSplitHMCStatistics:
     @pytest.mark.parametrize(
         "integ",
@@ -107,6 +108,7 @@ class MLP(nn.Module):
         return nn.Dense(1)(x)
 
 
+@pytest.mark.slow
 class TestSplitModelFlow:
     def test_sample_split_model(self, key):
         rng = np.random.RandomState(0)
@@ -139,6 +141,7 @@ class TestSplitModelFlow:
         np.testing.assert_allclose(samples.std(0), [1.0, 1.0], atol=0.2)
 
 
+@pytest.mark.slow
 class TestSplittingPassGrad:
     """Extension past the reference: per-term user gradients for splitting
     (the reference refuses pass_grad here, samplers.py:468-469)."""

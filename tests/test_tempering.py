@@ -17,6 +17,7 @@ def bimodal_logprob(theta):
     return jnp.logaddexp(lp1, lp2)
 
 
+@pytest.mark.slow
 class TestParallelTempering:
     def test_mode_hopping(self, key):
         """Plain HMC started in one mode stays there; PT visits both."""
@@ -60,6 +61,7 @@ class TestParallelTempering:
             run_parallel_tempering(key, bimodal_logprob, jnp.zeros(1), cfg)
 
 
+@pytest.mark.slow
 class TestLadderAdaptation:
     def test_adaptation_equalises_swap_rates(self, key):
         """On a heavy-tailed target a geometric ladder gives lopsided
@@ -101,6 +103,7 @@ class TestLadderAdaptation:
         np.testing.assert_allclose(cold.std(0), [1, 1], atol=0.12)
 
 
+@pytest.mark.slow
 class TestStepSizeAdaptation:
     def lp_narrow(self, t):
         """Badly scaled bimodal: modes at +-1 with sd 0.02 — a 0.25 step
@@ -173,6 +176,7 @@ def dataclasses_replace(cfg, **kw):
     return dataclasses.replace(cfg, **kw)
 
 
+@pytest.mark.slow
 class TestEnsemblePT:
     def lp(self, t):
         return jnp.logaddexp(

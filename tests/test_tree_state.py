@@ -94,6 +94,7 @@ class TestTreeMass:
             assert v[k] is p[k]
 
 
+@pytest.mark.slow
 class TestTreeHMCBitParity:
     @pytest.mark.parametrize("inv_mass_kind", ["none", "flat_diag", "tree_diag", "dense"])
     def test_single_chain_bitwise(self, key, inv_mass_kind):
