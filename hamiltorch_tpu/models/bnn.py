@@ -203,6 +203,65 @@ def define_model_log_prob(
     return log_prob_func, flat_init, unravel
 
 
+def define_model_tree_log_prob(
+    model,
+    model_loss,
+    x,
+    y,
+    tau_list=None,
+    tau_out: float = 1.0,
+    predict: bool = False,
+    prior_scale: float = 1.0,
+    x_example=None,
+    params_template=None,
+    remat: bool = False,
+):
+    """Pytree-native variant of :func:`define_model_log_prob`.
+
+    The returned potential takes the parameter PYTREE itself — no
+    ravel/unravel in the gradient path, so samplers run it on their
+    pytree-native chain state (run_hmc / run_nuts / run_chees all accept
+    the returned ``template`` as ``theta0``) with none of the flat-layout
+    slicing tax the round-2 profile measured at ~24% of each leapfrog step
+    (docs/BENCHMARKS.md "Where the time goes").  Values match
+    ``define_model_log_prob`` exactly: same priors (reference:
+    hamiltorch/samplers.py:1141-1157), same likelihood switch
+    (samplers.py:1170-1190), evaluated on unraveled leaves either way.
+
+    Returns ``(log_prob_func, params_template)``.
+    """
+    apply_fn, template = build_model(
+        model, x_example=x_example if x_example is not None else x,
+        params_template=params_template,
+    )
+    if remat:
+        apply_fn = jax.checkpoint(apply_fn)
+    x = None if x is None else jnp.asarray(x)
+    y = None if y is None else jnp.asarray(y)
+
+    def raw_fn(params, data):
+        l_prior = gaussian_prior_log_prob(params, tau_list) / prior_scale
+        if data is None:
+            return l_prior
+        x_, y_ = data
+        output = apply_fn(params, x_)
+        ll = log_likelihood(output, y_, model_loss, tau_out)
+        if predict:
+            return ll + l_prior, output
+        return ll + l_prior
+
+    data = None if x is None else (x, y)
+
+    def log_prob_func(params):
+        return raw_fn(params, data)
+
+    # same jit-operand protocol as define_model_log_prob
+    log_prob_func._raw_fn = raw_fn
+    log_prob_func._data = data
+
+    return log_prob_func, template
+
+
 def _as_batches(train_loader, num_splits: Optional[int] = None,
                 keep_tail: bool = False):
     """Materialise (x, y) batches from a torch DataLoader or any iterable of

@@ -1289,3 +1289,73 @@ class TestAttentionInterop:
             tau_out=10.0, key=key, verbose=False,
         )
         assert bool(jnp.all(jnp.isfinite(samples)))
+
+
+class TestTreeModelLogProb:
+    """define_model_tree_log_prob: the pytree-native BNN potential — exact
+    value parity with the flat factory, and end-to-end tree sampling."""
+
+    def _setup(self):
+        x = jnp.linspace(-1, 1, 12)[:, None]
+        y = jnp.sin(2 * x)
+        model = MLP(features=(4, 1))
+        return model, x, y
+
+    def test_value_and_grad_parity_with_flat(self, key):
+        from hamiltorch_tpu.models.bnn import define_model_tree_log_prob
+        from hamiltorch_tpu.utils.pytree import ravel_pytree_fn
+
+        model, x, y = self._setup()
+        lp_flat, flat0, unravel = define_model_log_prob(
+            model, "regression", x, y, tau_out=10.0)
+        lp_tree, template = define_model_tree_log_prob(
+            model, "regression", x, y, tau_out=10.0)
+        theta = flat0 + 0.1 * jax.random.normal(key, flat0.shape)
+        tree = unravel(theta)
+        np.testing.assert_allclose(
+            float(lp_tree(tree)), float(lp_flat(theta)), rtol=1e-6)
+        g_tree = jax.grad(lp_tree)(tree)
+        g_flat = unravel(jax.grad(lp_flat)(theta))
+        for a, b in zip(jax.tree_util.tree_leaves(g_tree),
+                        jax.tree_util.tree_leaves(g_flat)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    def test_prior_only_and_raw_fn_protocol(self):
+        from hamiltorch_tpu.models.bnn import define_model_tree_log_prob
+
+        model, x, _ = self._setup()
+        lp, template = define_model_tree_log_prob(
+            model, "regression", None, None, x_example=x)
+        assert lp._data is None
+        d = sum(l.size for l in jax.tree_util.tree_leaves(template))
+        zero = jax.tree_util.tree_map(jnp.zeros_like, template)
+        np.testing.assert_allclose(
+            float(lp(zero)), -0.5 * d * np.log(2 * np.pi), rtol=1e-5)
+
+    def test_tree_nuts_on_bnn_potential(self, key):
+        from hamiltorch_tpu.models.bnn import define_model_tree_log_prob
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts
+
+        model, x, y = self._setup()
+        lp, template = define_model_tree_log_prob(
+            model, "regression", x, y, tau_out=10.0)
+        cfg = NUTSConfig(num_samples=80, step_size=0.01, burn=30)
+        r, info = run_nuts(key, lp, template, cfg)
+        leaves = jax.tree_util.tree_leaves(r.samples)
+        assert all(l.shape[0] == 80 for l in leaves)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+    def test_tree_chees_on_bnn_potential(self, key):
+        from hamiltorch_tpu.models.bnn import define_model_tree_log_prob
+        from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
+
+        model, x, y = self._setup()
+        lp, template = define_model_tree_log_prob(
+            model, "regression", x, y, tau_out=10.0)
+        cfg = ChEESConfig(num_samples=100, step_size=0.01, burn=50,
+                          init_trajectory_length=0.1)
+        r = run_chees(key, lp, template, cfg, num_chains=8)
+        leaves = jax.tree_util.tree_leaves(r.samples)
+        assert all(l.shape[:2] == (8, 100) for l in leaves)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
