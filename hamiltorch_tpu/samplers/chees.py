@@ -438,8 +438,18 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
                     (th_new - mu) * v_end, axis=1
                 )
             w = alpha / jnp.maximum(_gsum(alpha), 1e-6)
-            # d/d log T = t * dC/dt (t = u*T); halt gradient on divergences
-            grad_log_t = traj_t * _gsum(jnp.where(finite, w * per_chain, 0.0))
+            # d/d log T = t * dC/dt (t = u*T); halt gradient on divergences.
+            # per_chain is FOURTH order in theta, so a chain that wanders
+            # large-but-finite during early warmup (finite log_ratio, huge
+            # coordinates) can overflow it to inf in f32; one inf gradient
+            # makes Adam's v inf and the next update inf/inf = NaN, killing
+            # trajectory adaptation for the rest of the run.  Mask
+            # non-finite contributions and bound the total: Adam normalises
+            # by sqrt(v), so the clip only caps the warmup-transient step,
+            # not the converged behaviour.
+            contrib = jnp.where(finite, w * per_chain, 0.0)
+            contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
+            grad_log_t = jnp.clip(traj_t * _gsum(contrib), -1e6, 1e6)
 
             m, v = adam
             t1 = (n + 1).astype(dtype)

@@ -68,16 +68,25 @@ class TestChEESMassAdaptation:
         pooled = np.asarray(result.samples[:, 500:]).reshape(-1, 2)
         np.testing.assert_allclose(pooled.std(0), [0.05, 20.0], rtol=0.25)
 
-    def test_without_adapt_mass_struggles(self, key):
-        """Sanity: the same budget WITHOUT mass adaptation leaves the wide
-        direction badly under-dispersed (validates the test above is
+    def test_without_adapt_mass_pays_in_leapfrogs(self, key):
+        """Sanity: without mass adaptation ChEES still samples the wide
+        direction — trajectory adaptation stretches T to the large scale
+        (that is the criterion's job; before the criterion-gradient
+        robustness fix it NaN'd here and the wide direction stayed stuck)
+        — but pays for it with far longer trajectories, so mass adaptation
+        is what buys the EFFICIENCY (validates the test above is
         non-trivial)."""
         scales = jnp.array([0.05, 20.0])
         lp = lambda t: -0.5 * jnp.sum((t / scales) ** 2)
         config = ChEESConfig(num_samples=800, step_size=0.3, burn=400, adapt_mass=False)
         result = run_chees(key, lp, jnp.zeros(2), config, num_chains=16)
         pooled = np.asarray(result.samples[:, 500:]).reshape(-1, 2)
-        assert pooled.std(0)[1] < 16.0  # nowhere near 20
+        np.testing.assert_allclose(pooled.std(0), [0.05, 20.0], rtol=0.3)
+        cfg_ad = ChEESConfig(num_samples=800, step_size=0.3, burn=400, adapt_mass=True)
+        r_ad = run_chees(key, lp, jnp.zeros(2), cfg_ad, num_chains=16)
+        lf_unadapted = float(np.asarray(result.info.num_leapfrog[400:]).mean())
+        lf_adapted = float(np.asarray(r_ad.info.num_leapfrog[400:]).mean())
+        assert lf_unadapted > 3.0 * lf_adapted, (lf_unadapted, lf_adapted)
 
 
 class TestHaltonJitter:
@@ -345,3 +354,35 @@ class TestTreeChEES:
                 key, self.tree_lp, {"w": jnp.zeros(3), "xy": jnp.zeros(2)},
                 ChEESConfig(num_samples=10, burn=5), "/tmp/nope", num_chains=8,
             )
+
+
+@pytest.mark.slow
+class TestTrajectoryGradientRobustness:
+    def test_overflowing_criterion_gradient_does_not_kill_adaptation(self, key):
+        """A BNN warmup whose chains transiently wander large-but-finite
+        used to overflow the fourth-order ChEES criterion gradient to inf,
+        NaN-ing Adam's second moment and freezing log T at NaN for the rest
+        of the run (final_trajectory_length was nan with zero divergences).
+        The gradient is now masked/bounded; adaptation must stay finite and
+        actually move T off its init."""
+        import flax.linen as nn
+
+        class MLP(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Dense(1)(jnp.tanh(nn.Dense(32)(x)))
+
+        from hamiltorch_tpu.models import define_model_log_prob
+
+        x = jnp.linspace(-1, 1, 64)[:, None]
+        y = jnp.sin(3 * x)
+        lp, flat0, _ = define_model_log_prob(MLP(), "regression", x, y,
+                                             tau_out=100.0)
+        cfg = ChEESConfig(num_samples=200, step_size=0.005, burn=150,
+                          adapt_mass=True, init_trajectory_length=0.05)
+        r = run_chees(jax.random.fold_in(key, 42), lp, flat0, cfg,
+                      num_chains=16)
+        tl = np.asarray(r.info.trajectory_length)
+        assert np.isfinite(tl).all(), "trajectory length went non-finite"
+        assert np.isfinite(float(r.final_trajectory_length))
+        assert float(r.final_trajectory_length) != pytest.approx(0.05, rel=1e-3)
