@@ -60,7 +60,21 @@ def _fingerprint(config, theta0, extra=None) -> str:
     """Stable hash of the sampling configuration + chain shape/dtype.
 
     ``extra``: any additional stream-affecting options (e.g. RMHMC's
-    integrator/metric settings) folded into the hash via repr."""
+    integrator/metric settings) folded into the hash via repr.  A pytree
+    ``theta0`` hashes its structure and every leaf's shape/dtype (flat
+    arrays keep the original payload format, so existing flat checkpoints
+    stay valid)."""
+    from .utils.pytree import is_param_tree
+
+    if is_param_tree(theta0):
+        leaves = jax.tree_util.tree_leaves(theta0)
+        shape = [list(np.shape(l)) for l in leaves]
+        dtype = [str(np.asarray(l).dtype) for l in leaves]
+        tdef = str(jax.tree_util.tree_structure(theta0))
+    else:
+        shape = list(np.shape(theta0))
+        dtype = str(np.asarray(theta0).dtype)
+        tdef = None
     payload = {
         "config_type": type(config).__name__,
         "config": {
@@ -68,10 +82,12 @@ def _fingerprint(config, theta0, extra=None) -> str:
             for f in dataclasses.fields(config)
             if f.name not in _COSMETIC_FIELDS
         },
-        "theta_shape": list(np.shape(theta0)),
-        "theta_dtype": str(np.asarray(theta0).dtype),
+        "theta_shape": shape,
+        "theta_dtype": dtype,
         "extra": repr(extra),
     }
+    if tdef is not None:
+        payload["theta_treedef"] = tdef
     return hashlib.sha256(json.dumps(payload, sort_keys=True).encode()).hexdigest()
 
 
@@ -158,7 +174,7 @@ def _checkpoint_loop(
         jax.block_until_ready(jax.tree_util.tree_leaves(carry)[0])
         np.savez(
             os.path.join(ckpt_dir, f"chunk_{n_done:08d}.npz"),
-            **{k: np.asarray(v) for k, v in save_chunk(result).items()},
+            **_flatten_chunk_dict(save_chunk(result)),
         )
         n_done += this_chunk
         _save_state(state_path, carry, base_key, n_done, fingerprint)
@@ -176,6 +192,21 @@ def _checkpoint_loop(
     return zs, carry
 
 
+def _flatten_chunk_dict(d: dict) -> dict:
+    """Encode a chunk dict for np.savez: a pytree value (a tree-state
+    sample trace) becomes per-leaf ``<name>__leaf_<i>`` entries; plain
+    arrays keep their key (existing flat chunk files stay readable)."""
+    out = {}
+    for k, v in d.items():
+        leaves = jax.tree_util.tree_leaves(v)
+        if len(leaves) == 1 and leaves[0] is v:
+            out[k] = np.asarray(v)
+        else:
+            for i, l in enumerate(leaves):
+                out[f"{k}__leaf_{i}"] = np.asarray(l)
+    return out
+
+
 def _assemble_mcmc(zs, config, carry, time_axis: int = 0, acc_from_prob=False):
     """Concatenate chunk files into one MCMCResult.
 
@@ -183,16 +214,29 @@ def _assemble_mcmc(zs, config, carry, time_axis: int = 0, acc_from_prob=False):
     call requested; return exactly the draws this config asked for.
     """
     kept = config.num_samples // max(getattr(config, "thin", 1), 1)
+    take = (slice(None),) * time_axis + (slice(None, kept),)
 
     def cat(name):
+        if name not in zs[0].files and f"{name}__leaf_0" in zs[0].files:
+            # pytree samples: rebuild each leaf, unflatten with the carry's
+            # chain-state structure (samples leaves = theta leaves + time)
+            tdef = jax.tree_util.tree_structure(carry[0].theta)
+            leaves = [
+                jnp.asarray(
+                    np.concatenate([z[f"{name}__leaf_{i}"] for z in zs],
+                                   axis=time_axis)
+                )[take]
+                for i in range(tdef.num_leaves)
+            ]
+            return jax.tree_util.tree_unflatten(tdef, leaves)
         return jnp.asarray(
             np.concatenate([z[name] for z in zs], axis=time_axis)
-        )[(slice(None),) * time_axis + (slice(None, kept),)]
+        )[take]
 
     samples = cat("samples")
     stats = MCMCStats(**{f: cat(f) for f in MCMCStats._fields})
     state, da = carry[0], carry[1]
-    dtype = samples.dtype
+    dtype = jax.tree_util.tree_leaves(samples)[0].dtype
     if acc_from_prob:
         acc_rate = jnp.mean(stats.accept_prob)
     else:
@@ -203,7 +247,8 @@ def _assemble_mcmc(zs, config, carry, time_axis: int = 0, acc_from_prob=False):
         remaining, den = kept, 0
         num = 0.0
         for z in zs:
-            rows = z["samples"].shape[time_axis]
+            s_key = "samples" if "samples" in z.files else "samples__leaf_0"
+            rows = z[s_key].shape[time_axis]
             take = min(rows, remaining)
             if take == rows:
                 rate = np.asarray(z["acc_rate"], np.float64)  # (C,) or scalar
@@ -245,8 +290,14 @@ def _bind_data(lp, data):
 
 
 def _chain_state_template(theta0) -> ChainState:
-    """Same structure as init_chain_state's result, no potential eval."""
-    return ChainState(theta0, jnp.zeros((), theta0.dtype), jnp.zeros_like(theta0))
+    """Same structure as init_chain_state's result, no potential eval.
+    ``theta0`` may be a flat vector or a parameter pytree."""
+    dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
+    return ChainState(
+        theta0,
+        jnp.zeros((), dtype),
+        jax.tree_util.tree_map(jnp.zeros_like, theta0),
+    )
 
 
 def run_hmc_checkpointed(
@@ -268,20 +319,35 @@ def run_hmc_checkpointed(
     jit operand (the ``_raw_fn``/``_data`` protocol), never a baked-in
     program constant.
     """
-    from .samplers.hmc import _run_hmc_jit, init_chain_state
+    from .ops.mass import make_mass_tree
+    from .samplers.hmc import _reject_tree_adapt_mass, _run_hmc_jit, init_chain_state
     from .samplers.warmup import schedule_flags, validate_adapt_mass
+    from .utils.pytree import is_param_tree
 
-    theta0 = jnp.asarray(theta0)
+    # theta0 may be a parameter PYTREE (the no-slicing-tax chain state):
+    # the persistence layer is tree-generic (leaves in the state file,
+    # per-leaf chunk entries, structure+shapes in the fingerprint)
+    if is_param_tree(theta0):
+        _reject_tree_adapt_mass(config)
+        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+        mass = make_mass_tree(inv_mass, theta0)
+        seed_mass = mass.inner
+    else:
+        theta0 = jnp.asarray(theta0)
+        mass = make_mass(inv_mass, theta0.shape[0])
+        seed_mass = mass
+    validate_adapt_mass(config.adapt_mass, seed_mass)
     lp, data = resolve_potential(log_prob_fn, pass_grad)
-    mass = make_mass(inv_mass, theta0.shape[0])
-    validate_adapt_mass(config.adapt_mass, mass)
-    da0 = da_init(config.step_size, dtype=theta0.dtype)
+    leaves0 = jax.tree_util.tree_leaves(theta0)
+    d = sum(int(l.size) for l in leaves0)
+    dtype = leaves0[0].dtype
+    da0 = da_init(config.step_size, dtype=dtype)
     windowed = bool(config.adapt_mass) and config.burn > 0
     if windowed:
         from .samplers.nuts import init_metric_seed
 
         dense = config.adapt_mass == "dense"
-        wf0, metric0 = init_metric_seed(mass, theta0.shape[0], theta0.dtype, dense)
+        wf0, metric0 = init_metric_seed(seed_mass, d, dtype, dense)
         warm0 = (wf0, metric0, jnp.zeros((), jnp.int32))
         template = (_chain_state_template(theta0), da0, warm0)
     else:
@@ -516,30 +582,39 @@ def run_nuts_checkpointed(
     of the GLOBAL warmup window schedule.  (Stats only; the per-draw
     NUTSInfo beyond MCMCStats is not persisted.)
     """
-    from .samplers.nuts import _run_nuts_jit, init_metric_seed, validate_nuts_mass
-    from .samplers.warmup import schedule_flags
-    from .utils.pytree import reject_param_tree
-
-    reject_param_tree(
-        theta0, "run_nuts_checkpointed",
-        "the chunked carry is persisted in the flat layout",
-        "use run_nuts, whose pytree-native path has no checkpointed "
-        "counterpart yet",
+    from .samplers.nuts import (
+        _run_nuts_jit,
+        _tree_nuts_mass,
+        init_metric_seed,
+        validate_nuts_mass,
     )
-    theta0 = jnp.asarray(theta0)
+    from .samplers.warmup import schedule_flags
+    from .utils.pytree import is_param_tree
+
+    # theta0 may be a parameter PYTREE (diag metrics only, as run_nuts):
+    # the persistence layer is tree-generic
+    if is_param_tree(theta0):
+        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+        mass = _tree_nuts_mass(inv_mass, theta0, config)
+        seed_mass = mass.inner
+    else:
+        theta0 = jnp.asarray(theta0)
+        mass = make_mass(inv_mass, theta0.shape[0])
+        seed_mass = mass
+        validate_nuts_mass(config, mass)  # same contract as run_nuts
     lp, data = resolve_potential(log_prob_fn, None)
-    mass = make_mass(inv_mass, theta0.shape[0])
-    d = theta0.shape[0]
+    leaves0 = jax.tree_util.tree_leaves(theta0)
+    d = sum(int(l.size) for l in leaves0)
+    dtype = leaves0[0].dtype
     windowed = bool(config.adapt_mass) and config.burn > 0
     from .samplers.hmc import init_chain_state
 
-    validate_nuts_mass(config, mass)  # same contract as run_nuts
     # the SAME seed the sampler computes: resume must adapt from the
     # identical metric an uninterrupted run would
     wf0, metric0 = init_metric_seed(
-        mass, d, theta0.dtype, dense=config.adapt_mass == "dense"
+        seed_mass, d, dtype, dense=config.adapt_mass == "dense"
     )
-    da0 = da_init(config.step_size, dtype=theta0.dtype)
+    da0 = da_init(config.step_size, dtype=dtype)
     warm0 = (wf0, metric0, jnp.zeros((), jnp.int32))
     template = (_chain_state_template(theta0), da0, warm0)
 
@@ -626,7 +701,10 @@ def run_nuts_ensemble_checkpointed(
         return (theta0, logps, grads, da0, wf0, metric0,
                 jnp.zeros((), jnp.int32))
 
-    template = make_carry(jnp.zeros((c,), dtype), jnp.zeros_like(theta0))
+    template = make_carry(
+        jnp.zeros((c,), dtype),
+        jax.tree_util.tree_map(jnp.zeros_like, theta0),
+    )
 
     def init_carry_fn():
         fn = _bind_data(lp, data)
@@ -985,31 +1063,75 @@ def run_chees_checkpointed(
     )
     from .samplers.nuts import init_metric_seed
     from .samplers.warmup import schedule_flags
-    from .utils.pytree import reject_param_tree
+    from .utils.pytree import is_param_tree, reject_param_tree
 
-    reject_param_tree(
-        theta0, "run_chees_checkpointed",
-        "the chunked carry is persisted in the flat layout",
-        "use run_chees, whose pytree-native path has no checkpointed "
-        "counterpart yet",
-    )
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        k_init, key = jax.random.split(key)
-        theta0 = theta0[None, :] + 0.01 * jax.random.normal(
-            k_init, (num_chains, theta0.shape[0]), theta0.dtype
+    is_tree = is_param_tree(theta0)
+    if is_tree and mesh is not None:
+        reject_param_tree(
+            theta0, "run_chees_checkpointed(mesh=...)",
+            "the mesh carry specs are built for the flat layout",
+            "checkpoint the pytree ensemble without a mesh",
         )
+    if is_tree:
+        # same spread semantics as run_chees's pytree entry (single state
+        # broadcast+noised, or (C, ...)-stacked leaves taken as-is)
+        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+        leaves, tdef = jax.tree_util.tree_flatten(theta0)
+        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
+        if stacked:
+            template_tree = jax.tree_util.tree_unflatten(
+                tdef, [l[0] for l in leaves]
+            )
+        else:
+            template_tree = theta0
+            k_init, key = jax.random.split(key)
+            keys_l = jax.random.split(k_init, len(leaves))
+            leaves = [
+                l[None] + 0.01 * jax.random.normal(
+                    kl, (num_chains,) + l.shape, l.dtype
+                )
+                for l, kl in zip(leaves, keys_l)
+            ]
+            theta0 = jax.tree_util.tree_unflatten(tdef, leaves)
+        from .ops.mass import BlockDiagMass, DenseMass, make_mass_tree
+
+        if config.adapt_mass == "dense":
+            raise ValueError(
+                "adapt_mass='dense' is not supported with a pytree ensemble "
+                "— the dense metric operates on the flat layout; pass a "
+                "flat (D,) theta0, or use diagonal adaptation."
+            )
+        mass = make_mass_tree(inv_mass, template_tree)
+        if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
+            raise ValueError(
+                "pytree ChEES ensembles support diagonal metrics only — "
+                "pass inv_mass=None, a flat (D,) diagonal, or a per-leaf "
+                "pytree of diagonals."
+            )
+        validate_chees(config, mass.inner)
+        seed_mass = mass.inner
+        c = num_chains
+        d = sum(int(l.size) for l in jax.tree_util.tree_leaves(template_tree))
+        dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            k_init, key = jax.random.split(key)
+            theta0 = theta0[None, :] + 0.01 * jax.random.normal(
+                k_init, (num_chains, theta0.shape[0]), theta0.dtype
+            )
+        mass = make_mass(inv_mass, theta0.shape[-1])
+        validate_chees(config, mass)  # same contract as run_chees
+        seed_mass = mass
+        c, d = theta0.shape
+        dtype = theta0.dtype
     lp, data = resolve_potential(log_prob_fn, None)
-    mass = make_mass(inv_mass, theta0.shape[-1])
-    validate_chees(config, mass)  # same contract as run_chees
-    c, d = theta0.shape
-    dtype = theta0.dtype
     windowed = bool(config.adapt_mass) and config.burn > 0
     dense = windowed and config.adapt_mass == "dense"
 
     # the SAME seed the sampler computes: resume must adapt from the
     # identical metric an uninterrupted run would
-    wf0, metric0 = init_metric_seed(mass, d, dtype, dense)
+    wf0, metric0 = init_metric_seed(seed_mass, d, dtype, dense)
 
     def make_carry(logps, grads):
         return ChEESCarry(
@@ -1021,7 +1143,10 @@ def run_chees_checkpointed(
             metric=metric0, da_t=jnp.zeros((), jnp.int32),
         )
 
-    template = make_carry(jnp.zeros((c,), dtype), jnp.zeros_like(theta0))
+    template = make_carry(
+        jnp.zeros((c,), dtype),
+        jax.tree_util.tree_map(jnp.zeros_like, theta0),
+    )
 
     def init_carry_fn():
         fn = _bind_data(lp, data)
@@ -1106,7 +1231,18 @@ def run_chees_checkpointed(
         chunk_size, resume, fp, save_chunk,
     )
     kept = config.num_samples // max(getattr(config, "thin", 1), 1)
-    samples = jnp.asarray(np.concatenate([z["samples"] for z in zs], axis=1))[:, :kept]
+    if "samples" in zs[0].files:
+        samples = jnp.asarray(
+            np.concatenate([z["samples"] for z in zs], axis=1)
+        )[:, :kept]
+    else:  # pytree ensemble: per-leaf chunk entries, (C, N, ...) leaves
+        tdef = jax.tree_util.tree_structure(carry.thetas)
+        samples = jax.tree_util.tree_unflatten(tdef, [
+            jnp.asarray(
+                np.concatenate([z[f"samples__leaf_{i}"] for z in zs], axis=1)
+            )[:, :kept]
+            for i in range(tdef.num_leaves)
+        ])
     info = ChEESInfo(
         **{
             f: jnp.asarray(np.concatenate([z[f] for z in zs], axis=0))[:kept]

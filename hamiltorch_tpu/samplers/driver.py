@@ -266,8 +266,17 @@ def run_mcmc(
             idx = n - start_iter
             collect = collect_flags[idx]
             window_end = end_flags[idx]
+            # pytree chain state: warmup moments accumulate in the flat
+            # layout, bridged once per draw (same scheme as NUTS/ChEES)
+            from ..ops.mass import tree_ravel
+            from ..utils.pytree import is_param_tree
+
+            theta_flat = (
+                tree_ravel(state.theta) if is_param_tree(state.theta)
+                else state.theta
+            )
             wf_upd = (welford_cov_update if dense else welford_update)(
-                wf, state.theta
+                wf, theta_flat
             )
             wf, metric, da = windowed_step(
                 wf, metric, da, collect, window_end, wf_upd, dense, d, dtype

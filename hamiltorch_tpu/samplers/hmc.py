@@ -50,13 +50,15 @@ def init_chain_state(log_prob_fn, theta0: jnp.ndarray) -> ChainState:
 
 
 def _reject_tree_adapt_mass(config) -> None:
-    """Windowed warmup accumulates flat (D,) / (D, D) moments; the
-    pytree-native chain state has no flat layout to accumulate over."""
-    if config.adapt_mass:
+    """Dense windowed warmup accumulates flat (D, D) moments and runs a
+    dense metric — flat-layout only.  Diagonal warmup works on pytree
+    states (the Welford moments bridge through one flat view per draw,
+    the same scheme as NUTS/ChEES)."""
+    if config.adapt_mass == "dense":
         raise ValueError(
-            "adapt_mass is not supported with a pytree chain state — pass a "
-            "flat (D,) theta0 (ravel with utils.pytree.tree_ravel), or seed "
-            "a fixed per-leaf inv_mass pytree instead."
+            "adapt_mass='dense' is not supported with a pytree chain state "
+            "— the dense metric operates on the flat layout; pass a flat "
+            "(D,) theta0, or use diagonal adaptation."
         )
 
 
@@ -78,22 +80,44 @@ def _run_hmc_jit(key, theta0, log_prob_fn, config, mass, init_state=None,
     # Stan-style windowed mass warmup: the metric lives in the scan carry,
     # so the transition is rebuilt from it each draw (same scheme as
     # nuts._run_nuts_jit; the machinery is samplers/warmup.py)
-    from ..ops.mass import DenseMass, DiagMass
+    from ..ops.mass import DenseMass, DiagMass, TreeMass
+    from ..utils.pytree import is_param_tree
     from .nuts import init_metric_seed
 
     dense = config.adapt_mass == "dense"
     dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
     d = sum(l.size for l in jax.tree_util.tree_leaves(theta0))
+    is_tree = is_param_tree(theta0)
+    seed_mass = mass.inner if isinstance(mass, TreeMass) else mass
     if init_warm is None:
-        wf0, metric0 = init_metric_seed(mass, d, dtype, dense)
+        wf0, metric0 = init_metric_seed(seed_mass, d, dtype, dense)
         init_warm = (wf0, metric0, jnp.zeros((), jnp.int32))
+    if is_tree:
+        _leaves0 = jax.tree_util.tree_leaves(theta0)
+        _tdef = jax.tree_util.tree_structure(theta0)
+        _shapes = tuple(tuple(l.shape) for l in _leaves0)
 
     def make_transition(metric):
-        cur = (
-            DenseMass(inv_mass=metric[0], chol_mass=metric[1])
-            if dense
-            else DiagMass(inv_diag=metric)
-        )
+        if dense:
+            cur = DenseMass(inv_mass=metric[0], chol_mass=metric[1])
+        elif is_tree:
+            # rebuild the per-leaf diagonal view once per draw (the flat
+            # Welford bridge in the driver supplies the flat metric)
+            parts, off = [], 0
+            for shape in _shapes:
+                n = 1
+                for s in shape:
+                    n *= s
+                parts.append(metric[off : off + n].reshape(shape))
+                off += n
+            cur = TreeMass(
+                inner=DiagMass(inv_diag=metric),
+                inv_diag_tree=jax.tree_util.tree_unflatten(_tdef, parts),
+                treedef=_tdef,
+                shapes=_shapes,
+            )
+        else:
+            cur = DiagMass(inv_diag=metric)
         return hmc_transition(vg, cur, config.num_steps_per_sample)
 
     return run_mcmc(
@@ -125,15 +149,16 @@ def run_hmc(
     """
     from ..utils.pytree import is_param_tree
 
+    from .warmup import validate_adapt_mass
+
     if is_param_tree(theta0):
         _reject_tree_adapt_mass(config)
         theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
         mass = make_mass_tree(inv_mass, theta0)
+        validate_adapt_mass(config.adapt_mass, mass.inner)
     else:
         theta0 = jnp.asarray(theta0)
         mass = make_mass(inv_mass, theta0.shape[0])
-        from .warmup import validate_adapt_mass
-
         validate_adapt_mass(config.adapt_mass, mass)
     lp, data = resolve_potential(log_prob_fn, pass_grad)
     return _run_hmc_jit(key, theta0, lp, config, mass, data=data)
@@ -171,17 +196,18 @@ def run_hmc_host_offload(
 
     from ..utils.pytree import is_param_tree
 
+    from .warmup import validate_adapt_mass
+
     if is_param_tree(theta0):
         _reject_tree_adapt_mass(config)
         theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
         mass = make_mass_tree(inv_mass, theta0)
         dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
+        validate_adapt_mass(config.adapt_mass, mass.inner)
     else:
         theta0 = jnp.asarray(theta0)
         mass = make_mass(inv_mass, theta0.shape[0])
         dtype = theta0.dtype
-        from .warmup import validate_adapt_mass
-
         validate_adapt_mass(config.adapt_mass, mass)
     lp, data = resolve_potential(log_prob_fn, pass_grad)
     state = init_chain_state(lp if data is None else (lambda t: lp(t, data)), theta0)
@@ -281,6 +307,9 @@ def run_hmc_chains(
                 lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
             )
         mass = make_mass_tree(inv_mass, template)
+        from .warmup import validate_adapt_mass
+
+        validate_adapt_mass(config.adapt_mass, mass.inner)
     else:
         theta0 = jnp.asarray(theta0)
         if theta0.ndim == 1:

@@ -347,13 +347,39 @@ class TestTreeChEES:
         with pytest.raises(ValueError, match="dense|pytree"):
             run_chees(key, self.tree_lp, {"w": jnp.zeros(3), "xy": jnp.zeros(2)},
                       cfg, num_chains=8)
+        from hamiltorch_tpu.parallel.sharding import run_chees_sharded
+
+        with pytest.raises(TypeError, match="flat"):
+            run_chees_sharded(
+                key, self.tree_lp, {"w": jnp.zeros(3), "xy": jnp.zeros(2)},
+                ChEESConfig(num_samples=10, burn=5), mesh=None, num_chains=8,
+            )
+
+    def test_tree_checkpoint_resume_bit_exact(self, key, tmp_path):
+        import dataclasses
+
         from hamiltorch_tpu.checkpoint import run_chees_checkpointed
 
-        with pytest.raises((ValueError, TypeError), match="pytree|flat"):
-            run_chees_checkpointed(
-                key, self.tree_lp, {"w": jnp.zeros(3), "xy": jnp.zeros(2)},
-                ChEESConfig(num_samples=10, burn=5), "/tmp/nope", num_chains=8,
-            )
+        t0 = {"w": jnp.zeros(3), "xy": jnp.zeros(2)}
+        cfg = ChEESConfig(num_samples=120, step_size=0.25, burn=60,
+                          adapt_mass=True)
+        r_direct = run_chees(key, self.tree_lp, t0, cfg, num_chains=8)
+        r_ck = run_chees_checkpointed(key, self.tree_lp, t0, cfg,
+                                      str(tmp_path / "a"), num_chains=8,
+                                      chunk_size=50)
+        for k in ("w", "xy"):
+            np.testing.assert_array_equal(
+                np.asarray(r_ck.samples[k]), np.asarray(r_direct.samples[k]))
+        run_chees_checkpointed(key, self.tree_lp, t0,
+                               dataclasses.replace(cfg, num_samples=50),
+                               str(tmp_path / "b"), num_chains=8,
+                               chunk_size=50)
+        r_res = run_chees_checkpointed(key, self.tree_lp, t0, cfg,
+                                       str(tmp_path / "b"), num_chains=8,
+                                       chunk_size=50)
+        for k in ("w", "xy"):
+            np.testing.assert_array_equal(
+                np.asarray(r_res.samples[k]), np.asarray(r_direct.samples[k]))
 
 
 @pytest.mark.slow

@@ -499,10 +499,14 @@ class TestHMCMassAdaptation:
         # diagonal warmup refuses a dense inv_mass seed
         with pytest.raises(ValueError, match="DIAGONAL"):
             run_hmc(key, lp, jnp.zeros(2), cfg, inv_mass=jnp.eye(2))
-        # pytree chain state has no flat layout to accumulate over
-        with pytest.raises(ValueError, match="pytree"):
+        # pytree chain state: diagonal warmup works (flat Welford bridge);
+        # the DENSE metric stays flat-path-only
+        import dataclasses
+
+        with pytest.raises(ValueError, match="dense"):
             run_hmc(key, lambda t: -0.5 * jnp.sum(t["w"] ** 2),
-                    {"w": jnp.zeros(2)}, cfg)
+                    {"w": jnp.zeros(2)},
+                    dataclasses.replace(cfg, adapt_mass="dense"))
         # RMHMC / splitting reject loudly instead of dropping the option
         with pytest.raises(RuntimeError, match="adapt_mass"):
             ht.sample(lp, jnp.zeros(2), num_samples=10, burn=5,

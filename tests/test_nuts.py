@@ -651,11 +651,6 @@ class TestPytreeNUTS:
         with pytest.raises(ValueError, match="diagonal"):
             run_nuts(key, self.tree_lp, t0, NUTSConfig(num_samples=10),
                      inv_mass=jnp.eye(5))
-        from hamiltorch_tpu.checkpoint import run_nuts_checkpointed
-
-        with pytest.raises(TypeError, match="flat"):
-            run_nuts_checkpointed(key, self.tree_lp, t0,
-                                  NUTSConfig(num_samples=10), "/tmp/nope")
         from hamiltorch_tpu.parallel.sharding import run_nuts_ensemble_sharded
 
         with pytest.raises(TypeError, match="flat"):
@@ -663,3 +658,27 @@ class TestPytreeNUTS:
                 key, self.tree_lp, t0, NUTSConfig(num_samples=10),
                 mesh=None, num_chains=8,
             )
+
+    def test_tree_checkpoint_resume_bit_exact(self, key, tmp_path):
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_nuts_checkpointed
+
+        t0 = {"w": jnp.zeros(3), "xy": jnp.zeros(2)}
+        cfg = NUTSConfig(num_samples=90, step_size=0.3, burn=40,
+                         adapt_mass=True)
+        r_direct, _ = run_nuts(key, self.tree_lp, t0, cfg)
+        r_ck = run_nuts_checkpointed(key, self.tree_lp, t0, cfg,
+                                     str(tmp_path / "a"), chunk_size=40)
+        for k in ("w", "xy"):
+            np.testing.assert_array_equal(
+                np.asarray(r_ck.samples[k]), np.asarray(r_direct.samples[k]))
+        # interrupt (shorter first run) then resume to the full length
+        run_nuts_checkpointed(key, self.tree_lp, t0,
+                              dataclasses.replace(cfg, num_samples=40),
+                              str(tmp_path / "b"), chunk_size=40)
+        r_res = run_nuts_checkpointed(key, self.tree_lp, t0, cfg,
+                                      str(tmp_path / "b"), chunk_size=40)
+        for k in ("w", "xy"):
+            np.testing.assert_array_equal(
+                np.asarray(r_res.samples[k]), np.asarray(r_direct.samples[k]))

@@ -162,3 +162,72 @@ class TestTreeHMCBitParity:
         pooled = ravel_draws(r.samples, (8, 400))[:, 100:].reshape(-1, D)
         assert np.abs(np.mean(pooled, 0)).max() < 0.15
         assert np.abs(np.std(pooled, 0) - 1.0).max() < 0.15
+
+
+@pytest.mark.slow
+class TestTreeHMCWarmupAndCheckpoint:
+    """Diag windowed warmup and chunked checkpointing on pytree chain
+    states (the flat Welford bridge + tree-generic persistence layer)."""
+
+    def lp(self, t):
+        return (-0.5 * jnp.sum((t["a"] / 0.05) ** 2)
+                - 0.5 * jnp.sum((t["b"] / 20.0) ** 2))
+
+    def test_tree_adapt_mass_fixes_bad_scaling(self, key):
+        cfg = MCMCConfig(num_samples=1500, num_steps_per_sample=10,
+                         step_size=0.02, burn=600, adapt_mass=True,
+                         adapt_step_size=True)
+        r = run_hmc(key, self.lp, {"a": jnp.zeros(2), "b": jnp.zeros((2, 1))},
+                    cfg)
+        a = np.asarray(r.samples["a"][900:])
+        b = np.asarray(r.samples["b"][900:]).reshape(-1, 2)
+        np.testing.assert_allclose(a.std(0), 0.05, rtol=0.35)
+        np.testing.assert_allclose(b.std(0), 20.0, rtol=0.35)
+        inv = np.asarray(r.final_warm[1])  # flat diag, tree-ravel order
+        assert inv.shape == (4,)
+        assert inv[2] / inv[0] > 1e3
+        with pytest.raises(ValueError, match="dense"):
+            import dataclasses
+
+            run_hmc(key, self.lp,
+                    {"a": jnp.zeros(2), "b": jnp.zeros((2, 1))},
+                    dataclasses.replace(cfg, adapt_mass="dense"))
+
+    def test_tree_checkpoint_resume_bit_exact(self, key, tmp_path):
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_hmc_checkpointed
+
+        t0 = {"a": jnp.zeros(2), "b": jnp.zeros((3, 1))}
+        lp = lambda t: (-0.5 * jnp.sum((t["a"] / 0.5) ** 2)
+                        - 0.5 * jnp.sum((t["b"] / 2.0) ** 2))
+        cfg = MCMCConfig(num_samples=60, num_steps_per_sample=5,
+                         step_size=0.2, burn=20, adapt_step_size=True,
+                         adapt_mass=True)
+        r_direct = run_hmc(key, lp, t0, cfg)
+        r_ck = run_hmc_checkpointed(key, lp, t0, cfg, str(tmp_path / "a"),
+                                    chunk_size=17)
+        for k in ("a", "b"):
+            np.testing.assert_array_equal(
+                np.asarray(r_ck.samples[k]), np.asarray(r_direct.samples[k]))
+        run_hmc_checkpointed(key, lp, t0,
+                             dataclasses.replace(cfg, num_samples=34),
+                             str(tmp_path / "b"), chunk_size=17)
+        r_res = run_hmc_checkpointed(key, lp, t0, cfg, str(tmp_path / "b"),
+                                     chunk_size=17)
+        for k in ("a", "b"):
+            np.testing.assert_array_equal(
+                np.asarray(r_res.samples[k]), np.asarray(r_direct.samples[k]))
+
+    def test_tree_fingerprint_guards_structure(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_hmc_checkpointed
+
+        lp = lambda t: -0.5 * sum(
+            jnp.sum(l**2) for l in jax.tree_util.tree_leaves(t))
+        cfg = MCMCConfig(num_samples=20, num_steps_per_sample=3, step_size=0.2)
+        run_hmc_checkpointed(key, lp, {"a": jnp.zeros(2), "b": jnp.zeros((3, 1))},
+                             cfg, str(tmp_path / "c"), chunk_size=10)
+        with pytest.raises(ValueError, match="fingerprint|configuration"):
+            run_hmc_checkpointed(
+                key, lp, {"a": jnp.zeros(2), "b": jnp.zeros((1, 3))},
+                cfg, str(tmp_path / "c"), chunk_size=10)
