@@ -847,6 +847,14 @@ def run_pt_checkpointed(
     ``num_ensembles``) — the ensemble stream matches the vmapped run, so
     vmapped and sharded checkpoints are interchangeable up to compile-level
     f32 reassociation."""
+    from .utils.pytree import reject_param_tree
+
+    reject_param_tree(
+        theta0, "run_pt_checkpointed",
+        "the chunked ladder carry is persisted in the flat layout",
+        "use run_parallel_tempering, whose pytree-native path has no "
+        "checkpointed counterpart yet",
+    )
     from .samplers.tempering import (
         PTCarry,
         assemble_pt_result,

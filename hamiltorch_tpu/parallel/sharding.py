@@ -743,6 +743,13 @@ def run_pt_sharded(
     targets.  Returns a PTResult with a leading ensemble axis, as
     ``run_pt_chains``.
     """
+    from ..utils.pytree import reject_param_tree
+
+    reject_param_tree(
+        theta0, "run_pt_sharded",
+        "the mesh shard specs are built for the flat layout",
+        "use run_parallel_tempering's local pytree-native path",
+    )
     from ..samplers.tempering import (
         _run_pt_jit,
         assemble_pt_ensemble_result,

@@ -110,6 +110,22 @@ def check_num_temps(theta0: jnp.ndarray, config: PTConfig) -> None:
         )
 
 
+# shape-polymorphic helpers (the PT replica stack may be a (K, D) block or
+# a parameter pytree with (K, ...) leaves; a bare array is a one-leaf
+# pytree, so one tree_map code path serves both — identical XLA on flat)
+_tmap = jax.tree_util.tree_map
+
+
+def _rbcast(v, leaf):
+    """(K,) replica vector broadcast against a (K, ...) leaf."""
+    return v.reshape((v.shape[0],) + (1,) * (leaf.ndim - 1))
+
+
+def _r_where(mask, new, old):
+    """Per-replica select broadcast over each leaf's parameter dims."""
+    return _tmap(lambda n, o: jnp.where(_rbcast(mask, n), n, o), new, old)
+
+
 def betas_from_log_gaps(s: jnp.ndarray, max_temp: float) -> jnp.ndarray:
     """Ladder parameterisation: log temperature gaps S_i = log(T_{i+1}-T_i),
     renormalised so T_0 = 1 and T_{K-1} = max_temp stay pinned no matter how
@@ -123,8 +139,8 @@ def betas_from_log_gaps(s: jnp.ndarray, max_temp: float) -> jnp.ndarray:
 
 
 def init_pt_carry(log_prob_fn, theta0s, config: PTConfig) -> PTCarry:
-    k_temps, _ = theta0s.shape
-    dtype = theta0s.dtype
+    _l0 = jax.tree_util.tree_leaves(theta0s)[0]
+    k_temps, dtype = _l0.shape[0], _l0.dtype
     temps_geo = jnp.exp(
         jnp.linspace(0.0, jnp.log(config.max_temp), k_temps)
     ).astype(dtype)
@@ -160,8 +176,8 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None,
     """
     lp = log_prob_fn if data is None else (lambda t: log_prob_fn(t, data))
     vg = jax.vmap(jax.value_and_grad(lp))
-    k_temps, d = theta0s.shape
-    dtype = theta0s.dtype
+    _l0 = jax.tree_util.tree_leaves(theta0s)[0]
+    k_temps, dtype = _l0.shape[0], _l0.dtype
 
     # ladder parameterised by log temperature gaps S_i = log(T_{i+1}-T_i),
     # renormalised so T_0 = 1 and T_{K-1} = max_temp stay pinned no matter
@@ -207,21 +223,25 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None,
         )
         h0 = -betas * logps + kinetic(ps)
 
-        eps = eps_k[:, None]
-        p = ps + 0.5 * eps * betas[:, None] * grads
+        eb = eps_k * betas  # per-replica tempered kick scale
+        p = _tmap(
+            lambda pl, gl: pl + 0.5 * _rbcast(eb, pl) * gl, ps, grads
+        )
         th, lgp, g = thetas, logps, grads
 
         def leap(i, c):
             th, p, lgp, g = c
-            th = th + eps * velocity(p)
+            th = _tmap(
+                lambda tl, vl: tl + _rbcast(eps_k, tl) * vl, th, velocity(p)
+            )
             lgp, g = vg(th)
-            p = p + eps * betas[:, None] * g
+            p = _tmap(lambda pl, gl: pl + _rbcast(eb, pl) * gl, p, g)
             return (th, p, lgp, g)
 
         th, p, lgp, g = jax.lax.fori_loop(
             0, config.num_steps_per_sample, leap, (th, p, lgp, g)
         )
-        p = p - 0.5 * eps * betas[:, None] * g
+        p = _tmap(lambda pl, gl: pl - 0.5 * _rbcast(eb, pl) * gl, p, g)
 
         h1 = -betas * lgp + kinetic(p)
         log_ratio = h0 - h1
@@ -230,9 +250,9 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None,
         accept = finite & (
             jnp.log(jax.random.uniform(k_mh, (k_temps,), dtype)) < log_ratio
         )
-        thetas = jnp.where(accept[:, None], th, thetas)
+        thetas = _r_where(accept, th, thetas)
         logps = jnp.where(accept, lgp, logps)
-        grads = jnp.where(accept[:, None], g, grads)
+        grads = _r_where(accept, g, grads)
 
         if config.adapt_step_size and config.burn > 0:
             # per-slot dual averaging on THIS draw's (pre-swap) acceptance;
@@ -267,9 +287,9 @@ def _run_pt_jit(key, theta0s, log_prob_fn, config: PTConfig, mass, data=None,
         do_swap = (partner != idx) & (jnp.log(u_pair) < log_swap)
 
         src = jnp.where(do_swap, partner, idx)
-        thetas = thetas[src]
+        thetas = _tmap(lambda l: l[src], thetas)
         logps = logps[src]
-        grads = grads[src]
+        grads = _tmap(lambda l: l[src], grads)
 
         adj_attempted = partner[:-1] == idx[:-1] + 1
         swap_mask = do_swap[:-1] & adj_attempted
@@ -309,12 +329,40 @@ def run_parallel_tempering(
     bound the ladder-adaptation window when ``adapt_ladder``)."""
     if config.burn >= config.num_samples:
         raise RuntimeError("burn must be less than num_samples.")
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        theta0 = jnp.broadcast_to(theta0, (config.num_temps,) + theta0.shape)
-    check_num_temps(theta0, config)
+    from ..ops.mass import BlockDiagMass, DenseMass, make_mass_tree
+    from ..utils.pytree import is_param_tree
+
+    if is_param_tree(theta0):
+        # pytree replica stack: single state (broadcast to K replicas) or
+        # (K, ...)-stacked leaves; diagonal metrics only (per-leaf
+        # inv_mass pytree, flat (D,) diagonal, or None), as in the other
+        # pytree sampler entries
+        theta0 = _tmap(jnp.asarray, theta0)
+        leaves = jax.tree_util.tree_leaves(theta0)
+        stacked = all(l.shape[:1] == (config.num_temps,) for l in leaves)
+        if stacked:
+            template = _tmap(lambda l: l[0], theta0)
+        else:
+            template = theta0
+            theta0 = _tmap(
+                lambda l: jnp.broadcast_to(l, (config.num_temps,) + l.shape),
+                theta0,
+            )
+        mass = make_mass_tree(inv_mass, template)
+        if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
+            raise ValueError(
+                "pytree parallel tempering supports diagonal metrics only — "
+                "pass inv_mass=None, a flat (D,) diagonal, or a per-leaf "
+                "pytree of diagonals (dense/block inv_mass needs the flat "
+                "(D,) theta0 path)."
+            )
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (config.num_temps,) + theta0.shape)
+        check_num_temps(theta0, config)
+        mass = make_mass(inv_mass, theta0.shape[-1])
     lp, data = resolve_potential(log_prob_fn, None)
-    mass = make_mass(inv_mass, theta0.shape[-1])
     traj, alphas, swaps, carry_f = _run_pt_jit(key, theta0, lp, config, mass, data=data)
     return assemble_pt_result(traj, alphas, swaps, carry_f, config)
 
@@ -324,8 +372,8 @@ def assemble_pt_result(traj, alphas, swaps, carry_f: PTCarry,
     """Burn-slice a (possibly chunk-concatenated) trajectory into a PTResult."""
     burn = max(config.burn, 0)
     return PTResult(
-        samples=traj[burn:, 0, :],
-        replica_samples=traj[burn:],
+        samples=_tmap(lambda l: l[burn:, 0], traj),  # cold (beta=1) chain
+        replica_samples=_tmap(lambda l: l[burn:], traj),
         info=PTInfo(
             accept_prob=alphas[burn:],
             swap_accept=swaps[burn:],
@@ -359,6 +407,13 @@ def run_pt_chains(
     """
     if config.burn >= config.num_samples:
         raise RuntimeError("burn must be less than num_samples.")
+    from ..utils.pytree import reject_param_tree
+
+    reject_param_tree(
+        theta0, "run_pt_chains",
+        "the ensemble stacking is built for the flat layout",
+        "use run_parallel_tempering's local pytree-native path",
+    )
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(

@@ -309,3 +309,56 @@ class TestPTCheckpointValidation:
         with pytest.raises(ValueError, match="replicas"):
             run_pt_checkpointed(key, lambda t: -0.5 * jnp.sum(t**2),
                                 jnp.zeros((4, 2)), cfg, str(tmp_path / "ck"))
+
+
+@pytest.mark.slow
+class TestPytreePT:
+    """Pytree replica stacks: the shape-polymorphic PT loop runs leaves in
+    their natural shapes; swaps permute per leaf."""
+
+    def tree_lp(self, t):
+        a = t["a"]
+        mix = jnp.logaddexp(-0.5 * jnp.sum((a - 3.0) ** 2) / 0.25,
+                            -0.5 * jnp.sum((a + 3.0) ** 2) / 0.25)
+        return mix - 0.5 * jnp.sum(t["b"] ** 2)
+
+    def test_tree_mode_hopping_and_shapes(self, key):
+        cfg = PTConfig(num_samples=1500, num_steps_per_sample=10,
+                       step_size=0.1, num_temps=8, max_temp=50.0, burn=500,
+                       adapt_ladder=True)
+        t0 = {"a": jnp.full((1,), 3.0), "b": jnp.zeros((2, 1))}
+        r = run_parallel_tempering(key, self.tree_lp, t0, cfg)
+        a = np.asarray(r.samples["a"]).ravel()
+        frac_neg = float((a < 0).mean())
+        assert 0.15 < frac_neg < 0.85, f"cold chain stuck: {frac_neg}"
+        b = np.asarray(r.samples["b"]).reshape(-1, 2)
+        np.testing.assert_allclose(b.std(0), 1.0, rtol=0.3)
+        assert r.replica_samples["a"].shape == (1000, 8, 1)
+        assert r.replica_samples["b"].shape == (1000, 8, 2, 1)
+
+    def test_tree_per_leaf_inv_mass_and_stacked(self, key):
+        im = {"a": jnp.full((1,), 0.25), "b": jnp.full((2, 1), 1.0)}
+        t0s = {"a": jnp.full((8, 1), 3.0), "b": jnp.zeros((8, 2, 1))}
+        cfg = PTConfig(num_samples=300, num_steps_per_sample=5, step_size=0.1,
+                       num_temps=8, burn=100)
+        r = run_parallel_tempering(key, self.tree_lp, t0s, cfg, inv_mass=im)
+        assert r.samples["a"].shape == (200, 1)
+        assert bool(np.isfinite(np.asarray(r.samples["b"])).all())
+
+    def test_flat_only_runners_reject(self, key):
+        from hamiltorch_tpu.checkpoint import run_pt_checkpointed
+        from hamiltorch_tpu.samplers.tempering import run_pt_chains
+
+        t0 = {"a": jnp.zeros(1), "b": jnp.zeros((2, 1))}
+        cfg = PTConfig(num_samples=10, num_temps=4)
+        with pytest.raises(TypeError, match="flat"):
+            run_pt_chains(key, self.tree_lp, t0, cfg, num_ensembles=2)
+        with pytest.raises(TypeError, match="flat"):
+            run_pt_checkpointed(key, self.tree_lp, t0, cfg, "/tmp/nope")
+
+    def test_dense_inv_mass_rejected(self, key):
+        t0 = {"a": jnp.zeros(1), "b": jnp.zeros((2, 1))}
+        with pytest.raises(ValueError, match="diagonal"):
+            run_parallel_tempering(key, self.tree_lp, t0,
+                                   PTConfig(num_samples=10, num_temps=4),
+                                   inv_mass=jnp.eye(3))
