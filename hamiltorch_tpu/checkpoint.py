@@ -398,18 +398,45 @@ def run_hmc_chains_checkpointed(
     The resume carry holds (C, ...) batched state/DA arrays; samples and
     stats come back with a leading chain axis as from ``run_hmc_chains``.
     """
-    from .samplers.hmc import _run_hmc_jit, init_chain_state
+    from .ops.mass import make_mass_tree
+    from .samplers.hmc import (
+        _reject_tree_adapt_mass,
+        _run_hmc_jit,
+        init_chain_state,
+    )
     from .samplers.warmup import schedule_flags, validate_adapt_mass
+    from .utils.pytree import is_param_tree
 
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    if is_param_tree(theta0):
+        # pytree chains: single state broadcast, or (C, ...)-stacked leaves
+        _reject_tree_adapt_mass(config)
+        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+        leaves = jax.tree_util.tree_leaves(theta0)
+        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
+        if stacked:
+            template_tree = jax.tree_util.tree_map(lambda l: l[0], theta0)
+        else:
+            template_tree = theta0
+            theta0 = jax.tree_util.tree_map(
+                lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
+            )
+        mass = make_mass_tree(inv_mass, template_tree)
+        seed_mass = mass.inner
+        d = sum(int(l.size) for l in jax.tree_util.tree_leaves(template_tree))
+        dtype = leaves[0].dtype
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+        mass = make_mass(inv_mass, theta0.shape[-1])
+        seed_mass = mass
+        d = theta0.shape[-1]
+        dtype = theta0.dtype
+    validate_adapt_mass(config.adapt_mass, seed_mass)
     keys = jax.random.split(key, num_chains)
     lp, data = resolve_potential(log_prob_fn, pass_grad)
-    mass = make_mass(inv_mass, theta0.shape[-1])
-    validate_adapt_mass(config.adapt_mass, mass)
 
-    das0 = jax.vmap(lambda _: da_init(config.step_size, dtype=theta0.dtype))(
+    das0 = jax.vmap(lambda _: da_init(config.step_size, dtype=dtype))(
         jnp.arange(num_chains)
     )
     windowed = bool(config.adapt_mass) and config.burn > 0
@@ -417,16 +444,14 @@ def run_hmc_chains_checkpointed(
         from .samplers.nuts import init_metric_seed
 
         dense = config.adapt_mass == "dense"
-        wf0, metric0 = init_metric_seed(
-            mass, theta0.shape[-1], theta0.dtype, dense
-        )
+        wf0, metric0 = init_metric_seed(seed_mass, d, dtype, dense)
         # per-chain warmup state: every chain estimates its own metric
         warm0 = jax.tree_util.tree_map(
             lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape),
             (wf0, metric0, jnp.zeros((), jnp.int32)),
         )
-    state_t = ChainState(theta0, jnp.zeros(theta0.shape[:1], theta0.dtype),
-                         jnp.zeros_like(theta0))
+    state_t = ChainState(theta0, jnp.zeros((num_chains,), dtype),
+                         jax.tree_util.tree_map(jnp.zeros_like, theta0))
     template = (state_t, das0, warm0) if windowed else (state_t, das0)
 
     def init_carry_fn():

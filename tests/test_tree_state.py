@@ -231,3 +231,31 @@ class TestTreeHMCWarmupAndCheckpoint:
             run_hmc_checkpointed(
                 key, lp, {"a": jnp.zeros(2), "b": jnp.zeros((1, 3))},
                 cfg, str(tmp_path / "c"), chunk_size=10)
+
+    def test_tree_chains_checkpoint_resume_bit_exact(self, key, tmp_path):
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_hmc_chains_checkpointed
+
+        t0 = {"a": jnp.zeros(2), "b": jnp.zeros((3, 1))}
+        lp = lambda t: (-0.5 * jnp.sum((t["a"] / 0.5) ** 2)
+                        - 0.5 * jnp.sum((t["b"] / 2.0) ** 2))
+        cfg = MCMCConfig(num_samples=60, num_steps_per_sample=5,
+                         step_size=0.2, burn=20, adapt_step_size=True,
+                         adapt_mass=True)
+        r_direct = run_hmc_chains(key, lp, t0, cfg, num_chains=4)
+        r_ck = run_hmc_chains_checkpointed(
+            key, lp, t0, cfg, str(tmp_path / "a"), num_chains=4,
+            chunk_size=17)
+        for k in ("a", "b"):
+            np.testing.assert_array_equal(
+                np.asarray(r_ck.samples[k]), np.asarray(r_direct.samples[k]))
+        run_hmc_chains_checkpointed(
+            key, lp, t0, dataclasses.replace(cfg, num_samples=34),
+            str(tmp_path / "b"), num_chains=4, chunk_size=17)
+        r_res = run_hmc_chains_checkpointed(
+            key, lp, t0, cfg, str(tmp_path / "b"), num_chains=4,
+            chunk_size=17)
+        for k in ("a", "b"):
+            np.testing.assert_array_equal(
+                np.asarray(r_res.samples[k]), np.asarray(r_direct.samples[k]))
