@@ -221,16 +221,31 @@ def nuts_ensemble_result_specs(axes, warm_template):
     )
 
 
-def chees_carry_specs(axes, dense: bool = False):
+def _chain_leaf_specs(axes, template, extra_leading: int = 0):
+    """Per-leaf P(axes, None, ...) specs for a tree of (C, ...) leaves;
+    ``extra_leading`` inserts replicated axes after the chain axis (the
+    samples trace adds a time axis at position 1)."""
+    return jax.tree_util.tree_map(
+        lambda l: P(axes, *(None,) * (l.ndim - 1 + extra_leading)), template
+    )
+
+
+def chees_carry_specs(axes, dense: bool = False, theta_template=None):
     """shard_map partition specs for a ChEESCarry whose chain axis spans
     ``axes`` (pooled-adaptation products are replicated).  ``dense``: the
     carry holds the (inv_mass, chol_mass) dense-metric pair instead of an
-    inverse-mass diagonal (adapt_mass='dense')."""
+    inverse-mass diagonal (adapt_mass='dense').  ``theta_template``: a
+    PYTREE chain state's local (C, ...) leaves — thetas/grads specs go
+    per-leaf (flat (C, D) layout when None)."""
     from ..samplers.adaptation import DualAveragingState
     from ..samplers.chees import ChEESCarry
 
+    th_spec = (
+        P(axes, None) if theta_template is None
+        else _chain_leaf_specs(axes, theta_template)
+    )
     return ChEESCarry(
-        thetas=P(axes, None), logps=P(axes), grads=P(axes, None),
+        thetas=th_spec, logps=P(axes), grads=th_spec,
         da=DualAveragingState(P(), P(), P(), P()),
         log_t=P(), adam_m=P(), adam_v=P(),
         wf_count=P(), wf_mean=P(), wf_m2=P(),
@@ -238,13 +253,16 @@ def chees_carry_specs(axes, dense: bool = False):
     )
 
 
-def chees_result_specs(axes, dense: bool = False):
+def chees_result_specs(axes, dense: bool = False, theta_template=None):
     """shard_map partition specs for _run_chees_jit's ChEESResult: samples
     chain-major, info time-major, shared adaptation state replicated."""
     from ..samplers.chees import ChEESInfo, ChEESResult
 
     return ChEESResult(
-        samples=P(axes, None, None),
+        samples=(
+            P(axes, None, None) if theta_template is None
+            else _chain_leaf_specs(axes, theta_template, extra_leading=1)
+        ),
         info=ChEESInfo(
             accept_prob=P(None, axes),
             trajectory_length=P(),
@@ -254,7 +272,8 @@ def chees_result_specs(axes, dense: bool = False):
         ),
         final_step_size=P(),
         final_trajectory_length=P(),
-        final_carry=chees_carry_specs(axes, dense=dense),
+        final_carry=chees_carry_specs(axes, dense=dense,
+                                      theta_template=theta_template),
     )
 
 
@@ -518,24 +537,64 @@ def run_chees_sharded(
     Matches single-device ``run_chees`` semantics; the random stream differs
     (per-chain randomness derives from sharded per-chain keys).
     """
+    from ..ops.mass import BlockDiagMass, DenseMass, make_mass_tree
     from ..samplers.chees import _run_chees_jit, validate_chees
-    from ..utils.pytree import reject_param_tree
+    from ..utils.pytree import is_param_tree
 
-    reject_param_tree(
-        theta0, "run_chees_sharded",
-        "the mesh carry specs are built for the flat layout",
-        "use run_chees's local pytree-native path",
-    )
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        k_init, key = jax.random.split(key)
-        # small spread so the ensemble mean/criterion are informative at start
-        theta0 = theta0[None, :] + 0.01 * jax.random.normal(
-            k_init, (num_chains, theta0.shape[0]), theta0.dtype
+    tmap = jax.tree_util.tree_map
+    if is_param_tree(theta0):
+        # pytree ensemble over the mesh: leaves shard along their chain
+        # axis; the pooled statistics still psum (the flat Welford bridge
+        # runs per shard on the local chains, merged by gsum)
+        theta0 = tmap(jnp.asarray, theta0)
+        leaves = jax.tree_util.tree_leaves(theta0)
+        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
+        if stacked:
+            template = tmap(lambda l: l[0], theta0)
+        else:
+            template = theta0
+            k_init, key = jax.random.split(key)
+            keys_l = jax.random.split(k_init, len(leaves))
+            theta0 = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(theta0),
+                [
+                    l[None] + 0.01 * jax.random.normal(
+                        kl, (num_chains,) + l.shape, l.dtype
+                    )
+                    for l, kl in zip(leaves, keys_l)
+                ],
+            )
+        if config.adapt_mass == "dense":
+            raise ValueError(
+                "adapt_mass='dense' is not supported with a pytree ensemble "
+                "— the dense metric operates on the flat layout."
+            )
+        mass = make_mass_tree(inv_mass, template)
+        if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
+            raise ValueError(
+                "pytree ChEES ensembles support diagonal metrics only — "
+                "pass inv_mass=None, a flat (D,) diagonal, or a per-leaf "
+                "pytree of diagonals."
+            )
+        validate_chees(config, mass.inner)
+        n_dev = len(mesh.devices.flatten())
+        local_template = tmap(
+            lambda l: jnp.zeros((num_chains // max(n_dev, 1),) + l.shape,
+                                l.dtype),
+            template,
         )
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            k_init, key = jax.random.split(key)
+            # small spread so the ensemble mean/criterion stay informative
+            theta0 = theta0[None, :] + 0.01 * jax.random.normal(
+                k_init, (num_chains, theta0.shape[0]), theta0.dtype
+            )
+        mass = make_mass(inv_mass, theta0.shape[-1])
+        validate_chees(config, mass)
+        local_template = None
     lp, data = resolve_potential(log_prob_fn, None)
-    mass = make_mass(inv_mass, theta0.shape[-1])
-    validate_chees(config, mass)
     config = _warn_progress_ignored(config)
     axes, axis_name = mesh_chain_layout(mesh, num_chains)
     chain_keys = derive_chain_keys(key, num_chains)
@@ -546,12 +605,18 @@ def run_chees_sharded(
             chain_keys=keys_l, axis_name=axis_name,
         )
 
+    theta_in_specs = (
+        P(axes, None) if local_template is None
+        else _chain_leaf_specs(axes, theta0)
+    )
     shard = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axes), P(axes, None), P()),
+        in_specs=(P(), P(axes), theta_in_specs, P()),
         out_specs=chees_result_specs(
-            axes, dense=bool(config.adapt_mass == "dense" and config.burn > 0)
+            axes,
+            dense=bool(config.adapt_mass == "dense" and config.burn > 0),
+            theta_template=local_template,
         ),
         check_vma=False,
     )

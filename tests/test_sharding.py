@@ -569,3 +569,41 @@ class TestPTSharding:
             np.asarray(r_sharded.info.betas), np.asarray(r_local.info.betas),
             rtol=1e-4,
         )
+
+
+@pytest.mark.slow
+class TestPytreeChEESSharding:
+    def test_sharded_tree_matches_local_tree(self, key):
+        """Pytree ensemble over the mesh: leaves shard along their chain
+        axis; same per-chain keys -> same draws up to psum-vs-local
+        reduction order."""
+        from hamiltorch_tpu.ops.mass import make_mass_tree
+        from hamiltorch_tpu.parallel.sharding import run_chees_sharded
+        from hamiltorch_tpu.samplers.chees import ChEESConfig, _run_chees_jit
+
+        def lp(t):
+            return (-0.5 * jnp.sum(t["w"] ** 2)
+                    - 0.5 * jnp.sum((t["b"] / 2.0) ** 2))
+
+        config = ChEESConfig(num_samples=40, burn=20, step_size=0.2,
+                             adapt_mass=True)
+        mesh = make_mesh(chains=4, data=2)
+        t0 = {"w": 0.1 * jax.random.normal(jax.random.key(42), (8, 3)),
+              "b": 0.1 * jax.random.normal(jax.random.key(43), (8, 2, 1))}
+        r_shard = run_chees_sharded(key, lp, t0, config, mesh, num_chains=8)
+        assert r_shard.samples["w"].shape == (8, 40, 3)
+        assert r_shard.samples["b"].shape == (8, 40, 2, 1)
+        chain_keys = jax.random.split(jax.random.fold_in(key, 0x5EED), 8)
+        mass = make_mass_tree(None, {"w": jnp.zeros(3), "b": jnp.zeros((2, 1))})
+        r_local = _run_chees_jit(key, t0, lp, config, mass,
+                                 chain_keys=chain_keys)
+        for k in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(r_shard.samples[k][:, :10]),
+                np.asarray(r_local.samples[k][:, :10]), atol=1e-5)
+            np.testing.assert_allclose(
+                np.asarray(r_shard.samples[k]),
+                np.asarray(r_local.samples[k]), atol=2e-2)
+        np.testing.assert_allclose(
+            float(r_shard.final_trajectory_length),
+            float(r_local.final_trajectory_length), rtol=0.05)
