@@ -183,22 +183,27 @@ def derive_chain_keys(key, num_chains: int):
     return jax.random.split(jax.random.fold_in(key, 0x5EED), num_chains)
 
 
-def nuts_ensemble_carry_specs(axes, warm_template):
+def nuts_ensemble_carry_specs(axes, warm_template, theta_template=None):
     """shard_map partition specs for the pooled-ensemble-NUTS scan carry
     (thetas, logps, grads, da, wf, metric, da_t): per-chain leaves shard,
-    pooled adaptation products replicate."""
+    pooled adaptation products replicate.  ``theta_template``: a PYTREE
+    chain state's local (C, ...) leaves (flat (C, D) when None)."""
     from ..samplers.adaptation import DualAveragingState
 
     rep = lambda t: jax.tree_util.tree_map(lambda _: P(), t)
     wf0, metric0, _ = warm_template
+    th_spec = (
+        P(axes, None) if theta_template is None
+        else _chain_leaf_specs(axes, theta_template)
+    )
     return (
-        P(axes, None), P(axes), P(axes, None),
+        th_spec, P(axes), th_spec,
         DualAveragingState(P(), P(), P(), P()),
         rep(wf0), rep(metric0), P(),
     )
 
 
-def nuts_ensemble_result_specs(axes, warm_template):
+def nuts_ensemble_result_specs(axes, warm_template, theta_template=None):
     """shard_map partition specs for _run_nuts_ensemble_jit's
     (MCMCResult, NUTSInfo): samples chain-major, stats/info time-major,
     pooled adaptation state replicated."""
@@ -207,13 +212,20 @@ def nuts_ensemble_result_specs(axes, warm_template):
     from ..samplers.nuts import NUTSInfo
 
     tm = P(None, axes)  # time-major (N, C) stat block
+    th_spec = (
+        P(axes, None) if theta_template is None
+        else _chain_leaf_specs(axes, theta_template)
+    )
     return (
         MCMCResult(
-            samples=P(axes, None, None),
+            samples=(
+                P(axes, None, None) if theta_template is None
+                else _chain_leaf_specs(axes, theta_template, extra_leading=1)
+            ),
             stats=MCMCStats(*(tm,) * len(MCMCStats._fields)),
             final_step_size=P(),
             acc_rate=P(),
-            final_state=ChainState(P(axes, None), P(axes), P(axes, None)),
+            final_state=ChainState(th_spec, P(axes), th_spec),
             final_da=DualAveragingState(P(), P(), P(), P()),
             final_warm=jax.tree_util.tree_map(lambda _: P(), warm_template),
         ),
@@ -293,20 +305,30 @@ def run_nuts_chains_sharded(
     for large ensembles prefer run_chees, whose trajectory length is shared
     by construction.
     """
-    from ..samplers.nuts import _run_nuts_jit, validate_nuts_mass
-    from ..utils.pytree import reject_param_tree
+    from ..samplers.nuts import _run_nuts_jit, _tree_nuts_mass, validate_nuts_mass
+    from ..utils.pytree import is_param_tree
 
-    reject_param_tree(
-        theta0, "run_nuts_chains_sharded",
-        "the mesh shard specs are built for the flat layout",
-        "use run_nuts_chains's local pytree-native path",
-    )
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    tmap = jax.tree_util.tree_map
+    if is_param_tree(theta0):
+        # pytree chains over the mesh: leaves shard along their chain axis
+        theta0 = tmap(jnp.asarray, theta0)
+        leaves = jax.tree_util.tree_leaves(theta0)
+        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
+        if stacked:
+            template = tmap(lambda l: l[0], theta0)
+        else:
+            template = theta0
+            theta0 = tmap(
+                lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
+            )
+        mass = _tree_nuts_mass(inv_mass, template, config)
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+        mass = make_mass(inv_mass, theta0.shape[-1])
+        validate_nuts_mass(config, mass)
     keys = jax.random.split(key, num_chains)
-    mass = make_mass(inv_mass, theta0.shape[-1])
-    validate_nuts_mass(config, mass)
     config = _warn_progress_ignored(config)
     n_dev = len(mesh.devices.flatten())
     if num_chains % n_dev:
@@ -319,13 +341,14 @@ def run_nuts_chains_sharded(
         )(keys_l, thetas_l)
 
     local_chains = num_chains // n_dev
+    theta_local = tmap(lambda l: l[:local_chains], theta0)
     out_specs = _leading_axis_specs(
-        jax.eval_shape(local, keys[:local_chains], theta0[:local_chains]), axes
+        jax.eval_shape(local, keys[:local_chains], theta_local), axes
     )
     shard = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axes), P(axes, None)),
+        in_specs=(P(axes), _chain_leaf_specs(axes, theta0)),
         out_specs=out_specs,
         check_vma=False,
     )
@@ -475,23 +498,48 @@ def run_nuts_ensemble_sharded(
     """
     from ..samplers.nuts import (
         _run_nuts_ensemble_jit,
+        _tree_nuts_mass,
         init_metric_seed,
         validate_nuts_mass,
     )
-    from ..utils.pytree import reject_param_tree
+    from ..utils.pytree import is_param_tree
 
-    reject_param_tree(
-        theta0, "run_nuts_ensemble_sharded",
-        "the mesh carry specs are built for the flat layout",
-        "use run_nuts_ensemble's local pytree-native path",
-    )
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    tmap = jax.tree_util.tree_map
+    n_dev = len(mesh.devices.flatten())
+    if is_param_tree(theta0):
+        # pytree ensemble over the mesh: leaves shard along their chain
+        # axis; the pooled statistics (mean acceptance, flat-bridged
+        # Welford merge) psum across devices exactly as in the flat layout
+        theta0 = tmap(jnp.asarray, theta0)
+        leaves = jax.tree_util.tree_leaves(theta0)
+        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
+        if stacked:
+            template = tmap(lambda l: l[0], theta0)
+        else:
+            template = theta0
+            theta0 = tmap(
+                lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
+            )
+        mass = _tree_nuts_mass(inv_mass, template, config)
+        seed_mass = mass.inner
+        d = sum(int(l.size) for l in jax.tree_util.tree_leaves(template))
+        dtype = leaves[0].dtype
+        local_template = tmap(
+            lambda l: jnp.zeros((num_chains // max(n_dev, 1),) + l.shape,
+                                l.dtype),
+            template,
+        )
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+        d = theta0.shape[-1]
+        mass = make_mass(inv_mass, d)
+        seed_mass = mass
+        dtype = theta0.dtype
+        validate_nuts_mass(config, mass)
+        local_template = None
     lp, data = resolve_potential(log_prob_fn, None)
-    d = theta0.shape[-1]
-    mass = make_mass(inv_mass, d)
-    validate_nuts_mass(config, mass)
     config = _warn_progress_ignored(config)
     axes, axis_name = mesh_chain_layout(mesh, num_chains)
     chain_keys = derive_chain_keys(key, num_chains)
@@ -506,13 +554,19 @@ def run_nuts_ensemble_sharded(
     # per-chain leaves (samples, per-draw stats, final chain state) shard
     dense = bool(config.adapt_mass) and config.burn > 0 \
         and config.adapt_mass == "dense"
-    wf0, metric0 = init_metric_seed(mass, d, theta0.dtype, dense)
+    wf0, metric0 = init_metric_seed(seed_mass, d, dtype, dense)
     warm_template = (wf0, metric0, jnp.zeros((), jnp.int32))
+    theta_in_specs = (
+        P(axes, None) if local_template is None
+        else _chain_leaf_specs(axes, theta0)
+    )
     shard = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(axes), P(axes, None), P()),
-        out_specs=nuts_ensemble_result_specs(axes, warm_template),
+        in_specs=(P(), P(axes), theta_in_specs, P()),
+        out_specs=nuts_ensemble_result_specs(
+            axes, warm_template, theta_template=local_template
+        ),
         check_vma=False,
     )
     return jax.jit(shard)(key, chain_keys, theta0, data)
@@ -761,12 +815,37 @@ def run_hmc_chains_sharded(
     inv_mass=None,
 ) -> MCMCResult:
     """Chain-only sharding: replicate the potential, shard chains over the
-    whole mesh (both axes flattened).  Zero communication."""
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    whole mesh (both axes flattened).  Zero communication.
+
+    ``theta0`` may be a parameter PYTREE (single state broadcast, or
+    (C, ...)-stacked leaves): each leaf shards along its chain axis; the
+    out_specs come from eval_shape, so the result structure is
+    layout-agnostic.
+    """
+    from ..ops.mass import make_mass_tree
+    from ..samplers.hmc import _reject_tree_adapt_mass
+    from ..utils.pytree import is_param_tree
+
+    tmap = jax.tree_util.tree_map
+    if is_param_tree(theta0):
+        _reject_tree_adapt_mass(config)
+        theta0 = tmap(jnp.asarray, theta0)
+        leaves = jax.tree_util.tree_leaves(theta0)
+        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
+        if stacked:
+            template = tmap(lambda l: l[0], theta0)
+        else:
+            template = theta0
+            theta0 = tmap(
+                lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
+            )
+        mass = make_mass_tree(inv_mass, template)
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+        mass = make_mass(inv_mass, theta0.shape[-1])
     keys = jax.random.split(key, num_chains)
-    mass = make_mass(inv_mass, theta0.shape[-1])
     config = _warn_progress_ignored(config)
 
     axes = tuple(mesh.axis_names)
@@ -777,14 +856,15 @@ def run_hmc_chains_sharded(
         )(keys_l, thetas_l)
 
     local_chains = num_chains // len(mesh.devices.flatten())
+    theta_local = tmap(lambda l: l[:local_chains], theta0)
     out_specs = _leading_axis_specs(
-        jax.eval_shape(local, keys[:local_chains], theta0[:local_chains]),
+        jax.eval_shape(local, keys[:local_chains], theta_local),
         axes,
     )
     shard = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axes), P(axes, None)),
+        in_specs=(P(axes), _chain_leaf_specs(axes, theta0)),
         out_specs=out_specs,
         check_vma=False,
     )

@@ -651,12 +651,14 @@ class TestPytreeNUTS:
         with pytest.raises(ValueError, match="diagonal"):
             run_nuts(key, self.tree_lp, t0, NUTSConfig(num_samples=10),
                      inv_mass=jnp.eye(5))
-        from hamiltorch_tpu.parallel.sharding import run_nuts_ensemble_sharded
+        # mesh-sharded CHECKPOINTING stays flat-path-only
+        from hamiltorch_tpu.checkpoint import run_chees_checkpointed
+        from hamiltorch_tpu.samplers.chees import ChEESConfig
 
         with pytest.raises(TypeError, match="flat"):
-            run_nuts_ensemble_sharded(
-                key, self.tree_lp, t0, NUTSConfig(num_samples=10),
-                mesh=None, num_chains=8,
+            run_chees_checkpointed(
+                key, self.tree_lp, t0, ChEESConfig(num_samples=10),
+                "/tmp/nope", num_chains=8, mesh=object(),
             )
 
     def test_tree_checkpoint_resume_bit_exact(self, key, tmp_path):

@@ -607,3 +607,51 @@ class TestPytreeChEESSharding:
         np.testing.assert_allclose(
             float(r_shard.final_trajectory_length),
             float(r_local.final_trajectory_length), rtol=0.05)
+
+
+@pytest.mark.slow
+class TestPytreeNUTSSharding:
+    def tree_lp(self, t):
+        return (-0.5 * jnp.sum(t["w"] ** 2)
+                - 0.5 * jnp.sum((t["b"] / 2.0) ** 2))
+
+    def test_sharded_pooled_ensemble_matches_local(self, key):
+        from hamiltorch_tpu.parallel.sharding import run_nuts_ensemble_sharded
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts_ensemble
+
+        cfg = NUTSConfig(num_samples=40, burn=20, step_size=0.3,
+                         adapt_mass=True)
+        mesh = make_mesh(chains=4, data=2)
+        t0 = {"w": jnp.zeros(3), "b": jnp.zeros((2, 1))}
+        r_sh, _ = run_nuts_ensemble_sharded(key, self.tree_lp, t0, cfg, mesh,
+                                            num_chains=8)
+        assert r_sh.samples["w"].shape == (8, 40, 3)
+        assert r_sh.samples["b"].shape == (8, 40, 2, 1)
+        r_lo, _ = run_nuts_ensemble(key, self.tree_lp, t0, cfg, num_chains=8)
+        for k in ("w", "b"):
+            np.testing.assert_allclose(
+                np.asarray(r_sh.samples[k][:, :10]),
+                np.asarray(r_lo.samples[k][:, :10]), atol=1e-5)
+
+    def test_sharded_tree_chains_statistics(self, key):
+        from hamiltorch_tpu.parallel.sharding import (
+            run_hmc_chains_sharded,
+            run_nuts_chains_sharded,
+        )
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig
+
+        mesh = make_mesh(chains=4, data=2)
+        t0 = {"w": jnp.zeros(3), "b": jnp.zeros((2, 1))}
+        r, _ = run_nuts_chains_sharded(
+            key, self.tree_lp, t0, NUTSConfig(num_samples=400, burn=100,
+                                              step_size=0.3),
+            mesh, num_chains=8)
+        b = np.asarray(r.samples["b"][:, 200:]).reshape(-1, 2)
+        np.testing.assert_allclose(b.std(0), 2.0, rtol=0.3)
+        r2 = run_hmc_chains_sharded(
+            key, self.tree_lp, t0,
+            MCMCConfig(num_samples=400, num_steps_per_sample=5, step_size=0.3),
+            mesh, num_chains=8)
+        b2 = np.asarray(r2.samples["b"][:, 200:]).reshape(-1, 2)
+        np.testing.assert_allclose(b2.std(0), 2.0, rtol=0.3)
