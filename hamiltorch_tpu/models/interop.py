@@ -507,6 +507,16 @@ _MODULE_CALL_SURFACE = {
     "TransformerEncoder": (
         2, frozenset({"mask", "src_key_padding_mask", "is_causal"})
     ),
+    "TransformerDecoderLayer": (
+        2, frozenset({"tgt_mask", "memory_mask", "tgt_key_padding_mask",
+                      "memory_key_padding_mask", "tgt_is_causal",
+                      "memory_is_causal"})
+    ),
+    "TransformerDecoder": (
+        2, frozenset({"tgt_mask", "memory_mask", "tgt_key_padding_mask",
+                      "memory_key_padding_mask", "tgt_is_causal",
+                      "memory_is_causal"})
+    ),
 }
 
 
@@ -681,6 +691,109 @@ def _transformer_encoder_layer(mod):
     return fn
 
 
+def _transformer_decoder_layer(mod):
+    """nn.TransformerDecoderLayer (pre- or post-norm), inference semantics:
+    masked self-attention on the target, cross-attention over the encoder
+    memory, FFN — a composite leaf like the encoder layer (torch's
+    fast-path probing makes it fx-untraceable too).  Parameter offsets
+    follow registration order (self_attn, multihead_attn, linear1,
+    linear2, norm1, norm2, norm3)."""
+    import torch.nn.functional as F
+
+    act_table = {
+        F.relu: jax.nn.relu,
+        F.gelu: lambda x: jax.nn.gelu(x, approximate=False),
+    }
+    act = act_table.get(mod.activation)
+    if act is None:
+        name = getattr(mod.activation, "__name__", repr(mod.activation))
+        raise TypeError(
+            f"TransformerDecoderLayer activation {name} is not supported "
+            "(relu/gelu only)"
+        )
+    sa_fn = _multihead_attention(mod.self_attn)
+    ca_fn = _multihead_attention(mod.multihead_attn)
+    lin1, lin2 = _linear(mod.linear1), _linear(mod.linear2)
+    ln1, ln2, ln3 = (
+        _layernorm(mod.norm1), _layernorm(mod.norm2), _layernorm(mod.norm3)
+    )
+    norm_first = mod.norm_first
+    counts = [
+        len(list(m.parameters()))
+        for m in (mod.self_attn, mod.multihead_attn, mod.linear1, mod.linear2,
+                  mod.norm1, mod.norm2, mod.norm3)
+    ]
+    offs = [0]
+    for c in counts[:-1]:
+        offs.append(offs[-1] + c)
+    total = offs[-1] + counts[-1]
+
+    def fn(params, off, tgt, memory, tgt_mask=None, memory_mask=None,
+           tgt_key_padding_mask=None, memory_key_padding_mask=None,
+           tgt_is_causal=False, memory_is_causal=False):
+        def sa_block(x):
+            (y, _), _o = sa_fn(
+                params, off + offs[0], x, x, x,
+                key_padding_mask=tgt_key_padding_mask, need_weights=False,
+                attn_mask=tgt_mask, is_causal=tgt_is_causal,
+            )
+            return y
+
+        def ca_block(x):
+            (y, _), _o = ca_fn(
+                params, off + offs[1], x, memory, memory,
+                key_padding_mask=memory_key_padding_mask, need_weights=False,
+                attn_mask=memory_mask, is_causal=memory_is_causal,
+            )
+            return y
+
+        def ff_block(x):
+            h, _ = lin1(params, off + offs[2], x)
+            y, _ = lin2(params, off + offs[3], act(h))
+            return y
+
+        n1 = lambda x: ln1(params, off + offs[4], x)[0]
+        n2 = lambda x: ln2(params, off + offs[5], x)[0]
+        n3 = lambda x: ln3(params, off + offs[6], x)[0]
+
+        if norm_first:
+            x = tgt + sa_block(n1(tgt))
+            x = x + ca_block(n2(x))
+            x = x + ff_block(n3(x))
+        else:
+            x = n1(tgt + sa_block(tgt))
+            x = n2(x + ca_block(x))
+            x = n3(x + ff_block(x))
+        return x, off + total
+
+    return fn
+
+
+def _transformer_decoder(mod):
+    """nn.TransformerDecoder: a deep-copied decoder-layer stack + optional
+    final norm; parameter order is layers.0..layers.N-1 then norm."""
+    layer_fns = [_transformer_decoder_layer(l) for l in mod.layers]
+    final_norm = _layernorm(mod.norm) if mod.norm is not None else None
+
+    def fn(params, off, tgt, memory, tgt_mask=None, memory_mask=None,
+           tgt_key_padding_mask=None, memory_key_padding_mask=None,
+           tgt_is_causal=None, memory_is_causal=False):
+        x = tgt
+        o = off
+        for lf in layer_fns:
+            x, o = lf(params, o, x, memory, tgt_mask=tgt_mask,
+                      memory_mask=memory_mask,
+                      tgt_key_padding_mask=tgt_key_padding_mask,
+                      memory_key_padding_mask=memory_key_padding_mask,
+                      tgt_is_causal=bool(tgt_is_causal),
+                      memory_is_causal=bool(memory_is_causal))
+        if final_norm is not None:
+            x, o = final_norm(params, o, x)
+        return x, o
+
+    return fn
+
+
 def _transformer_encoder(mod):
     """nn.TransformerEncoder: a deep-copied layer stack + optional final
     norm; parameter order is layers.0..layers.N-1 then norm."""
@@ -707,6 +820,8 @@ _LEAF_HANDLERS = {
     "MultiheadAttention": _multihead_attention,
     "TransformerEncoderLayer": _transformer_encoder_layer,
     "TransformerEncoder": _transformer_encoder,
+    "TransformerDecoderLayer": _transformer_decoder_layer,
+    "TransformerDecoder": _transformer_decoder,
     "RNN": _rnn_family,
     "LSTM": _rnn_family,
     "GRU": _rnn_family,

@@ -1254,6 +1254,44 @@ class TestAttentionInterop:
             _multihead_attention(
                 torch.nn.MultiheadAttention(8, 2, add_bias_kv=True))
 
+    def test_seq2seq_decoder_matches_torch(self):
+        """Full encoder->decoder forward through fx: causal self-attention,
+        cross-attention over the memory, final norm, pre/post-norm."""
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Seq2Seq(torch.nn.Module):
+            def __init__(self, nf):
+                super().__init__()
+                self.enc = torch.nn.TransformerEncoder(
+                    torch.nn.TransformerEncoderLayer(
+                        8, 2, 16, batch_first=True, dropout=0.0),
+                    num_layers=1)
+                self.dec = torch.nn.TransformerDecoder(
+                    torch.nn.TransformerDecoderLayer(
+                        8, 2, 16, batch_first=True, dropout=0.0,
+                        norm_first=nf),
+                    num_layers=2, norm=torch.nn.LayerNorm(8))
+                self.register_buffer(
+                    "mask", torch.triu(torch.ones(5, 5, dtype=torch.bool), 1))
+                self.head = torch.nn.Linear(8, 3)
+
+            def forward(self, x):
+                mem = self.enc(x)
+                y = self.dec(x, mem, tgt_mask=self.mask, tgt_is_causal=True)
+                return self.head(y)
+
+        for nf in (False, True):
+            torch.manual_seed(47)
+            net = Seq2Seq(nf).eval()
+            apply_fn, template = from_torch_module(net)
+            x = np.random.RandomState(47).randn(4, 5, 8).astype(np.float32)
+            with torch.no_grad():
+                ref = net(torch.tensor(x)).numpy()
+            np.testing.assert_allclose(
+                np.asarray(apply_fn(template, jnp.asarray(x))), ref,
+                atol=1e-5)
+
     def test_sample_tiny_transformer_bnn(self, key):
         """End to end: a transformer regression BNN ports and samples."""
         torch = pytest.importorskip("torch")
