@@ -342,17 +342,20 @@ class TestTreeChEES:
         assert r.samples["xy"].shape == (16, 100, 2)
         assert bool(np.isfinite(np.asarray(r.samples["xy"])).all())
 
-    def test_tree_rejects_dense_adapt_and_sharded(self, key):
+    def test_tree_rejects_dense_and_mesh_checkpointing(self, key):
         cfg = ChEESConfig(num_samples=10, burn=5, adapt_mass="dense")
         with pytest.raises(ValueError, match="dense|pytree"):
             run_chees(key, self.tree_lp, {"w": jnp.zeros(3), "xy": jnp.zeros(2)},
                       cfg, num_chains=8)
-        from hamiltorch_tpu.parallel.sharding import run_chees_sharded
+        # mesh-sharded CHECKPOINTING stays flat-path-only (the local
+        # sharded runner accepts pytrees — TestPytreeChEESSharding)
+        from hamiltorch_tpu.checkpoint import run_chees_checkpointed
 
         with pytest.raises(TypeError, match="flat"):
-            run_chees_sharded(
+            run_chees_checkpointed(
                 key, self.tree_lp, {"w": jnp.zeros(3), "xy": jnp.zeros(2)},
-                ChEESConfig(num_samples=10, burn=5), mesh=None, num_chains=8,
+                ChEESConfig(num_samples=10, burn=5), "/tmp/nope",
+                num_chains=8, mesh=object(),
             )
 
     def test_tree_checkpoint_resume_bit_exact(self, key, tmp_path):
