@@ -1039,6 +1039,7 @@ def _fx_tables():
         torch.cos: jnp.cos,
         F.normalize: lambda x, p=2.0, dim=1, eps=1e-12: x
         / jnp.maximum(jnp.linalg.norm(x, ord=p, axis=dim, keepdims=True), eps),
+        F.scaled_dot_product_attention: _f_sdpa,
         operator.pow: operator.pow,
         operator.add: operator.add,
         operator.sub: operator.sub,
@@ -1047,6 +1048,10 @@ def _fx_tables():
         operator.matmul: jnp.matmul,
         operator.neg: operator.neg,
         operator.getitem: lambda x, idx: x[idx],
+        # `n, l, _ = x.shape` traces as builtin getattr; jnp arrays carry
+        # the same attribute surface for the cases fx emits (shape, dtype,
+        # ndim, T)
+        getattr: getattr,
         # comparisons / mask algebra (mask-and-where patterns)
         operator.gt: operator.gt,
         operator.lt: operator.lt,
@@ -1246,6 +1251,31 @@ def _f_prelu(x, weight):
 
 _F_PAD_MODES = {"constant": "constant", "circular": "wrap",
                 "reflect": "reflect", "replicate": "edge"}
+
+
+def _f_sdpa(query, key, value, attn_mask=None, dropout_p=0.0,
+            is_causal=False, scale=None, enable_gqa=False):
+    """F.scaled_dot_product_attention with torch semantics: (..., L, E)
+    inputs, bool mask True = KEEP (opposite of MultiheadAttention's
+    attn_mask!), float mask additive; inference dropout.  GQA is not
+    supported (raise instead of mistranslating)."""
+    if enable_gqa:
+        raise TypeError("scaled_dot_product_attention enable_gqa is not supported")
+    l, s = query.shape[-2], key.shape[-2]
+    sc = (1.0 / jnp.sqrt(jnp.asarray(query.shape[-1], query.dtype))
+          if scale is None else scale)
+    logits = (query * sc) @ jnp.swapaxes(key, -1, -2)
+    if is_causal:
+        assert attn_mask is None, "is_causal with an explicit attn_mask"
+        causal = jnp.tril(jnp.ones((l, s), bool))
+        logits = jnp.where(causal, logits, -jnp.inf)
+    if attn_mask is not None:
+        am = jnp.asarray(attn_mask)
+        if am.dtype == jnp.bool_:
+            logits = jnp.where(am, logits, -jnp.inf)
+        else:
+            logits = logits + am
+    return jax.nn.softmax(logits, axis=-1) @ value
 
 
 def _f_pad(x, pad, mode="constant", value=None):

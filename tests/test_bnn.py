@@ -1292,6 +1292,59 @@ class TestAttentionInterop:
                 np.asarray(apply_fn(template, jnp.asarray(x))), ref,
                 atol=1e-5)
 
+    def test_sdpa_custom_attention_matches_torch(self):
+        """Modern custom attention: qkv projection + .view/.transpose head
+        split + F.scaled_dot_product_attention (bool keep-mask and
+        is_causal), shape unpacking through the getattr passthrough."""
+        torch = pytest.importorskip("torch")
+        import torch.nn.functional as F
+
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class CustomAttn(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.qkv = torch.nn.Linear(8, 24)
+                self.out = torch.nn.Linear(8, 8)
+                self.register_buffer(
+                    "mask", torch.tril(torch.ones(6, 6, dtype=torch.bool)))
+
+            def forward(self, x):
+                n, l, _ = x.shape
+                q, k, v = self.qkv(x).chunk(3, dim=-1)
+                q = q.view(n, l, 2, 4).transpose(1, 2)
+                k = k.view(n, l, 2, 4).transpose(1, 2)
+                v = v.view(n, l, 2, 4).transpose(1, 2)
+                y = F.scaled_dot_product_attention(q, k, v, attn_mask=self.mask)
+                return self.out(y.transpose(1, 2).reshape(n, l, 8))
+
+        torch.manual_seed(48)
+        net = CustomAttn().eval()
+        apply_fn, template = from_torch_module(net)
+        x = np.random.RandomState(48).randn(3, 6, 8).astype(np.float32)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn(template, jnp.asarray(x))), ref, atol=1e-5)
+
+        class CausalSDPA(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.q = torch.nn.Linear(8, 8)
+                self.k = torch.nn.Linear(8, 8)
+                self.v = torch.nn.Linear(8, 8)
+
+            def forward(self, x):
+                return F.scaled_dot_product_attention(
+                    self.q(x), self.k(x), self.v(x), is_causal=True)
+
+        net2 = CausalSDPA().eval()
+        apply_fn2, t2 = from_torch_module(net2)
+        with torch.no_grad():
+            ref2 = net2(torch.tensor(x)).numpy()
+        np.testing.assert_allclose(
+            np.asarray(apply_fn2(t2, jnp.asarray(x))), ref2, atol=1e-5)
+
     def test_sample_tiny_transformer_bnn(self, key):
         """End to end: a transformer regression BNN ports and samples."""
         torch = pytest.importorskip("torch")
