@@ -764,6 +764,14 @@ def run_nuts_ensemble_checkpointed(
         )
 
         axes, axis_name = mesh_chain_layout(mesh, c)
+        if is_tree:
+            n_dev = len(mesh.devices.flatten())
+            local_template = jax.tree_util.tree_map(
+                lambda l: jnp.zeros((c // max(n_dev, 1),) + l.shape, l.dtype),
+                template_tree,
+            )
+        else:
+            local_template = None
         warm_template = (wf0, metric0, jnp.zeros((), jnp.int32))
         carry_specs = nuts_ensemble_carry_specs(axes, warm_template)
         shard_cache: dict[int, Callable] = {}
@@ -1099,12 +1107,6 @@ def run_chees_checkpointed(
     from .utils.pytree import is_param_tree, reject_param_tree
 
     is_tree = is_param_tree(theta0)
-    if is_tree and mesh is not None:
-        reject_param_tree(
-            theta0, "run_chees_checkpointed(mesh=...)",
-            "the mesh carry specs are built for the flat layout",
-            "checkpoint the pytree ensemble without a mesh",
-        )
     if is_tree:
         # same spread semantics as run_chees's pytree entry (single state
         # broadcast+noised, or (C, ...)-stacked leaves taken as-is)
@@ -1210,6 +1212,14 @@ def run_chees_checkpointed(
         )
 
         axes, axis_name = mesh_chain_layout(mesh, c)
+        if is_tree:
+            n_dev = len(mesh.devices.flatten())
+            local_template = jax.tree_util.tree_map(
+                lambda l: jnp.zeros((c // max(n_dev, 1),) + l.shape, l.dtype),
+                template_tree,
+            )
+        else:
+            local_template = None
 
         # the compiled sharded program is built once per distinct chunk
         # LENGTH (normally two: the chunk size and the final remainder);
@@ -1233,9 +1243,13 @@ def run_chees_checkpointed(
 
                 shard_cache[this_chunk] = jax.jit(jax.shard_map(
                     local, mesh=mesh,
-                    in_specs=(P(), P(axes), chees_carry_specs(axes, dense=dense),
+                    in_specs=(P(), P(axes),
+                              chees_carry_specs(
+                                  axes, dense=dense,
+                                  theta_template=local_template),
                               P(), P(), P(), P()),
-                    out_specs=chees_result_specs(axes, dense=dense),
+                    out_specs=chees_result_specs(
+                        axes, dense=dense, theta_template=local_template),
                     check_vma=False,
                 ))
             return shard_cache[this_chunk]

@@ -342,21 +342,44 @@ class TestTreeChEES:
         assert r.samples["xy"].shape == (16, 100, 2)
         assert bool(np.isfinite(np.asarray(r.samples["xy"])).all())
 
-    def test_tree_rejects_dense_and_mesh_checkpointing(self, key):
+    def test_tree_rejects_dense_metrics(self, key):
         cfg = ChEESConfig(num_samples=10, burn=5, adapt_mass="dense")
         with pytest.raises(ValueError, match="dense|pytree"):
             run_chees(key, self.tree_lp, {"w": jnp.zeros(3), "xy": jnp.zeros(2)},
                       cfg, num_chains=8)
-        # mesh-sharded CHECKPOINTING stays flat-path-only (the local
-        # sharded runner accepts pytrees — TestPytreeChEESSharding)
-        from hamiltorch_tpu.checkpoint import run_chees_checkpointed
+        with pytest.raises(ValueError, match="diagonal"):
+            run_chees(key, self.tree_lp,
+                      {"w": jnp.zeros(3), "xy": jnp.zeros(2)},
+                      ChEESConfig(num_samples=10, burn=5), num_chains=8,
+                      inv_mass=jnp.eye(5))
 
-        with pytest.raises(TypeError, match="flat"):
-            run_chees_checkpointed(
-                key, self.tree_lp, {"w": jnp.zeros(3), "xy": jnp.zeros(2)},
-                ChEESConfig(num_samples=10, burn=5), "/tmp/nope",
-                num_chains=8, mesh=object(),
-            )
+    def test_tree_mesh_checkpoint_resume_bit_exact(self, key, tmp_path):
+        """Mesh-sharded pytree ensemble checkpointing: leaves shard along
+        their chain axis inside each chunk's shard_map program; resume is
+        bit-exact at fixed chunking."""
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_chees_checkpointed
+        from hamiltorch_tpu.parallel.sharding import make_mesh
+
+        t0 = {"w": jnp.zeros(3), "xy": jnp.zeros(2)}
+        cfg = ChEESConfig(num_samples=80, step_size=0.25, burn=40,
+                          adapt_mass=True)
+        mesh = make_mesh(chains=4, data=2)
+        r_full = run_chees_checkpointed(key, self.tree_lp, t0, cfg,
+                                        str(tmp_path / "a"), num_chains=8,
+                                        chunk_size=40, mesh=mesh)
+        assert r_full.samples["w"].shape == (8, 80, 3)
+        run_chees_checkpointed(key, self.tree_lp, t0,
+                               dataclasses.replace(cfg, num_samples=40),
+                               str(tmp_path / "b"), num_chains=8,
+                               chunk_size=40, mesh=mesh)
+        r_res = run_chees_checkpointed(key, self.tree_lp, t0, cfg,
+                                       str(tmp_path / "b"), num_chains=8,
+                                       chunk_size=40, mesh=mesh)
+        for k in ("w", "xy"):
+            np.testing.assert_array_equal(
+                np.asarray(r_res.samples[k]), np.asarray(r_full.samples[k]))
 
     def test_tree_checkpoint_resume_bit_exact(self, key, tmp_path):
         import dataclasses

@@ -651,14 +651,13 @@ class TestPytreeNUTS:
         with pytest.raises(ValueError, match="diagonal"):
             run_nuts(key, self.tree_lp, t0, NUTSConfig(num_samples=10),
                      inv_mass=jnp.eye(5))
-        # mesh-sharded CHECKPOINTING stays flat-path-only
-        from hamiltorch_tpu.checkpoint import run_chees_checkpointed
-        from hamiltorch_tpu.samplers.chees import ChEESConfig
+        # the pooled-ensemble NUTS checkpointer stays flat-path-only
+        from hamiltorch_tpu.checkpoint import run_nuts_ensemble_checkpointed
 
         with pytest.raises(TypeError, match="flat"):
-            run_chees_checkpointed(
-                key, self.tree_lp, t0, ChEESConfig(num_samples=10),
-                "/tmp/nope", num_chains=8, mesh=object(),
+            run_nuts_ensemble_checkpointed(
+                key, self.tree_lp, t0, NUTSConfig(num_samples=10),
+                "/tmp/nope", num_chains=8,
             )
 
     def test_tree_checkpoint_resume_bit_exact(self, key, tmp_path):
