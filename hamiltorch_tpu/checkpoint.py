@@ -697,29 +697,46 @@ def run_nuts_ensemble_checkpointed(
     from .samplers.nuts import (
         NUTSInfo,
         _run_nuts_ensemble_jit,
+        _tree_nuts_mass,
         init_metric_seed,
         validate_nuts_mass,
     )
     from .samplers.warmup import schedule_flags
-    from .utils.pytree import reject_param_tree
+    from .utils.pytree import is_param_tree
 
-    reject_param_tree(
-        theta0, "run_nuts_ensemble_checkpointed",
-        "the chunked pooled carry is persisted in the flat layout",
-        "use run_nuts_ensemble, whose pytree-native path has no "
-        "checkpointed counterpart yet",
-    )
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    # theta0 may be a parameter PYTREE (diag metrics only, as
+    # run_nuts_ensemble): the persistence layer is tree-generic and mesh
+    # chunks shard leaves along their chain axis
+    is_tree = is_param_tree(theta0)
+    if is_tree:
+        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+        leaves = jax.tree_util.tree_leaves(theta0)
+        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
+        if stacked:
+            template_tree = jax.tree_util.tree_map(lambda l: l[0], theta0)
+        else:
+            template_tree = theta0
+            theta0 = jax.tree_util.tree_map(
+                lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
+            )
+        mass = _tree_nuts_mass(inv_mass, template_tree, config)
+        seed_mass = mass.inner
+        c = num_chains
+        d = sum(int(l.size) for l in jax.tree_util.tree_leaves(template_tree))
+        dtype = leaves[0].dtype
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+        c, d = theta0.shape
+        dtype = theta0.dtype
+        mass = make_mass(inv_mass, d)
+        seed_mass = mass
+        validate_nuts_mass(config, mass)
     lp, data = resolve_potential(log_prob_fn, None)
-    c, d = theta0.shape
-    dtype = theta0.dtype
-    mass = make_mass(inv_mass, d)
-    validate_nuts_mass(config, mass)
     windowed = bool(config.adapt_mass) and config.burn > 0
     dense = windowed and config.adapt_mass == "dense"
-    wf0, metric0 = init_metric_seed(mass, d, dtype, dense)
+    wf0, metric0 = init_metric_seed(seed_mass, d, dtype, dense)
     da0 = da_init(config.step_size, dtype=dtype)
 
     def make_carry(logps, grads):
@@ -773,7 +790,9 @@ def run_nuts_ensemble_checkpointed(
         else:
             local_template = None
         warm_template = (wf0, metric0, jnp.zeros((), jnp.int32))
-        carry_specs = nuts_ensemble_carry_specs(axes, warm_template)
+        carry_specs = nuts_ensemble_carry_specs(
+            axes, warm_template, theta_template=local_template
+        )
         shard_cache: dict[int, Callable] = {}
 
         def shard_for(this_chunk: int):
@@ -792,7 +811,9 @@ def run_nuts_ensemble_checkpointed(
                 shard_cache[this_chunk] = jax.jit(jax.shard_map(
                     local, mesh=mesh,
                     in_specs=(P(), P(axes), carry_specs, P(), P(), P(), P()),
-                    out_specs=nuts_ensemble_result_specs(axes, warm_template),
+                    out_specs=nuts_ensemble_result_specs(
+                        axes, warm_template, theta_template=local_template
+                    ),
                     check_vma=False,
                 ))
             return shard_cache[this_chunk]
@@ -820,7 +841,18 @@ def run_nuts_ensemble_checkpointed(
         chunk_size, resume, fp, save_chunk,
     )
     kept = config.num_samples // max(getattr(config, "thin", 1), 1)
-    samples = jnp.asarray(np.concatenate([z["samples"] for z in zs], axis=1))[:, :kept]
+    if "samples" in zs[0].files:
+        samples = jnp.asarray(
+            np.concatenate([z["samples"] for z in zs], axis=1)
+        )[:, :kept]
+    else:  # pytree ensemble: per-leaf chunk entries, (C, N, ...) leaves
+        tdef = jax.tree_util.tree_structure(carry[0])
+        samples = jax.tree_util.tree_unflatten(tdef, [
+            jnp.asarray(
+                np.concatenate([z[f"samples__leaf_{i}"] for z in zs], axis=1)
+            )[:, :kept]
+            for i in range(tdef.num_leaves)
+        ])
     info = NUTSInfo(
         **{
             f: jnp.asarray(np.concatenate([z[f] for z in zs], axis=0))[:kept]

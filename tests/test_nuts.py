@@ -651,14 +651,42 @@ class TestPytreeNUTS:
         with pytest.raises(ValueError, match="diagonal"):
             run_nuts(key, self.tree_lp, t0, NUTSConfig(num_samples=10),
                      inv_mass=jnp.eye(5))
-        # the pooled-ensemble NUTS checkpointer stays flat-path-only
-        from hamiltorch_tpu.checkpoint import run_nuts_ensemble_checkpointed
+        # parallel tempering's checkpointer stays flat-path-only
+        from hamiltorch_tpu.checkpoint import run_pt_checkpointed
+        from hamiltorch_tpu.samplers.tempering import PTConfig
 
         with pytest.raises(TypeError, match="flat"):
-            run_nuts_ensemble_checkpointed(
-                key, self.tree_lp, t0, NUTSConfig(num_samples=10),
-                "/tmp/nope", num_chains=8,
+            run_pt_checkpointed(
+                key, self.tree_lp, t0, PTConfig(num_samples=10, num_temps=4),
+                "/tmp/nope",
             )
+
+    def test_tree_ensemble_checkpoint_resume_bit_exact(self, key, tmp_path):
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_nuts_ensemble_checkpointed
+        from hamiltorch_tpu.samplers.nuts import run_nuts_ensemble
+
+        t0 = {"w": jnp.zeros(3), "xy": jnp.zeros(2)}
+        cfg = NUTSConfig(num_samples=80, step_size=0.3, burn=40,
+                         adapt_mass=True)
+        r_direct, _ = run_nuts_ensemble(key, self.tree_lp, t0, cfg,
+                                        num_chains=8)
+        r_ck, _ = run_nuts_ensemble_checkpointed(
+            key, self.tree_lp, t0, cfg, str(tmp_path / "a"), num_chains=8,
+            chunk_size=40)
+        for k in ("w", "xy"):
+            np.testing.assert_array_equal(
+                np.asarray(r_ck.samples[k]), np.asarray(r_direct.samples[k]))
+        run_nuts_ensemble_checkpointed(
+            key, self.tree_lp, t0, dataclasses.replace(cfg, num_samples=40),
+            str(tmp_path / "b"), num_chains=8, chunk_size=40)
+        r_res, _ = run_nuts_ensemble_checkpointed(
+            key, self.tree_lp, t0, cfg, str(tmp_path / "b"), num_chains=8,
+            chunk_size=40)
+        for k in ("w", "xy"):
+            np.testing.assert_array_equal(
+                np.asarray(r_res.samples[k]), np.asarray(r_direct.samples[k]))
 
     def test_tree_checkpoint_resume_bit_exact(self, key, tmp_path):
         import dataclasses
