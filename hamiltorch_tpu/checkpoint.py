@@ -912,14 +912,6 @@ def run_pt_checkpointed(
     ``num_ensembles``) — the ensemble stream matches the vmapped run, so
     vmapped and sharded checkpoints are interchangeable up to compile-level
     f32 reassociation."""
-    from .utils.pytree import reject_param_tree
-
-    reject_param_tree(
-        theta0, "run_pt_checkpointed",
-        "the chunked ladder carry is persisted in the flat layout",
-        "use run_parallel_tempering, whose pytree-native path has no "
-        "checkpointed counterpart yet",
-    )
     from .samplers.tempering import (
         PTCarry,
         assemble_pt_result,
@@ -927,6 +919,7 @@ def run_pt_checkpointed(
         init_pt_carry,
         _run_pt_jit,
     )
+    from .utils.pytree import is_param_tree, reject_param_tree
 
     if mesh is not None and num_ensembles is None:
         raise ValueError(
@@ -934,26 +927,56 @@ def run_pt_checkpointed(
             "num_ensembles as well."
         )
     if num_ensembles is not None:
+        reject_param_tree(
+            theta0, "run_pt_checkpointed(num_ensembles=...)",
+            "the ensemble stacking is built for the flat layout",
+            "checkpoint a single pytree ladder (num_ensembles=None)",
+        )
         return _run_pt_checkpointed_ensembles(
             key, log_prob_fn, theta0, config, ckpt_dir, chunk_size,
             inv_mass, resume, num_ensembles, mesh,
         )
 
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        theta0 = jnp.broadcast_to(theta0, (config.num_temps,) + theta0.shape)
-    check_num_temps(theta0, config)
+    if is_param_tree(theta0):
+        # pytree replica stack (diag metrics only, as run_parallel_tempering)
+        from .ops.mass import BlockDiagMass, DenseMass, make_mass_tree
+
+        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+        leaves = jax.tree_util.tree_leaves(theta0)
+        stacked = all(l.shape[:1] == (config.num_temps,) for l in leaves)
+        if stacked:
+            template_tree = jax.tree_util.tree_map(lambda l: l[0], theta0)
+        else:
+            template_tree = theta0
+            theta0 = jax.tree_util.tree_map(
+                lambda l: jnp.broadcast_to(l, (config.num_temps,) + l.shape),
+                theta0,
+            )
+        mass = make_mass_tree(inv_mass, template_tree)
+        if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
+            raise ValueError(
+                "pytree parallel tempering supports diagonal metrics only — "
+                "pass inv_mass=None, a flat (D,) diagonal, or a per-leaf "
+                "pytree of diagonals."
+            )
+        k_temps = config.num_temps
+        dtype = leaves[0].dtype
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (config.num_temps,) + theta0.shape)
+        check_num_temps(theta0, config)
+        mass = make_mass(inv_mass, theta0.shape[-1])
+        k_temps = theta0.shape[0]
+        dtype = theta0.dtype
     # no burn < num_samples guard here: an interrupted run may legitimately
     # stop inside the burn window; burn slicing happens only at assembly
     lp, data = resolve_potential(log_prob_fn, None)
-    mass = make_mass(inv_mass, theta0.shape[-1])
-    k_temps, d = theta0.shape
-    dtype = theta0.dtype
 
     template = PTCarry(
         thetas=theta0,
         logps=jnp.zeros((k_temps,), dtype),
-        grads=jnp.zeros_like(theta0),
+        grads=jax.tree_util.tree_map(jnp.zeros_like, theta0),
         s=jnp.zeros((k_temps - 1,), dtype),
         ema=jnp.zeros((k_temps - 1,), dtype),
         da=DualAveragingState(*(jnp.zeros((k_temps,), dtype),) * 4),
@@ -978,7 +1001,16 @@ def run_pt_checkpointed(
         chunk_size, resume, _fingerprint(config, theta0), save_chunk,
     )
     kept = config.num_samples  # burn slicing happens in assemble_pt_result
-    traj = jnp.asarray(np.concatenate([z["traj"] for z in zs], axis=0))[:kept]
+    if "traj" in zs[0].files:
+        traj = jnp.asarray(np.concatenate([z["traj"] for z in zs], axis=0))[:kept]
+    else:  # pytree ladder: per-leaf chunk entries, (N, K, ...) leaves
+        tdef = jax.tree_util.tree_structure(carry.thetas)
+        traj = jax.tree_util.tree_unflatten(tdef, [
+            jnp.asarray(
+                np.concatenate([z[f"traj__leaf_{i}"] for z in zs], axis=0)
+            )[:kept]
+            for i in range(tdef.num_leaves)
+        ])
     alphas = jnp.asarray(np.concatenate([z["alphas"] for z in zs], axis=0))[:kept]
     swaps = jnp.asarray(np.concatenate([z["swaps"] for z in zs], axis=0))[:kept]
     return assemble_pt_result(traj, alphas, swaps, carry, config)

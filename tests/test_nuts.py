@@ -651,14 +651,13 @@ class TestPytreeNUTS:
         with pytest.raises(ValueError, match="diagonal"):
             run_nuts(key, self.tree_lp, t0, NUTSConfig(num_samples=10),
                      inv_mass=jnp.eye(5))
-        # parallel tempering's checkpointer stays flat-path-only
-        from hamiltorch_tpu.checkpoint import run_pt_checkpointed
-        from hamiltorch_tpu.samplers.tempering import PTConfig
+        # PT ensemble stacking stays flat-path-only
+        from hamiltorch_tpu.samplers.tempering import PTConfig, run_pt_chains
 
         with pytest.raises(TypeError, match="flat"):
-            run_pt_checkpointed(
+            run_pt_chains(
                 key, self.tree_lp, t0, PTConfig(num_samples=10, num_temps=4),
-                "/tmp/nope",
+                num_ensembles=2,
             )
 
     def test_tree_ensemble_checkpoint_resume_bit_exact(self, key, tmp_path):

@@ -354,7 +354,34 @@ class TestPytreePT:
         with pytest.raises(TypeError, match="flat"):
             run_pt_chains(key, self.tree_lp, t0, cfg, num_ensembles=2)
         with pytest.raises(TypeError, match="flat"):
-            run_pt_checkpointed(key, self.tree_lp, t0, cfg, "/tmp/nope")
+            run_pt_checkpointed(key, self.tree_lp, t0, cfg, "/tmp/nope",
+                                num_ensembles=2)
+
+    def test_tree_checkpoint_resume_bit_exact(self, key, tmp_path):
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_pt_checkpointed
+
+        t0 = {"a": jnp.full((1,), 3.0), "b": jnp.zeros((2, 1))}
+        cfg = PTConfig(num_samples=120, num_steps_per_sample=5, step_size=0.1,
+                       num_temps=8, max_temp=30.0, burn=40, adapt_ladder=True)
+        r_direct = run_parallel_tempering(key, self.tree_lp, t0, cfg)
+        r_ck = run_pt_checkpointed(key, self.tree_lp, t0, cfg,
+                                   str(tmp_path / "a"), chunk_size=50)
+        for k in ("a", "b"):
+            np.testing.assert_array_equal(
+                np.asarray(r_ck.samples[k]), np.asarray(r_direct.samples[k]))
+            np.testing.assert_array_equal(
+                np.asarray(r_ck.replica_samples[k]),
+                np.asarray(r_direct.replica_samples[k]))
+        run_pt_checkpointed(key, self.tree_lp, t0,
+                            dataclasses.replace(cfg, num_samples=50),
+                            str(tmp_path / "b"), chunk_size=50)
+        r_res = run_pt_checkpointed(key, self.tree_lp, t0, cfg,
+                                    str(tmp_path / "b"), chunk_size=50)
+        for k in ("a", "b"):
+            np.testing.assert_array_equal(
+                np.asarray(r_res.samples[k]), np.asarray(r_direct.samples[k]))
 
     def test_dense_inv_mass_rejected(self, key):
         t0 = {"a": jnp.zeros(1), "b": jnp.zeros((2, 1))}
