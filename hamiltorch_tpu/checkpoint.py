@@ -409,21 +409,14 @@ def run_hmc_chains_checkpointed(
 
     if is_param_tree(theta0):
         # pytree chains: single state broadcast, or (C, ...)-stacked leaves
+        from .utils.pytree import stack_param_tree
+
         _reject_tree_adapt_mass(config)
-        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
-        leaves = jax.tree_util.tree_leaves(theta0)
-        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
-        if stacked:
-            template_tree = jax.tree_util.tree_map(lambda l: l[0], theta0)
-        else:
-            template_tree = theta0
-            theta0 = jax.tree_util.tree_map(
-                lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
-            )
+        template_tree, theta0 = stack_param_tree(theta0, num_chains)
         mass = make_mass_tree(inv_mass, template_tree)
         seed_mass = mass.inner
         d = sum(int(l.size) for l in jax.tree_util.tree_leaves(template_tree))
-        dtype = leaves[0].dtype
+        dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
     else:
         theta0 = jnp.asarray(theta0)
         if theta0.ndim == 1:
@@ -709,21 +702,14 @@ def run_nuts_ensemble_checkpointed(
     # chunks shard leaves along their chain axis
     is_tree = is_param_tree(theta0)
     if is_tree:
-        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
-        leaves = jax.tree_util.tree_leaves(theta0)
-        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
-        if stacked:
-            template_tree = jax.tree_util.tree_map(lambda l: l[0], theta0)
-        else:
-            template_tree = theta0
-            theta0 = jax.tree_util.tree_map(
-                lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
-            )
+        from .utils.pytree import stack_param_tree
+
+        template_tree, theta0 = stack_param_tree(theta0, num_chains)
         mass = _tree_nuts_mass(inv_mass, template_tree, config)
         seed_mass = mass.inner
         c = num_chains
         d = sum(int(l.size) for l in jax.tree_util.tree_leaves(template_tree))
-        dtype = leaves[0].dtype
+        dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
     else:
         theta0 = jnp.asarray(theta0)
         if theta0.ndim == 1:
@@ -941,17 +927,9 @@ def run_pt_checkpointed(
         # pytree replica stack (diag metrics only, as run_parallel_tempering)
         from .ops.mass import BlockDiagMass, DenseMass, make_mass_tree
 
-        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
-        leaves = jax.tree_util.tree_leaves(theta0)
-        stacked = all(l.shape[:1] == (config.num_temps,) for l in leaves)
-        if stacked:
-            template_tree = jax.tree_util.tree_map(lambda l: l[0], theta0)
-        else:
-            template_tree = theta0
-            theta0 = jax.tree_util.tree_map(
-                lambda l: jnp.broadcast_to(l, (config.num_temps,) + l.shape),
-                theta0,
-            )
+        from .utils.pytree import stack_param_tree
+
+        template_tree, theta0 = stack_param_tree(theta0, config.num_temps)
         mass = make_mass_tree(inv_mass, template_tree)
         if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
             raise ValueError(
@@ -960,7 +938,7 @@ def run_pt_checkpointed(
                 "pytree of diagonals."
             )
         k_temps = config.num_temps
-        dtype = leaves[0].dtype
+        dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
     else:
         theta0 = jnp.asarray(theta0)
         if theta0.ndim == 1:
@@ -1174,24 +1152,21 @@ def run_chees_checkpointed(
     if is_tree:
         # same spread semantics as run_chees's pytree entry (single state
         # broadcast+noised, or (C, ...)-stacked leaves taken as-is)
-        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
-        leaves, tdef = jax.tree_util.tree_flatten(theta0)
-        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
+        from .utils.pytree import stack_param_tree
+
+        stacked = all(
+            l.shape[:1] == (num_chains,)
+            for l in jax.tree_util.tree_leaves(theta0)
+        )
         if stacked:
-            template_tree = jax.tree_util.tree_unflatten(
-                tdef, [l[0] for l in leaves]
+            template_tree, theta0 = stack_param_tree(
+                theta0, num_chains, stacked=True
             )
-        else:
-            template_tree = theta0
+        else:  # spread a single state (the key is consumed only here)
             k_init, key = jax.random.split(key)
-            keys_l = jax.random.split(k_init, len(leaves))
-            leaves = [
-                l[None] + 0.01 * jax.random.normal(
-                    kl, (num_chains,) + l.shape, l.dtype
-                )
-                for l, kl in zip(leaves, keys_l)
-            ]
-            theta0 = jax.tree_util.tree_unflatten(tdef, leaves)
+            template_tree, theta0 = stack_param_tree(
+                theta0, num_chains, key=k_init, noise=0.01, stacked=False
+            )
         from .ops.mass import BlockDiagMass, DenseMass, make_mass_tree
 
         if config.adapt_mass == "dense":

@@ -311,16 +311,9 @@ def run_nuts_chains_sharded(
     tmap = jax.tree_util.tree_map
     if is_param_tree(theta0):
         # pytree chains over the mesh: leaves shard along their chain axis
-        theta0 = tmap(jnp.asarray, theta0)
-        leaves = jax.tree_util.tree_leaves(theta0)
-        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
-        if stacked:
-            template = tmap(lambda l: l[0], theta0)
-        else:
-            template = theta0
-            theta0 = tmap(
-                lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
-            )
+        from ..utils.pytree import stack_param_tree
+
+        template, theta0 = stack_param_tree(theta0, num_chains)
         mass = _tree_nuts_mass(inv_mass, template, config)
     else:
         theta0 = jnp.asarray(theta0)
@@ -510,20 +503,13 @@ def run_nuts_ensemble_sharded(
         # pytree ensemble over the mesh: leaves shard along their chain
         # axis; the pooled statistics (mean acceptance, flat-bridged
         # Welford merge) psum across devices exactly as in the flat layout
-        theta0 = tmap(jnp.asarray, theta0)
-        leaves = jax.tree_util.tree_leaves(theta0)
-        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
-        if stacked:
-            template = tmap(lambda l: l[0], theta0)
-        else:
-            template = theta0
-            theta0 = tmap(
-                lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
-            )
+        from ..utils.pytree import stack_param_tree
+
+        template, theta0 = stack_param_tree(theta0, num_chains)
         mass = _tree_nuts_mass(inv_mass, template, config)
         seed_mass = mass.inner
         d = sum(int(l.size) for l in jax.tree_util.tree_leaves(template))
-        dtype = leaves[0].dtype
+        dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
         local_template = tmap(
             lambda l: jnp.zeros((num_chains // max(n_dev, 1),) + l.shape,
                                 l.dtype),
@@ -600,23 +586,18 @@ def run_chees_sharded(
         # pytree ensemble over the mesh: leaves shard along their chain
         # axis; the pooled statistics still psum (the flat Welford bridge
         # runs per shard on the local chains, merged by gsum)
-        theta0 = tmap(jnp.asarray, theta0)
-        leaves = jax.tree_util.tree_leaves(theta0)
-        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
+        from ..utils.pytree import stack_param_tree
+
+        stacked = all(
+            l.shape[:1] == (num_chains,)
+            for l in jax.tree_util.tree_leaves(theta0)
+        )
         if stacked:
-            template = tmap(lambda l: l[0], theta0)
-        else:
-            template = theta0
+            template, theta0 = stack_param_tree(theta0, num_chains, stacked=True)
+        else:  # spread a single state (the key is consumed only here)
             k_init, key = jax.random.split(key)
-            keys_l = jax.random.split(k_init, len(leaves))
-            theta0 = jax.tree_util.tree_unflatten(
-                jax.tree_util.tree_structure(theta0),
-                [
-                    l[None] + 0.01 * jax.random.normal(
-                        kl, (num_chains,) + l.shape, l.dtype
-                    )
-                    for l, kl in zip(leaves, keys_l)
-                ],
+            template, theta0 = stack_param_tree(
+                theta0, num_chains, key=k_init, noise=0.01, stacked=False
             )
         if config.adapt_mass == "dense":
             raise ValueError(
@@ -828,17 +809,10 @@ def run_hmc_chains_sharded(
 
     tmap = jax.tree_util.tree_map
     if is_param_tree(theta0):
+        from ..utils.pytree import stack_param_tree
+
         _reject_tree_adapt_mass(config)
-        theta0 = tmap(jnp.asarray, theta0)
-        leaves = jax.tree_util.tree_leaves(theta0)
-        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
-        if stacked:
-            template = tmap(lambda l: l[0], theta0)
-        else:
-            template = theta0
-            theta0 = tmap(
-                lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
-            )
+        template, theta0 = stack_param_tree(theta0, num_chains)
         mass = make_mass_tree(inv_mass, template)
     else:
         theta0 = jnp.asarray(theta0)

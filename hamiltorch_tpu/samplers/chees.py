@@ -599,24 +599,21 @@ def run_chees(
     from ..utils.pytree import is_param_tree
 
     if is_param_tree(theta0):
-        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
-        leaves, tdef = jax.tree_util.tree_flatten(theta0)
+        from ..utils.pytree import stack_param_tree
+
         stacked = theta0_is_stacked
         if stacked is None:
-            stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
+            stacked = all(
+                l.shape[:1] == (num_chains,)
+                for l in jax.tree_util.tree_leaves(theta0)
+            )
         if stacked:
-            template = jax.tree_util.tree_unflatten(tdef, [l[0] for l in leaves])
-        else:
-            template = theta0
+            template, theta0 = stack_param_tree(theta0, num_chains, stacked=True)
+        else:  # spread a single state (the key is consumed only here)
             k_init, key = jax.random.split(key)
-            keys_l = jax.random.split(k_init, len(leaves))
-            leaves = [
-                l[None] + 0.01 * jax.random.normal(
-                    kl, (num_chains,) + l.shape, l.dtype
-                )
-                for l, kl in zip(leaves, keys_l)
-            ]
-            theta0 = jax.tree_util.tree_unflatten(tdef, leaves)
+            template, theta0 = stack_param_tree(
+                theta0, num_chains, key=k_init, noise=0.01, stacked=False
+            )
         if config.adapt_mass == "dense":
             raise ValueError(
                 "adapt_mass='dense' is not supported with a pytree ensemble "

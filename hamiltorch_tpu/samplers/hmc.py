@@ -291,21 +291,12 @@ def run_hmc_chains(
     if is_param_tree(theta0):
         # pytree params: leaves may be per-chain ((num_chains, ...) leading
         # axis) or single-chain (broadcast to all chains)
+        from ..utils.pytree import stack_param_tree
+
         _reject_tree_adapt_mass(config)
-        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
-        stacked = theta0_is_stacked
-        if stacked is None:
-            stacked = all(
-                l.shape[:1] == (num_chains,)
-                for l in jax.tree_util.tree_leaves(theta0)
-            )
-        if stacked:
-            template = jax.tree_util.tree_map(lambda l: l[0], theta0)
-        else:
-            template = theta0
-            theta0 = jax.tree_util.tree_map(
-                lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
-            )
+        template, theta0 = stack_param_tree(
+            theta0, num_chains, stacked=theta0_is_stacked
+        )
         mass = make_mass_tree(inv_mass, template)
         from .warmup import validate_adapt_mass
 

@@ -685,18 +685,9 @@ def _stack_tree_chains(key, theta0, num_chains, stacked):
     """(template, stacked_tree): broadcast a single pytree state to
     ``num_chains`` leading-axis copies unless its leaves already carry a
     chain axis (``stacked`` overrides the auto-detection)."""
-    theta0 = _tmap(jnp.asarray, theta0)
-    leaves, tdef = jax.tree_util.tree_flatten(theta0)
-    if stacked is None:
-        stacked = all(l.shape[:1] == (num_chains,) for l in leaves)
-    if stacked:
-        template = jax.tree_util.tree_unflatten(tdef, [l[0] for l in leaves])
-        return template, theta0
-    template = theta0
-    stacked_tree = _tmap(
-        lambda l: jnp.broadcast_to(l, (num_chains,) + l.shape), theta0
-    )
-    return template, stacked_tree
+    from ..utils.pytree import stack_param_tree
+
+    return stack_param_tree(theta0, num_chains, stacked=stacked)
 
 
 def run_nuts(

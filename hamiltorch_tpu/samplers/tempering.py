@@ -337,17 +337,9 @@ def run_parallel_tempering(
         # (K, ...)-stacked leaves; diagonal metrics only (per-leaf
         # inv_mass pytree, flat (D,) diagonal, or None), as in the other
         # pytree sampler entries
-        theta0 = _tmap(jnp.asarray, theta0)
-        leaves = jax.tree_util.tree_leaves(theta0)
-        stacked = all(l.shape[:1] == (config.num_temps,) for l in leaves)
-        if stacked:
-            template = _tmap(lambda l: l[0], theta0)
-        else:
-            template = theta0
-            theta0 = _tmap(
-                lambda l: jnp.broadcast_to(l, (config.num_temps,) + l.shape),
-                theta0,
-            )
+        from ..utils.pytree import stack_param_tree
+
+        template, theta0 = stack_param_tree(theta0, config.num_temps)
         mass = make_mass_tree(inv_mass, template)
         if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
             raise ValueError(

@@ -49,6 +49,36 @@ def is_param_tree(theta: Any) -> bool:
     return any(getattr(leaf, "ndim", 0) >= 1 for leaf in leaves)
 
 
+def stack_param_tree(theta0, n: int, key=None, noise: float = 0.0,
+                     stacked: bool | None = None):
+    """(template, stacked_tree) for a pytree chain/replica/ensemble entry.
+
+    Leaves already carrying a leading ``n`` axis are taken as per-member
+    states (``stacked`` overrides the auto-detection when a single-state
+    leaf's first dim happens to equal ``n``); otherwise the single state
+    broadcasts to ``n`` copies — with ``noise > 0`` (and a ``key``) each
+    copy is spread by per-leaf ``noise * N(0, 1)``, the ChEES convention
+    (its cross-chain criterion needs distinct starting points).
+    """
+    theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+    leaves, tdef = jax.tree_util.tree_flatten(theta0)
+    if stacked is None:
+        stacked = all(l.shape[:1] == (n,) for l in leaves)
+    if stacked:
+        template = jax.tree_util.tree_unflatten(tdef, [l[0] for l in leaves])
+        return template, theta0
+    template = theta0
+    if noise > 0.0:
+        keys = jax.random.split(key, len(leaves))
+        out = [
+            l[None] + noise * jax.random.normal(k, (n,) + l.shape, l.dtype)
+            for l, k in zip(leaves, keys)
+        ]
+    else:
+        out = [jnp.broadcast_to(l, (n,) + l.shape) for l in leaves]
+    return template, jax.tree_util.tree_unflatten(tdef, out)
+
+
 def reject_param_tree(theta, entry_point: str, why: str, alternative: str) -> None:
     """Raise a uniform TypeError when a flat-layout-only entry point
     receives a parameter pytree (checkpointed carries and mesh specs are
