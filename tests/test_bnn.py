@@ -1382,6 +1382,7 @@ class TestAttentionInterop:
         assert bool(jnp.all(jnp.isfinite(samples)))
 
 
+@pytest.mark.slow
 class TestTreeModelLogProb:
     """define_model_tree_log_prob: the pytree-native BNN potential — exact
     value parity with the flat factory, and end-to-end tree sampling."""

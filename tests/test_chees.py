@@ -59,6 +59,7 @@ class TestChEES:
         assert int(result.info.num_leapfrog.max()) <= 1000
 
 
+@pytest.mark.slow
 class TestChEESMassAdaptation:
     def test_cross_chain_warmup_fixes_bad_scaling(self, key):
         scales = jnp.array([0.05, 20.0])

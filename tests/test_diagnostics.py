@@ -185,6 +185,7 @@ class TestCheckpoint:
         )
 
 
+@pytest.mark.slow
 class TestNUTSCheckpoint:
     def test_nuts_resume_matches_direct(self, key, tmp_path):
         from hamiltorch_tpu.checkpoint import run_nuts_checkpointed

@@ -285,6 +285,7 @@ class TestThinning:
             run_hmc(key, std_normal_logprob, jnp.zeros(2), cfg)
 
 
+@pytest.mark.slow
 class TestX64Mode:
     def test_float64_end_to_end(self):
         """The samplers are dtype-agnostic; exercise f64 in a subprocess

@@ -98,6 +98,7 @@ class TestNUTSStatistics:
         np.testing.assert_allclose(s.std(0), [0.1, 10.0], rtol=0.35)
 
 
+@pytest.mark.slow
 class TestNUTSChains:
     def test_vmapped_chains(self, key):
         config = NUTSConfig(num_samples=400, step_size=0.5, burn=100)
