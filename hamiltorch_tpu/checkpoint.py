@@ -28,6 +28,14 @@ survive preemption.
 Safety: the saved state embeds a fingerprint of the config, potential
 arity and chain shape/dtype; resuming against a directory written under
 different hyperparameters raises instead of silently splicing two runs.
+
+Determinism contract: interrupted+resumed == uninterrupted AT THE SAME
+CHUNKING, bit-exactly.  A chunked run vs a SINGLE-scan run of the same
+draws compiles different XLA programs; with windowed ``adapt_mass`` their
+f32 arithmetic can differ by ~1 ulp from the first draw, which chaotic
+dynamics amplify over hundreds of draws (the store_on_GPU=False caveat;
+measured on the tree-BNN example).  Don't compare chunked and unchunked
+traces bitwise on warmup-adaptive configs.
 """
 
 from __future__ import annotations
