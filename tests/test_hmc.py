@@ -318,6 +318,45 @@ print("OK")
         )
         assert "OK" in out.stdout, out.stderr[-2000:]
 
+    def test_float64_tree_paths(self):
+        """f64 on PYTREE chain states across HMC/NUTS/ChEES (subprocess:
+        x64 is a global flag that must be set before tracing)."""
+        import subprocess, sys, os
+
+        code = """
+import os
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from hamiltorch_tpu.samplers.driver import MCMCConfig
+from hamiltorch_tpu.samplers.hmc import run_hmc
+from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts
+from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
+lp = lambda t: (-0.5 * jnp.sum((t["a"] / 0.5) ** 2)
+                - 0.5 * jnp.sum((t["b"] / 2.0) ** 2))
+t0 = {"a": jnp.zeros(2, jnp.float64), "b": jnp.zeros((3, 1), jnp.float64)}
+key = jax.random.key(0)
+r = run_hmc(key, lp, t0, MCMCConfig(num_samples=200, num_steps_per_sample=5,
+                                    step_size=0.2, burn=50, adapt_mass=True,
+                                    adapt_step_size=True))
+assert r.samples["a"].dtype == jnp.float64, r.samples["a"].dtype
+rn, _ = run_nuts(key, lp, t0, NUTSConfig(num_samples=120, step_size=0.3,
+                                         burn=60, adapt_mass=True))
+assert rn.samples["b"].dtype == jnp.float64, rn.samples["b"].dtype
+rc = run_chees(key, lp, t0, ChEESConfig(num_samples=120, step_size=0.2,
+                                        burn=60, adapt_mass=True),
+               num_chains=8)
+assert rc.samples["a"].dtype == jnp.float64, rc.samples["a"].dtype
+print("OK")
+"""
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        )
+        assert "OK" in out.stdout, out.stderr[-2000:]
+
 
 class TestValidation:
     def test_inv_mass_dim_mismatch(self, key):
