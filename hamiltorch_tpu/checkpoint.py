@@ -400,6 +400,7 @@ def run_hmc_chains_checkpointed(
     inv_mass=None,
     pass_grad=None,
     resume: bool = True,
+    theta0_is_stacked: bool | None = None,
 ) -> MCMCResult:
     """Vmapped multi-chain HMC with per-chunk checkpointing.
 
@@ -420,7 +421,9 @@ def run_hmc_chains_checkpointed(
         from .utils.pytree import stack_param_tree
 
         _reject_tree_adapt_mass(config)
-        template_tree, theta0 = stack_param_tree(theta0, num_chains)
+        template_tree, theta0 = stack_param_tree(
+            theta0, num_chains, stacked=theta0_is_stacked
+        )
         mass = make_mass_tree(inv_mass, template_tree)
         seed_mass = mass.inner
         d = sum(int(l.size) for l in jax.tree_util.tree_leaves(template_tree))
@@ -678,6 +681,7 @@ def run_nuts_ensemble_checkpointed(
     inv_mass=None,
     resume: bool = True,
     mesh=None,
+    theta0_is_stacked: bool | None = None,
 ):
     """Pooled-adaptation ensemble NUTS with per-chunk checkpointing.
 
@@ -712,7 +716,9 @@ def run_nuts_ensemble_checkpointed(
     if is_tree:
         from .utils.pytree import stack_param_tree
 
-        template_tree, theta0 = stack_param_tree(theta0, num_chains)
+        template_tree, theta0 = stack_param_tree(
+            theta0, num_chains, stacked=theta0_is_stacked
+        )
         mass = _tree_nuts_mass(inv_mass, template_tree, config)
         seed_mass = mass.inner
         c = num_chains
@@ -891,6 +897,7 @@ def run_pt_checkpointed(
     inv_mass=None,
     resume: bool = True,
     num_ensembles=None,
+    theta0_is_stacked: bool | None = None,
     mesh=None,
 ):
     """Parallel tempering with per-chunk checkpointing of the full ladder
@@ -933,18 +940,16 @@ def run_pt_checkpointed(
 
     if is_param_tree(theta0):
         # pytree replica stack (diag metrics only, as run_parallel_tempering)
-        from .ops.mass import BlockDiagMass, DenseMass, make_mass_tree
-
+        from .ops.mass import make_diag_mass_tree
         from .utils.pytree import stack_param_tree
 
-        template_tree, theta0 = stack_param_tree(theta0, config.num_temps)
-        mass = make_mass_tree(inv_mass, template_tree)
-        if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
-            raise ValueError(
-                "pytree parallel tempering supports diagonal metrics only — "
-                "pass inv_mass=None, a flat (D,) diagonal, or a per-leaf "
-                "pytree of diagonals."
-            )
+        template_tree, theta0 = stack_param_tree(
+            theta0, config.num_temps, stacked=theta0_is_stacked
+        )
+        from .samplers.tempering import _check_tree_num_temps
+
+        _check_tree_num_temps(theta0, config)
+        mass = make_diag_mass_tree(inv_mass, template_tree, "parallel tempering")
         k_temps = config.num_temps
         dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
     else:
@@ -1132,6 +1137,7 @@ def run_chees_checkpointed(
     inv_mass=None,
     resume: bool = True,
     mesh=None,
+    theta0_is_stacked: bool | None = None,
 ):
     """ChEES-HMC with per-chunk checkpointing of the full adaptation carry
     (ensemble state, trajectory-length adam state, dual averaging, windowed
@@ -1166,6 +1172,8 @@ def run_chees_checkpointed(
             l.shape[:1] == (num_chains,)
             for l in jax.tree_util.tree_leaves(theta0)
         )
+        if theta0_is_stacked is not None:
+            stacked = theta0_is_stacked
         if stacked:
             template_tree, theta0 = stack_param_tree(
                 theta0, num_chains, stacked=True
@@ -1175,21 +1183,12 @@ def run_chees_checkpointed(
             template_tree, theta0 = stack_param_tree(
                 theta0, num_chains, key=k_init, noise=0.01, stacked=False
             )
-        from .ops.mass import BlockDiagMass, DenseMass, make_mass_tree
+        from .ops.mass import make_diag_mass_tree
 
-        if config.adapt_mass == "dense":
-            raise ValueError(
-                "adapt_mass='dense' is not supported with a pytree ensemble "
-                "— the dense metric operates on the flat layout; pass a "
-                "flat (D,) theta0, or use diagonal adaptation."
-            )
-        mass = make_mass_tree(inv_mass, template_tree)
-        if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
-            raise ValueError(
-                "pytree ChEES ensembles support diagonal metrics only — "
-                "pass inv_mass=None, a flat (D,) diagonal, or a per-leaf "
-                "pytree of diagonals."
-            )
+        mass = make_diag_mass_tree(
+            inv_mass, template_tree, "ChEES ensembles",
+            dense_requested=config.adapt_mass == "dense",
+        )
         validate_chees(config, mass.inner)
         seed_mass = mass.inner
         c = num_chains

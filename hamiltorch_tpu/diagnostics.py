@@ -25,9 +25,11 @@ def as_flat_samples(samples, like=None) -> jnp.ndarray:
 
     ``like``: the theta0 pytree (or any same-structure template) pins how
     many leading axes are chain/draw axes.  Without it the split is
-    inferred: leaves whose first TWO dims all agree are read as (C, N, …);
-    a tree whose every leaf has identical shape is ambiguous and raises —
-    pass ``like=`` there.
+    inferred only when exactly ONE reading is consistent: leaves that
+    disagree at their second dim (or any 1-d leaf) force the (N, …)
+    reading; when every leaf also shares its first TWO dims, both
+    (N, …) and (C, N, …) fit and the call raises — pass ``like=`` there
+    (a one-leaf 2-d+ trace is always in that ambiguous class).
     """
     if hasattr(samples, "ndim"):
         return samples
@@ -43,15 +45,16 @@ def as_flat_samples(samples, like=None) -> jnp.ndarray:
     else:
         lead2 = leaves[0].shape[:2]
         two = all(l.ndim >= 2 and l.shape[:2] == lead2 for l in leaves)
-        one = all(l.shape[0] == leaves[0].shape[0] for l in leaves)
-        if two and one and len(leaves) > 1 and all(
-            l.shape == leaves[0].shape for l in leaves
-        ):
+        if two:
+            # the single-chain (N, …) reading also fits any such trace —
+            # silently picking (C, N, …) misreads one-leaf and
+            # coincidentally-aligned traces into garbage statistics
             raise ValueError(
-                "ambiguous pytree trace (every leaf has the same shape): "
-                "pass like=theta0 to pin the chain/draw axes"
+                "ambiguous pytree trace (every leaf shares its first two "
+                "dims, so both (N, ...) and (chains, N, ...) readings "
+                "fit): pass like=theta0 to pin the chain/draw axes"
             )
-        extra = 2 if two else 1
+        extra = 1
     if extra == 1:
         mats = [l.reshape(l.shape[0], -1) for l in leaves]
     else:
@@ -69,14 +72,15 @@ def _autocovariance(x: jnp.ndarray) -> jnp.ndarray:
     return acov / n
 
 
-def effective_sample_size(samples: jnp.ndarray) -> jnp.ndarray:
+def effective_sample_size(samples: jnp.ndarray, like=None) -> jnp.ndarray:
     """ESS per dimension.
 
     ``samples``: (num_chains, num_draws, D) or (num_draws, D).  Uses the
     multi-chain estimator: mean of within-chain autocovariances combined
     with between-chain variance, Geyer initial positive/monotone sequence.
+    ``like=theta0`` disambiguates a pytree trace's chain/draw axes.
     """
-    samples = as_flat_samples(samples)
+    samples = as_flat_samples(samples, like=like)
     if samples.ndim == 2:
         samples = samples[None]
     c, n, d = samples.shape
@@ -111,9 +115,9 @@ def effective_sample_size(samples: jnp.ndarray) -> jnp.ndarray:
     return (c * n) / tau
 
 
-def potential_scale_reduction(samples: jnp.ndarray) -> jnp.ndarray:
+def potential_scale_reduction(samples: jnp.ndarray, like=None) -> jnp.ndarray:
     """Split-R-hat per dimension; ``samples``: (num_chains, num_draws, D)."""
-    samples = as_flat_samples(samples)
+    samples = as_flat_samples(samples, like=like)
     if samples.ndim == 2:
         samples = samples[None]
     c, n, d = samples.shape
@@ -153,7 +157,7 @@ def _rank_normalize(samples: jnp.ndarray) -> jnp.ndarray:
     return z.reshape(c, n, d).astype(samples.dtype)
 
 
-def rank_normalized_rhat(samples: jnp.ndarray, z_bulk=None) -> jnp.ndarray:
+def rank_normalized_rhat(samples: jnp.ndarray, z_bulk=None, like=None) -> jnp.ndarray:
     """Rank-normalized split-R-hat (Vehtari et al. 2021), per dimension.
 
     max(split-R-hat of the rank-normal scores, split-R-hat of the FOLDED
@@ -163,7 +167,7 @@ def rank_normalized_rhat(samples: jnp.ndarray, z_bulk=None) -> jnp.ndarray:
     ``z_bulk`` optionally passes precomputed ``_rank_normalize(samples)``
     (``summary`` shares it with ``bulk_ess``).
     """
-    samples = as_flat_samples(samples)
+    samples = as_flat_samples(samples, like=like)
     if samples.ndim == 2:
         samples = samples[None]
     if z_bulk is None:
@@ -175,9 +179,9 @@ def rank_normalized_rhat(samples: jnp.ndarray, z_bulk=None) -> jnp.ndarray:
     )
 
 
-def bulk_ess(samples: jnp.ndarray, z_bulk=None) -> jnp.ndarray:
+def bulk_ess(samples: jnp.ndarray, z_bulk=None, like=None) -> jnp.ndarray:
     """Rank-normalized ESS — mixing in the bulk of the distribution."""
-    samples = as_flat_samples(samples)
+    samples = as_flat_samples(samples, like=like)
     if samples.ndim == 2:
         samples = samples[None]
     if z_bulk is None:
@@ -185,14 +189,14 @@ def bulk_ess(samples: jnp.ndarray, z_bulk=None) -> jnp.ndarray:
     return effective_sample_size(z_bulk)
 
 
-def tail_ess(samples: jnp.ndarray, prob: float = 0.05) -> jnp.ndarray:
+def tail_ess(samples: jnp.ndarray, prob: float = 0.05, like=None) -> jnp.ndarray:
     """Tail ESS: min ESS of the 5%/95% quantile-exceedence indicators.
 
     Sampling efficiency in the tails (Vehtari et al. 2021 §4.3) — step-size
     pathologies that leave the bulk well-mixed but the tails sticky show up
     here first.  ``samples``: (num_chains, num_draws, D) or (num_draws, D).
     """
-    samples = as_flat_samples(samples)
+    samples = as_flat_samples(samples, like=like)
     if samples.ndim == 2:
         samples = samples[None]
     dtype = samples.dtype
@@ -205,9 +209,9 @@ def tail_ess(samples: jnp.ndarray, prob: float = 0.05) -> jnp.ndarray:
     return jnp.minimum(ess_of_indicator(prob), ess_of_indicator(1.0 - prob))
 
 
-def mcse_mean(samples: jnp.ndarray, ess=None) -> jnp.ndarray:
+def mcse_mean(samples: jnp.ndarray, ess=None, like=None) -> jnp.ndarray:
     """Monte Carlo standard error of the posterior mean: sd / sqrt(ESS)."""
-    samples = as_flat_samples(samples)
+    samples = as_flat_samples(samples, like=like)
     if samples.ndim == 2:
         samples = samples[None]
     sd = jnp.std(samples.reshape(-1, samples.shape[-1]), axis=0, ddof=1)

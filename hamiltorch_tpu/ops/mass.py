@@ -274,6 +274,50 @@ class TreeMass:
         return 0.5 * sum(parts)
 
 
+def diag_tree_mass_view(metric_flat, treedef, shapes) -> TreeMass:
+    """TreeMass view of a FLAT inverse-mass diagonal.
+
+    The windowed-warmup bridge: adaptation carries the metric as one flat
+    (D,) diagonal; the per-draw transition rebuilds the per-leaf view from
+    it (once per draw — the hot loop then drifts leafwise)."""
+    parts, off = [], 0
+    for shape in shapes:
+        n = 1
+        for s in shape:
+            n *= s
+        parts.append(metric_flat[off : off + n].reshape(shape))
+        off += n
+    return TreeMass(
+        inner=DiagMass(inv_diag=metric_flat),
+        inv_diag_tree=jax.tree_util.tree_unflatten(treedef, parts),
+        treedef=treedef,
+        shapes=shapes,
+    )
+
+
+def make_diag_mass_tree(inv_mass, params_template, what: str,
+                        dense_requested: bool = False) -> TreeMass:
+    """Validated TreeMass for a pytree sampler entry (DIAGONAL metrics
+    only) — the shared contract of every pytree entry point: per-leaf or
+    flat diagonal ``inv_mass`` (or None); dense/block metrics and dense
+    windowed warmup stay flat-path-only and raise."""
+    if dense_requested:
+        raise ValueError(
+            "adapt_mass='dense' is not supported with a pytree chain state "
+            "— the dense metric operates on the flat layout; pass a flat "
+            "(D,) theta0, or use diagonal adaptation."
+        )
+    mass = make_mass_tree(inv_mass, params_template)
+    if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
+        raise ValueError(
+            f"pytree {what} supports diagonal metrics only — pass "
+            "inv_mass=None, a flat (D,) diagonal, or a per-leaf pytree of "
+            "diagonals (dense/block inv_mass needs the flat (D,) theta0 "
+            "path)."
+        )
+    return mass
+
+
 def make_mass_tree(inv_mass, params_template) -> TreeMass:
     """Build a TreeMass for a parameter pytree.
 
@@ -288,7 +332,11 @@ def make_mass_tree(inv_mass, params_template) -> TreeMass:
 
     if inv_mass is not None and not isinstance(inv_mass, (list, tuple)):
         maybe_tree = jax.tree_util.tree_structure(inv_mass)
-        if maybe_tree == treedef and len(leaves) > 1:
+        # structure match alone disambiguates: a flat (D,) array has LEAF
+        # structure, which only equals the template's when the template is
+        # itself a bare leaf — and then the per-leaf and flat readings
+        # coincide, so single-leaf templates are fine here too
+        if maybe_tree == treedef:
             flat = tree_ravel(inv_mass)
             inner = make_mass(flat, dim)
             return TreeMass(

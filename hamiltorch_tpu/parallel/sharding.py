@@ -297,6 +297,7 @@ def run_nuts_chains_sharded(
     mesh: Mesh,
     num_chains: int,
     inv_mass=None,
+    theta0_is_stacked: bool | None = None,
 ):
     """Tree-NUTS chains sharded over the whole mesh (no communication).
 
@@ -313,7 +314,9 @@ def run_nuts_chains_sharded(
         # pytree chains over the mesh: leaves shard along their chain axis
         from ..utils.pytree import stack_param_tree
 
-        template, theta0 = stack_param_tree(theta0, num_chains)
+        template, theta0 = stack_param_tree(
+            theta0, num_chains, stacked=theta0_is_stacked
+        )
         mass = _tree_nuts_mass(inv_mass, template, config)
     else:
         theta0 = jnp.asarray(theta0)
@@ -478,6 +481,7 @@ def run_nuts_ensemble_sharded(
     mesh: Mesh,
     num_chains: int,
     inv_mass=None,
+    theta0_is_stacked: bool | None = None,
 ):
     """Ensemble NUTS with POOLED adaptation sharded over the whole mesh.
 
@@ -505,7 +509,9 @@ def run_nuts_ensemble_sharded(
         # Welford merge) psum across devices exactly as in the flat layout
         from ..utils.pytree import stack_param_tree
 
-        template, theta0 = stack_param_tree(theta0, num_chains)
+        template, theta0 = stack_param_tree(
+            theta0, num_chains, stacked=theta0_is_stacked
+        )
         mass = _tree_nuts_mass(inv_mass, template, config)
         seed_mass = mass.inner
         d = sum(int(l.size) for l in jax.tree_util.tree_leaves(template))
@@ -566,6 +572,7 @@ def run_chees_sharded(
     mesh: Mesh,
     num_chains: int,
     inv_mass=None,
+    theta0_is_stacked: bool | None = None,
 ):
     """ChEES-HMC with the chain ensemble sharded over the WHOLE mesh.
 
@@ -588,10 +595,12 @@ def run_chees_sharded(
         # runs per shard on the local chains, merged by gsum)
         from ..utils.pytree import stack_param_tree
 
-        stacked = all(
-            l.shape[:1] == (num_chains,)
-            for l in jax.tree_util.tree_leaves(theta0)
-        )
+        stacked = theta0_is_stacked
+        if stacked is None:
+            stacked = all(
+                l.shape[:1] == (num_chains,)
+                for l in jax.tree_util.tree_leaves(theta0)
+            )
         if stacked:
             template, theta0 = stack_param_tree(theta0, num_chains, stacked=True)
         else:  # spread a single state (the key is consumed only here)
@@ -599,18 +608,12 @@ def run_chees_sharded(
             template, theta0 = stack_param_tree(
                 theta0, num_chains, key=k_init, noise=0.01, stacked=False
             )
-        if config.adapt_mass == "dense":
-            raise ValueError(
-                "adapt_mass='dense' is not supported with a pytree ensemble "
-                "— the dense metric operates on the flat layout."
-            )
-        mass = make_mass_tree(inv_mass, template)
-        if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
-            raise ValueError(
-                "pytree ChEES ensembles support diagonal metrics only — "
-                "pass inv_mass=None, a flat (D,) diagonal, or a per-leaf "
-                "pytree of diagonals."
-            )
+        from ..ops.mass import make_diag_mass_tree
+
+        mass = make_diag_mass_tree(
+            inv_mass, template, "ChEES ensembles",
+            dense_requested=config.adapt_mass == "dense",
+        )
         validate_chees(config, mass.inner)
         n_dev = len(mesh.devices.flatten())
         local_template = tmap(
@@ -794,6 +797,7 @@ def run_hmc_chains_sharded(
     mesh: Mesh,
     num_chains: int,
     inv_mass=None,
+    theta0_is_stacked: bool | None = None,
 ) -> MCMCResult:
     """Chain-only sharding: replicate the potential, shard chains over the
     whole mesh (both axes flattened).  Zero communication.
@@ -812,7 +816,9 @@ def run_hmc_chains_sharded(
         from ..utils.pytree import stack_param_tree
 
         _reject_tree_adapt_mass(config)
-        template, theta0 = stack_param_tree(theta0, num_chains)
+        template, theta0 = stack_param_tree(
+            theta0, num_chains, stacked=theta0_is_stacked
+        )
         mass = make_mass_tree(inv_mass, template)
     else:
         theta0 = jnp.asarray(theta0)

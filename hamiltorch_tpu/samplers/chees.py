@@ -614,20 +614,12 @@ def run_chees(
             template, theta0 = stack_param_tree(
                 theta0, num_chains, key=k_init, noise=0.01, stacked=False
             )
-        if config.adapt_mass == "dense":
-            raise ValueError(
-                "adapt_mass='dense' is not supported with a pytree ensemble "
-                "— the dense metric operates on the flat layout; pass a "
-                "flat (D,) theta0, or use diagonal adaptation."
-            )
-        mass = make_mass_tree(inv_mass, template)
-        if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
-            raise ValueError(
-                "pytree ChEES ensembles support diagonal metrics only — "
-                "pass inv_mass=None, a flat (D,) diagonal, or a per-leaf "
-                "pytree of diagonals (dense/block inv_mass needs the flat "
-                "(D,) theta0 path)."
-            )
+        from ..ops.mass import make_diag_mass_tree
+
+        mass = make_diag_mass_tree(
+            inv_mass, template, "ChEES ensembles",
+            dense_requested=config.adapt_mass == "dense",
+        )
         validate_chees(config, mass.inner)
         lp, data = resolve_potential(log_prob_fn, None)
         return _run_chees_jit(key, theta0, lp, config, mass, data=data)

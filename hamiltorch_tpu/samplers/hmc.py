@@ -80,7 +80,7 @@ def _run_hmc_jit(key, theta0, log_prob_fn, config, mass, init_state=None,
     # Stan-style windowed mass warmup: the metric lives in the scan carry,
     # so the transition is rebuilt from it each draw (same scheme as
     # nuts._run_nuts_jit; the machinery is samplers/warmup.py)
-    from ..ops.mass import DenseMass, DiagMass, TreeMass
+    from ..ops.mass import DenseMass, DiagMass, TreeMass, diag_tree_mass_view
     from ..utils.pytree import is_param_tree
     from .nuts import init_metric_seed
 
@@ -103,19 +103,7 @@ def _run_hmc_jit(key, theta0, log_prob_fn, config, mass, init_state=None,
         elif is_tree:
             # rebuild the per-leaf diagonal view once per draw (the flat
             # Welford bridge in the driver supplies the flat metric)
-            parts, off = [], 0
-            for shape in _shapes:
-                n = 1
-                for s in shape:
-                    n *= s
-                parts.append(metric[off : off + n].reshape(shape))
-                off += n
-            cur = TreeMass(
-                inner=DiagMass(inv_diag=metric),
-                inv_diag_tree=jax.tree_util.tree_unflatten(_tdef, parts),
-                treedef=_tdef,
-                shapes=_shapes,
-            )
+            cur = diag_tree_mass_view(metric, _tdef, _shapes)
         else:
             cur = DiagMass(inv_diag=metric)
         return hmc_transition(vg, cur, config.num_steps_per_sample)

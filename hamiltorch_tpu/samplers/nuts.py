@@ -493,19 +493,9 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
         seed_mass = mass.inner if isinstance(mass, TreeMass) else mass
 
         def _tree_diag_mass(metric_flat):
-            parts, off = [], 0
-            for shape in _shapes:
-                n = 1
-                for s in shape:
-                    n *= s
-                parts.append(metric_flat[off : off + n].reshape(shape))
-                off += n
-            return TreeMass(
-                inner=DiagMass(inv_diag=metric_flat),
-                inv_diag_tree=jax.tree_util.tree_unflatten(_tdef, parts),
-                treedef=_tdef,
-                shapes=_shapes,
-            )
+            from ..ops.mass import diag_tree_mass_view
+
+            return diag_tree_mass_view(metric_flat, _tdef, _shapes)
     else:
         d = theta0.shape[0]
         seed_mass = mass
@@ -655,28 +645,14 @@ def init_dense_metric(mass, d: int, dtype):
 
 
 def _tree_nuts_mass(inv_mass, template, config: NUTSConfig):
-    """Validated TreeMass for a pytree NUTS entry (diagonal metrics only).
+    """Validated TreeMass for a pytree NUTS entry (diagonal metrics only;
+    the shared pytree-entry contract lives in ops.mass.make_diag_mass_tree)."""
+    from ..ops.mass import make_diag_mass_tree
 
-    The pytree-native path keeps the hot tree-building loop in per-leaf
-    shapes; dense/block metrics and dense windowed warmup operate on the
-    flat layout and stay flat-path-only, exactly as in the pytree ChEES
-    entry (samplers/chees.py)."""
-    from ..ops.mass import BlockDiagMass, DenseMass, make_mass_tree
-
-    if config.adapt_mass == "dense":
-        raise ValueError(
-            "adapt_mass='dense' is not supported with a pytree chain state "
-            "— the dense metric operates on the flat layout; pass a flat "
-            "(D,) theta0, or use diagonal adaptation."
-        )
-    mass = make_mass_tree(inv_mass, template)
-    if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
-        raise ValueError(
-            "pytree NUTS supports diagonal metrics only — pass "
-            "inv_mass=None, a flat (D,) diagonal, or a per-leaf pytree of "
-            "diagonals (dense/block inv_mass needs the flat (D,) theta0 "
-            "path)."
-        )
+    mass = make_diag_mass_tree(
+        inv_mass, template, "NUTS",
+        dense_requested=config.adapt_mass == "dense",
+    )
     validate_nuts_mass(config, mass.inner)
     return mass
 
@@ -824,19 +800,9 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
             )
 
         def _tree_diag_mass(metric_flat):
-            parts, off = [], 0
-            for shape in _pshapes:
-                n = 1
-                for s in shape:
-                    n *= s
-                parts.append(metric_flat[off : off + n].reshape(shape))
-                off += n
-            return TreeMass(
-                inner=DiagMass(inv_diag=metric_flat),
-                inv_diag_tree=jax.tree_util.tree_unflatten(_tdef, parts),
-                treedef=_tdef,
-                shapes=_pshapes,
-            )
+            from ..ops.mass import diag_tree_mass_view
+
+            return diag_tree_mass_view(metric_flat, _tdef, _pshapes)
     else:
         c, d = theta0s.shape
         dtype = theta0s.dtype

@@ -126,6 +126,20 @@ def _r_where(mask, new, old):
     return _tmap(lambda n, o: jnp.where(_rbcast(mask, n), n, o), new, old)
 
 
+def _check_tree_num_temps(theta0s, config: PTConfig) -> None:
+    """Tree analogue of :func:`check_num_temps`: a stacked replica tree
+    whose leading dim disagrees with config.num_temps would silently run a
+    wrong-size ladder (the leaf shape would override the config)."""
+    k = jax.tree_util.tree_leaves(theta0s)[0].shape[0]
+    if k != config.num_temps:
+        raise ValueError(
+            f"theta0 provides {k} replicas but config.num_temps="
+            f"{config.num_temps}; the replica axis sets the ladder size — "
+            "make them agree (theta0_is_stacked=False broadcasts a single "
+            "state instead)."
+        )
+
+
 def betas_from_log_gaps(s: jnp.ndarray, max_temp: float) -> jnp.ndarray:
     """Ladder parameterisation: log temperature gaps S_i = log(T_{i+1}-T_i),
     renormalised so T_0 = 1 and T_{K-1} = max_temp stay pinned no matter how
@@ -322,6 +336,7 @@ def run_parallel_tempering(
     theta0,
     config: PTConfig,
     inv_mass=None,
+    theta0_is_stacked: bool | None = None,
 ) -> PTResult:
     """Replica-exchange HMC; returns the cold chain plus the full ladder.
 
@@ -337,17 +352,14 @@ def run_parallel_tempering(
         # (K, ...)-stacked leaves; diagonal metrics only (per-leaf
         # inv_mass pytree, flat (D,) diagonal, or None), as in the other
         # pytree sampler entries
+        from ..ops.mass import make_diag_mass_tree
         from ..utils.pytree import stack_param_tree
 
-        template, theta0 = stack_param_tree(theta0, config.num_temps)
-        mass = make_mass_tree(inv_mass, template)
-        if isinstance(mass.inner, (DenseMass, BlockDiagMass)):
-            raise ValueError(
-                "pytree parallel tempering supports diagonal metrics only — "
-                "pass inv_mass=None, a flat (D,) diagonal, or a per-leaf "
-                "pytree of diagonals (dense/block inv_mass needs the flat "
-                "(D,) theta0 path)."
-            )
+        template, theta0 = stack_param_tree(
+            theta0, config.num_temps, stacked=theta0_is_stacked
+        )
+        _check_tree_num_temps(theta0, config)
+        mass = make_diag_mass_tree(inv_mass, template, "parallel tempering")
     else:
         theta0 = jnp.asarray(theta0)
         if theta0.ndim == 1:

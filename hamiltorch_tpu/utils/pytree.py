@@ -38,15 +38,17 @@ def is_param_tree(theta: Any) -> bool:
     The samplers accept either a flat (D,) vector (the reference's
     convention, hamiltorch/util.py:121-141) or a parameter pytree (the
     pytree-native chain-state path, which avoids flat-layout slicing in the
-    hot loop).  Arrays and plain sequences of scalars are "flat"; any
-    container holding at least one array leaf is a tree.
+    hot loop).  Arrays and plain sequences of PYTHON scalars are "flat"
+    (``jnp.asarray`` handles them); any container holding an ARRAY leaf —
+    including 0-d scalar arrays, e.g. ``{"mu": jnp.asarray(0.5)}`` — is a
+    tree (``jnp.asarray(dict)`` would crash with a dtype-object error).
     """
     if isinstance(theta, jnp.ndarray) or hasattr(theta, "__array_interface__"):
         return False
     leaves = jax.tree_util.tree_leaves(theta)
     if len(leaves) == 1 and leaves[0] is theta:
         return False
-    return any(getattr(leaf, "ndim", 0) >= 1 for leaf in leaves)
+    return any(hasattr(leaf, "ndim") for leaf in leaves)
 
 
 def stack_param_tree(theta0, n: int, key=None, noise: float = 0.0,

@@ -477,11 +477,11 @@ class TestPytreeDiagnostics:
         t0 = {"a": jnp.zeros(2), "b": jnp.zeros((2, 2))}
         cfg = MCMCConfig(num_samples=200, num_steps_per_sample=5, step_size=0.3)
         r = run_hmc_chains(key, lp, t0, cfg, num_chains=4)
-        s = summary(r.samples)
+        s = summary(r.samples, like=t0)
         assert s["ess"].shape == (6,)  # 2 + 4 flattened dims, tree order
         assert bool(jnp.all(s["r_hat"] < 1.2))
         # flat layout matches per-leaf flatten in tree order
-        mat = as_flat_samples(r.samples)
+        mat = as_flat_samples(r.samples, like=t0)
         np.testing.assert_array_equal(
             np.asarray(mat[:, :, :2]), np.asarray(r.samples["a"])
         )
@@ -489,6 +489,17 @@ class TestPytreeDiagnostics:
         r1 = run_hmc(key, lp, t0, cfg)
         s1 = summary(r1.samples, like=t0)
         assert s1["ess"].shape == (6,)
+        # without like= the single-chain trace is in the ambiguous class
+        # (every leaf shares its first two dims): it must raise, not
+        # silently read the draws axis as chains
+        with pytest.raises(ValueError, match="like="):
+            summary(r1.samples)
+        # one-leaf 2-d trace: always ambiguous
+        with pytest.raises(ValueError, match="like="):
+            as_flat_samples({"w": jnp.zeros((200, 5))})
+        # leaves that disagree at dim 1 infer (N, ...) unambiguously
+        out = as_flat_samples({"a": jnp.zeros((50, 2)), "b": jnp.zeros((50, 3))})
+        assert out.shape == (50, 5)
 
     def test_ambiguous_tree_raises(self):
         from hamiltorch_tpu.diagnostics import as_flat_samples

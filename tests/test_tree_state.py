@@ -259,3 +259,44 @@ class TestTreeHMCWarmupAndCheckpoint:
         for k in ("a", "b"):
             np.testing.assert_array_equal(
                 np.asarray(r_res.samples[k]), np.asarray(r_direct.samples[k]))
+
+
+class TestReviewRound3Fixes:
+    """Regression pins for the round-3 self-review findings."""
+
+    def test_scalar_leaf_tree_samples(self, key):
+        """A pytree of 0-d scalar parameters routes to the tree path
+        (previously crashed in jnp.asarray(dict) with a dtype-object
+        error)."""
+        lp = lambda t: -0.5 * (t["mu"] ** 2) - 0.5 * ((t["log_sigma"] / 2.0) ** 2)
+        t0 = {"mu": jnp.asarray(0.5), "log_sigma": jnp.asarray(0.0)}
+        cfg = MCMCConfig(num_samples=600, num_steps_per_sample=10, step_size=0.3)
+        r = run_hmc(key, lp, t0, cfg)
+        assert r.samples["mu"].shape == (600,)
+        mu = np.asarray(r.samples["mu"][100:])
+        ls = np.asarray(r.samples["log_sigma"][100:])
+        assert abs(mu.std() - 1.0) < 0.35
+        assert abs(ls.std() - 2.0) < 0.7
+
+    def test_single_leaf_per_leaf_inv_mass(self):
+        """A per-leaf inv_mass pytree works for SINGLE-leaf templates
+        (previously fell through to the flat parser and crashed)."""
+        m = make_mass_tree({"w": jnp.full((3, 2), 4.0)}, {"w": jnp.zeros((3, 2))})
+        v = m.velocity({"w": jnp.ones((3, 2))})
+        np.testing.assert_allclose(np.asarray(v["w"]), 4.0)
+
+    def test_theta0_is_stacked_override_pt(self, key):
+        """A pre-stacked replica tree whose leading dim disagrees with
+        num_temps is ambiguous; theta0_is_stacked=True makes the mistake
+        loud instead of silently broadcasting a wrong ladder."""
+        from hamiltorch_tpu.samplers.tempering import (
+            PTConfig,
+            run_parallel_tempering,
+        )
+
+        lp = lambda t: -0.5 * jnp.sum(t["w"] ** 2)
+        t0 = {"w": jnp.ones((5, 3))}  # 5 "replicas", but num_temps=8
+        cfg = PTConfig(num_samples=4, num_temps=8)
+        with pytest.raises(ValueError, match="num_temps"):
+            run_parallel_tempering(key, lp, t0, cfg,
+                                   theta0_is_stacked=True)
