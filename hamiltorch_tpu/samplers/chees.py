@@ -529,38 +529,26 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
         )
     idx = start_iter + jnp.arange(config.num_samples)
     thin = max(getattr(config, "thin", 1), 1)
-    if thin <= 1:
-        carry_f, (thetas, info) = jax.lax.scan(
-            step, carry0, (idx, collect_flags, end_flags)
-        )
-    else:
-        # keep every thin-th draw: the trace (the HBM/host-IO cost of long
-        # ensemble runs) shrinks thin-fold while every transition and every
-        # adaptation update still runs.  Kept rows carry the window's LAST
-        # info with divergent = any-within-window (driver.py conventions).
-        kept = config.num_samples // thin
-        xs2 = jax.tree_util.tree_map(
-            lambda a: a.reshape((kept, thin) + a.shape[1:]),
-            (idx, collect_flags, end_flags),
-        )
 
-        def outer(carry, xs_k):
-            carry, (w_thetas, w_info) = jax.lax.scan(step, carry, xs_k)
-            info_k = jax.tree_util.tree_map(lambda s: s[-1], w_info)
-            info_k = info_k._replace(
-                divergent=jnp.any(w_info.divergent, axis=0)
-            )
-            th_k = tmap(lambda s: s[-1], w_thetas)  # last draw in the window
-            return carry, (th_k, info_k)
+    # kept rows carry the window's LAST info with divergent =
+    # any-within-window (driver.py conventions)
+    def _info_kept(w_info):
+        info_k = jax.tree_util.tree_map(lambda s: s[-1], w_info)
+        return info_k._replace(divergent=jnp.any(w_info.divergent, axis=0))
 
-        carry_f, (thetas, info) = jax.lax.scan(outer, carry0, xs2)
+    # the (C, N_kept, ...) chain-major trace is written in place into a
+    # carried buffer (tracebuf.scan_trace): a post-scan swapaxes relayout
+    # would materialise the trace twice — the round-3 bench OOM
+    from .tracebuf import scan_trace
+
+    carry_f, thetas, info = scan_trace(
+        step, carry0, (idx, collect_flags, end_flags),
+        thin=thin, chain_major=True, aux_reduce=_info_kept,
+        state_like=carry0[0],
+    )
     th_f, lp_f, g_f, da_f, log_t_f, adam_f, wf_f, metric_f, da_t_f = carry_f
     return ChEESResult(
-        samples=(
-            tmap(lambda l: jnp.swapaxes(l, 0, 1), thetas)  # (C, N, ...) leaves
-            if is_tree
-            else jnp.swapaxes(thetas, 0, 1)  # (C, N, D)
-        ),
+        samples=thetas,  # (C, N, D) — (C, N, ...) leaves for a pytree
         info=info,
         final_step_size=da_f.step_size,
         final_trajectory_length=jnp.exp(log_t_f),

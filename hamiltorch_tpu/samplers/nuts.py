@@ -433,29 +433,11 @@ def _aggregate_info_window(infos_w: NUTSInfo) -> NUTSInfo:
     )
 
 
-def _scan_thinned(step, carry0, xs, thin: int):
-    """lax.scan with every-``thin``-th row kept; stats windows aggregated.
-
-    ``step`` must emit ``(theta(s), info, moved)``; with ``thin > 1`` the
-    scan nests (kept outer, thin inner) so the trace materialised on
-    device is already ``num_samples/thin`` rows.
-    """
-    if thin <= 1:
-        return jax.lax.scan(step, carry0, xs)
-    kept = jax.tree_util.tree_leaves(xs)[0].shape[0] // thin
-    xs = jax.tree_util.tree_map(
-        lambda a: a.reshape((kept, thin) + a.shape[1:]), xs
-    )
-
-    def window(carry, xs_w):
-        carry, (thetas_w, infos_w, moved_w) = jax.lax.scan(step, carry, xs_w)
-        return carry, (
-            jax.tree_util.tree_map(lambda t: t[-1], thetas_w),
-            _aggregate_info_window(infos_w),
-            jnp.any(moved_w, axis=0),
-        )
-
-    return jax.lax.scan(window, carry0, xs)
+def _nuts_aux_kept(aux_w):
+    """Collapse a (thin, ...) window of (info, moved) aux rows to one kept
+    row — stats aggregated, moved = any-within-window (tracebuf protocol)."""
+    infos_w, moved_w = aux_w
+    return _aggregate_info_window(infos_w), jnp.any(moved_w, axis=0)
 
 
 @partial(jax.jit, static_argnames=("log_prob_fn", "config"))
@@ -568,21 +550,24 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
             )
 
         da_t = jnp.where(window_end, 0, da_t + 1)
-        return (theta, logp, grad, da, wf, metric, da_t), (theta, info, moved)
+        return (theta, logp, grad, da, wf, metric, da_t), (theta, (info, moved))
 
     if init_warm is not None:
         wf0, metric0, da_t0 = init_warm
     else:
         wf0, metric0 = init_metric_seed(seed_mass, d, _t_dtype(theta0), dense)
         da_t0 = jnp.zeros((), jnp.int32)
+    from .tracebuf import scan_trace
+
     (
         (theta_f, logp_f, grad_f, da_f, wf_f, metric_f, da_t_f),
-        (thetas, infos, moved),
-    ) = _scan_thinned(
+        thetas,
+        (infos, moved),
+    ) = scan_trace(
         step,
         (theta0, logp0, grad0, da0, wf0, metric0, da_t0),
         (start_iter + jnp.arange(config.num_samples), collect_flags, end_flags),
-        config.thin,
+        thin=config.thin, aux_reduce=_nuts_aux_kept, state_like=theta0,
     )
     stats = MCMCStats(
         accept_prob=infos.accept_prob,
@@ -898,7 +883,7 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
             )
 
         da_t = jnp.where(window_end, 0, da_t + 1)
-        return (thetas, logps, grads, da, wf, metric, da_t), (thetas, info, moved)
+        return (thetas, logps, grads, da, wf, metric, da_t), (thetas, (info, moved))
 
     if init_carry is not None:
         carry0 = init_carry
@@ -908,13 +893,17 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
         carry0 = (theta0s, logps0, grads0,
                   da_init(config.step_size, dtype=dtype), wf0, metric0,
                   jnp.zeros((), jnp.int32))
+    from .tracebuf import scan_trace
+
     (
         (thetas_f, logps_f, grads_f, da_f, wf_f, metric_f, da_t_f),
-        (thetas, infos, moved),
-    ) = _scan_thinned(
+        thetas,
+        (infos, moved),
+    ) = scan_trace(
         step, carry0,
         (start_iter + jnp.arange(config.num_samples), collect_flags, end_flags),
-        config.thin,
+        thin=config.thin, chain_major=True, aux_reduce=_nuts_aux_kept,
+        state_like=carry0[0],
     )
     stats = MCMCStats(
         accept_prob=infos.accept_prob,
@@ -930,8 +919,9 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
 
     return (
         MCMCResult(
-            # (C, N, D) chain-major — per leaf for a pytree ensemble
-            samples=_tmap(lambda l: jnp.swapaxes(l, 0, 1), thetas),
+            # (C, N, D) chain-major — per leaf for a pytree ensemble; written
+            # in place by tracebuf.scan_trace (no post-scan relayout copy)
+            samples=thetas,
             stats=stats,
             final_step_size=da_f.step_size,
             acc_rate=gmean(infos.accept_prob),

@@ -46,3 +46,43 @@ def test_flagship_throughput_floor():
     grad_steps = num_samples * (steps + 1) * chains
     rate = grad_steps / wall
     assert rate > 100_000, f"flagship throughput regressed: {rate:,.0f} grad-steps/s"
+
+
+@pytest.mark.skipif(not ON_TPU, reason="HBM envelope only meaningful on TPU")
+def test_bench_shape_chees_fits_hbm():
+    """Smoke for the round-3 bench OOM: the EXACT two-chunk ChEES program
+    bench.py runs (64 chains x 100,352 params, 600-draw thinned warmup +
+    300-draw unthinned sampling) must complete on the real chip.  The
+    CPU-tier twin (tests/test_memory.py) pins the compiled envelope; this
+    one proves the envelope holds against real HBM."""
+    import dataclasses
+
+    from hamiltorch_tpu.models.flagship import make_flagship_potential
+    from hamiltorch_tpu.ops.mass import make_mass
+    from hamiltorch_tpu.ops.potential import resolve_potential
+    from hamiltorch_tpu.samplers.chees import ChEESConfig, _run_chees_jit
+    from hamiltorch_tpu.samplers.warmup import schedule_flags
+
+    lp_raw, theta0 = make_flagship_potential()
+    chains = 64
+    cfg = ChEESConfig(num_samples=900, step_size=2e-4, burn=600,
+                      adapt_mass=True, init_trajectory_length=0.01)
+    cfg_warm = dataclasses.replace(cfg, num_samples=600, thin=600)
+    cfg_samp = dataclasses.replace(cfg, num_samples=300, thin=1)
+    lp, data = resolve_potential(lp_raw, None)
+    mass = make_mass(None, theta0.shape[0])
+    cf_w, ef_w = schedule_flags(cfg.burn, 0, 600)
+    cf_s, ef_s = schedule_flags(cfg.burn, 600, 300)
+    nonce = int(time.time_ns() % (1 << 30))
+    k_init, key = jax.random.split(jax.random.key(nonce))
+    thetas0 = theta0[None, :] + 0.01 * jax.random.normal(
+        k_init, (chains, theta0.shape[0]), theta0.dtype
+    )
+    r_w = _run_chees_jit(key, thetas0, lp, cfg_warm, mass, data=data,
+                         collect_flags=cf_w, end_flags=ef_w)
+    r = _run_chees_jit(key, r_w.final_carry.thetas, lp, cfg_samp, mass,
+                       data=data, init_carry=r_w.final_carry, start_iter=600,
+                       collect_flags=cf_s, end_flags=ef_s)
+    jax.block_until_ready(r.samples)
+    assert r.samples.shape == (chains, 300, theta0.shape[0])
+    assert jnp.all(jnp.isfinite(r.samples[:, -1]))
