@@ -7,6 +7,11 @@ anchor is ~1.8k grad-steps/sec single-chain on a ~15-param model
 
 Prints ONE JSON line; vs_baseline is measured value / 10,000 (the
 north-star target), so vs_baseline >= 1.0 means the target is met.
+
+Resilience contract (VERDICT r3 item 1): every phase after the primary
+scan-path measurement is wrapped — a secondary failure lands in the
+``errors`` field of the SAME JSON line instead of killing the artifact.
+The process exits non-zero only if the primary phase itself failed.
 """
 
 from __future__ import annotations
@@ -18,93 +23,110 @@ import time
 import jax
 import jax.numpy as jnp
 
+# v5e MXU peak (bf16/f32-via-bf16x3 path measured in docs/BENCHMARKS.md at
+# ~157 TFLOP/s on the flagship matmuls); MFU reported against bf16 peak
+V5E_PEAK_TFLOPS = 197.0
+
+
+def flagship_flops_per_grad_step(num_chains: int) -> float:
+    """FLOPs of one vmapped value_and_grad of the flagship potential:
+    per chain, forward + 2 backward passes over the two matmuls
+    (2 MACs = 2 FLOPs each), n_data x (in*hidden + hidden*1)."""
+    from hamiltorch_tpu.models.flagship import HIDDEN, IN_DIM, N_DATA
+
+    mac = N_DATA * (IN_DIM * HIDDEN + HIDDEN)
+    return 6.0 * mac * num_chains
+
 
 def main():
     import numpy as np
 
-    from hamiltorch_tpu.models.flagship import make_flagship_potential_tree
-    from hamiltorch_tpu.samplers.driver import MCMCConfig
-    from hamiltorch_tpu.samplers.hmc import run_hmc_chains
+    out = {
+        "metric": "leapfrog_grad_steps_per_sec (100k-param BNN, 64 chains, 1 chip)",
+        "value": None,
+        "unit": "grad-steps/sec",
+        "vs_baseline": None,
+        "tflops": None,
+        "mfu": None,
+        "min_ess_per_sec": None,
+        "acc_rate": None,
+        "fused_kernel_grad_steps_per_sec": None,
+        "chees_min_ess_per_sec": None,
+        "chees_p10_ess_per_sec": None,
+        "chees_acc_rate": None,
+        "scan_rel_spread": None,
+        "chees_rel_spread": None,
+        "errors": {},
+    }
+    t_start = time.time()
+
+    def mark(phase):  # stderr breadcrumbs so a timeout is diagnosable
+        print(f"# [{time.time() - t_start:6.1f}s] {phase}", file=sys.stderr,
+              flush=True)
 
     num_chains = 64
     num_samples = 100
     num_steps = 50
-
-    # pytree-native chain state: parameters stay {w1,b1,w2,b2}; the scan
-    # path pays no flat-theta slice/concat tax (measured +14% over the flat
-    # path, 244k vs 214k grad-steps/s — docs/BENCHMARKS.md)
-    log_prob_fn, params0 = make_flagship_potential_tree()
-    config = MCMCConfig(
-        num_samples=num_samples, num_steps_per_sample=num_steps, step_size=2e-4
-    )
     # timed inputs must be unique per process: the axon service can cache
     # execution RESULTS for identical (program, inputs) across runs, which
     # would return instantly and fake the throughput
     nonce = int(time.time_ns() % (1 << 30))
+    primary_ok = False
 
-    def run(k):
-        result = run_hmc_chains(k, log_prob_fn, params0, config, num_chains=num_chains)
-        jax.block_until_ready(result.samples)
-        return result
+    # ---- primary phase: pytree-native HMC scan path ----------------------
+    try:
+        from hamiltorch_tpu.models.flagship import make_flagship_potential_tree
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        from hamiltorch_tpu.samplers.hmc import run_hmc_chains
 
-    run(jax.random.key(nonce))  # compile + warm up
-    # median of 3 nonce-varied reps: single-rep numbers swung ~25% between
-    # rounds (BENCH_r01 vs r02); report the spread alongside
-    scan_times = []
-    for rep in range(3):
-        t0 = time.perf_counter()
-        result = run(jax.random.key(nonce + rep + 1))
-        scan_times.append(time.perf_counter() - t0)
-    dt = float(np.median(scan_times))
-    scan_spread = (max(scan_times) - min(scan_times)) / dt
+        # pytree-native chain state: parameters stay {w1,b1,w2,b2}; the scan
+        # path pays no flat-theta slice/concat tax (measured +14% over the
+        # flat path — docs/BENCHMARKS.md)
+        log_prob_fn, params0 = make_flagship_potential_tree()
+        config = MCMCConfig(
+            num_samples=num_samples, num_steps_per_sample=num_steps, step_size=2e-4
+        )
 
-    grad_steps = num_chains * num_samples * num_steps
-    rate = grad_steps / dt
-    acc = float(jnp.mean(result.stats.accepted))
-    # flatten the tree trace to (C, N, D) for the ESS diagnostics below
-    samples_flat = jnp.concatenate(
-        [
-            l.reshape(num_chains, num_samples, -1)
-            for l in jax.tree_util.tree_leaves(result.samples)
-        ],
-        axis=-1,
-    )
-    jax.block_until_ready(samples_flat)
-    del result
+        def run(k):
+            result = run_hmc_chains(
+                k, log_prob_fn, params0, config, num_chains=num_chains
+            )
+            jax.block_until_ready(result.samples)
+            return result
 
-    # secondary: the fully-fused Pallas sampler on the same model shape
-    from hamiltorch_tpu.kernels.bnn_hmc import bnn_hmc
+        run(jax.random.key(nonce))  # compile + warm up
+        # median of 3 nonce-varied reps: single-rep numbers swung ~25%
+        # between rounds (BENCH_r01 vs r02); report the spread alongside
+        scan_times = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            result = run(jax.random.key(nonce + rep + 1))
+            scan_times.append(time.perf_counter() - t0)
+        dt = float(np.median(scan_times))
+        grad_steps = num_chains * num_samples * num_steps
+        rate = grad_steps / dt
+        tflops = rate * flagship_flops_per_grad_step(num_chains) / num_chains / 1e12
+        out.update(
+            value=round(rate, 1),
+            vs_baseline=round(rate / 10000.0, 3),
+            tflops=round(tflops, 1),
+            mfu=round(tflops / V5E_PEAK_TFLOPS, 3),
+            acc_rate=round(float(jnp.mean(result.stats.accepted)), 3),
+            scan_rel_spread=round((max(scan_times) - min(scan_times)) / dt, 3),
+        )
+        primary_ok = True
+        mark("scan phase done")
+    except Exception as e:  # noqa: BLE001 — the artifact must still emit
+        out["errors"]["scan"] = f"{type(e).__name__}: {e}"
+        mark(f"scan phase FAILED: {e}")
 
-    rngk = jax.random.key(7)
-    xb = jax.random.normal(rngk, (1024, 784))
-    yb = jnp.tanh(xb @ (jax.random.normal(jax.random.key(8), (784,)) / 28.0))[:, None]
-    w1 = 0.01 * jax.random.normal(jax.random.key(9), (num_chains, 784, 128))
-    b1 = jnp.zeros((num_chains, 128))
-    w2 = 0.01 * jax.random.normal(jax.random.key(10), (num_chains, 128))
-    b2 = jnp.zeros((num_chains,))
-
-    def run_fused(seed):
-        out = bnn_hmc(seed, xb, yb, w1, b1, w2, b2, num_samples=50,
-                      num_steps=num_steps, step_size=2e-4, tau=10.0)
-        jax.block_until_ready(out)
-
-    run_fused(nonce)  # compile + warm (nonce: defeat the remote result cache)
-    times = []
-    for rep in range(3):
-        t1 = time.perf_counter()
-        run_fused(nonce + rep + 1)
-        times.append(time.perf_counter() - t1)
-    fused_rate = num_chains * 50 * num_steps / float(np.median(times))
-
-    from hamiltorch_tpu.diagnostics import effective_sample_size
-
-    # ESS/sec: min over a 64-dim coordinate slice PLUS 32 random unit
-    # directions through the full 100k-dim posterior — projections catch
-    # slow directions a coordinate slice can miss (full-D ESS is O(N*D)
-    # fft work for a side statistic).  The trace can be ~15 GB, so the
-    # projection maps chain-by-chain (no full-array relayout/copy).
-    # eager per-chain dots: under one jitted map XLA hoists a bf16 convert
-    # of the WHOLE trace out of the loop (a spare 7 GB copy -> OOM)
+    # ---- ESS/sec on the scan trace ---------------------------------------
+    # min over a 64-dim coordinate slice PLUS 32 random unit directions
+    # through the full 100k-dim posterior — projections catch slow
+    # directions a coordinate slice can miss (full-D ESS is O(N*D) fft work
+    # for a side statistic).  The projection maps chain-by-chain: under one
+    # jitted map XLA hoists a bf16 convert of the WHOLE trace out of the
+    # loop (a spare 7 GB copy -> OOM)
     def _project(samples, dirs):
         return jnp.stack([samples[c] @ dirs for c in range(samples.shape[0])])
 
@@ -113,6 +135,8 @@ def main():
         projections.  The min is the headline (worst direction); p10 is
         reported alongside because a min over ~100 noisy ESS estimates is
         an extremal statistic with heavy seed variance."""
+        from hamiltorch_tpu.diagnostics import effective_sample_size
+
         dirs = jax.random.normal(jax.random.key(1234), (samples.shape[-1], 32))
         dirs = dirs / jnp.linalg.norm(dirs, axis=0)
         ess_coord = effective_sample_size(samples[:, burn:, :64])
@@ -122,106 +146,163 @@ def main():
         )
         return float(all_ess.min()), float(np.percentile(all_ess, 10))
 
-    ess_per_sec = ess_quantiles(samples_flat)[0] / dt
-
-    # sampling-efficiency view: ChEES with cross-chain warmup on the same
-    # posterior (trajectory lengths tuned for mixing, not raw grad-steps);
-    # ChEES operates on the flat parameter vector
     import gc
 
-    del samples_flat
-    gc.collect()
-    from hamiltorch_tpu.models.flagship import make_flagship_potential
-    from hamiltorch_tpu.ops.mass import make_mass
-    from hamiltorch_tpu.ops.potential import resolve_potential
-    from hamiltorch_tpu.samplers.chees import (
-        ChEESConfig,
-        _run_chees_jit,
-        validate_chees,
-    )
-    from hamiltorch_tpu.samplers.warmup import schedule_flags
+    if primary_ok:
+        try:
+            # flatten the tree trace to (C, N, D) for the ESS diagnostics
+            samples_flat = jnp.concatenate(
+                [
+                    l.reshape(num_chains, num_samples, -1)
+                    for l in jax.tree_util.tree_leaves(result.samples)
+                ],
+                axis=-1,
+            )
+            jax.block_until_ready(samples_flat)
+            del result
+            out["min_ess_per_sec"] = round(ess_quantiles(samples_flat)[0] / dt, 1)
+            del samples_flat
+        except Exception as e:  # noqa: BLE001
+            out["errors"]["ess"] = f"{type(e).__name__}: {e}"
+            result = None
+        gc.collect()
 
-    flat_log_prob_fn, theta0 = make_flagship_potential()
-    # burn=600 (vs 300 in rounds 1-2): at burn=300 the adapted trajectory
-    # length still ranged 1.0-3.1 across seeds, making min-ESS/sec swing
-    # ~90% rep-to-rep; at 600 it converges to ~3 and the rep spread drops
-    # to ~30% — the residual is genuine adaptation seed variance, not
-    # measurement noise.  The run is CHUNKED in two (the checkpoint
-    # runner's resume mechanics): a warmup chunk storing one thinned row
-    # (the full (64, 600, 100k) f32 warmup trace would not fit 16 GB HBM)
-    # and an UNTHINNED 300-draw sampling chunk — ChEES draws are nearly
-    # independent, so thinning the sampling phase would discard real ESS
-    # (measured: thin=3 halved min-ESS/sec).
-    chees_cfg = ChEESConfig(
-        num_samples=900, step_size=2e-4, burn=600, adapt_mass=True,
-        init_trajectory_length=0.01,
-    )
-    import dataclasses
+    # ---- secondary: the fully-fused Pallas sampler, same model shape ------
+    try:
+        from hamiltorch_tpu.kernels.bnn_hmc import bnn_hmc
 
-    cfg_warm = dataclasses.replace(chees_cfg, num_samples=600, thin=600)
-    cfg_samp = dataclasses.replace(chees_cfg, num_samples=300, thin=1)
-    lp_chees, chees_data = resolve_potential(flat_log_prob_fn, None)
-    mass_chees = make_mass(None, theta0.shape[0])
-    validate_chees(chees_cfg, mass_chees)
-    cf_w, ef_w = schedule_flags(chees_cfg.burn, 0, 600)
-    cf_s, ef_s = schedule_flags(chees_cfg.burn, 600, 300)
+        rngk = jax.random.key(7)
+        xb = jax.random.normal(rngk, (1024, 784))
+        yb = jnp.tanh(xb @ (jax.random.normal(jax.random.key(8), (784,)) / 28.0))[
+            :, None
+        ]
+        w1 = 0.01 * jax.random.normal(jax.random.key(9), (num_chains, 784, 128))
+        b1 = jnp.zeros((num_chains, 128))
+        w2 = 0.01 * jax.random.normal(jax.random.key(10), (num_chains, 128))
+        b2 = jnp.zeros((num_chains,))
 
-    def run_chees_once(seed):
-        k_init, key = jax.random.split(jax.random.key(seed))
+        def run_fused(seed):
+            o = bnn_hmc(seed, xb, yb, w1, b1, w2, b2, num_samples=50,
+                        num_steps=num_steps, step_size=2e-4, tau=10.0)
+            jax.block_until_ready(o)
+
+        run_fused(nonce)  # compile + warm (nonce: defeat the result cache)
+        times = []
+        for rep in range(3):
+            t1 = time.perf_counter()
+            run_fused(nonce + rep + 1)
+            times.append(time.perf_counter() - t1)
+        out["fused_kernel_grad_steps_per_sec"] = round(
+            num_chains * 50 * num_steps / float(np.median(times)), 1
+        )
+        del xb, yb, w1, b1, w2, b2
+        gc.collect()
+        mark("fused phase done")
+    except Exception as e:  # noqa: BLE001
+        out["errors"]["fused"] = f"{type(e).__name__}: {e}"
+
+    # ---- secondary: ChEES sampling efficiency (min-ESS/sec) ---------------
+    try:
+        import dataclasses
+
+        from hamiltorch_tpu.models.flagship import make_flagship_potential
+        from hamiltorch_tpu.ops.mass import make_mass
+        from hamiltorch_tpu.ops.potential import resolve_potential
+        from hamiltorch_tpu.samplers.chees import (
+            ChEESConfig,
+            _run_chees_jit,
+            validate_chees,
+        )
+        from hamiltorch_tpu.samplers.warmup import schedule_flags
+
+        flat_log_prob_fn, theta0 = make_flagship_potential()
+        # burn=600 (vs 300 in rounds 1-2): at burn=300 the adapted
+        # trajectory length still ranged 1.0-3.1 across seeds, making
+        # min-ESS/sec swing ~90% rep-to-rep; at 600 it converges to ~3 and
+        # the rep spread drops to ~30%.  The run is CHUNKED in two (the
+        # checkpoint runner's resume mechanics): a warmup chunk storing one
+        # thinned row and an UNTHINNED 300-draw sampling chunk — ChEES
+        # draws are nearly independent, so thinning the sampling phase
+        # would discard real ESS (measured: thin=3 halved min-ESS/sec).
+        # Both chunks' traces are written chain-major in place
+        # (samplers/tracebuf.py); peak HBM is ~1x the 7.7 GB trace — the
+        # round-3 OOM was this program before that fix.
+        chees_cfg = ChEESConfig(
+            num_samples=900, step_size=2e-4, burn=600, adapt_mass=True,
+            init_trajectory_length=0.01,
+        )
+        cfg_warm = dataclasses.replace(chees_cfg, num_samples=600, thin=600)
+        cfg_samp = dataclasses.replace(chees_cfg, num_samples=300, thin=1)
+        lp_chees, chees_data = resolve_potential(flat_log_prob_fn, None)
+        mass_chees = make_mass(None, theta0.shape[0])
+        validate_chees(chees_cfg, mass_chees)
+        cf_w, ef_w = schedule_flags(chees_cfg.burn, 0, 600)
+        cf_s, ef_s = schedule_flags(chees_cfg.burn, 600, 300)
+
+        # the 600-draw warmup runs ONCE (~50 s on chip); the timed metric is
+        # the STEADY-STATE sampling phase — 3 key-varied 300-draw unthinned
+        # chunks from the shared adapted carry, min-ESS / sampling wall.
+        # (Rounds 1-3 folded the warmup into the denominator; steady-state
+        # sampling efficiency is the figure a long production run sees, and
+        # it keeps the whole bench inside the driver's time budget.)
+        k_init, key_w = jax.random.split(jax.random.key(nonce))
         thetas0 = theta0[None, :] + 0.01 * jax.random.normal(
             k_init, (num_chains, theta0.shape[0]), theta0.dtype
         )
         r_w = _run_chees_jit(
-            key, thetas0, lp_chees, cfg_warm, mass_chees, data=chees_data,
+            key_w, thetas0, lp_chees, cfg_warm, mass_chees, data=chees_data,
             collect_flags=cf_w, end_flags=ef_w,
         )
-        r = _run_chees_jit(
-            key, r_w.final_carry.thetas, lp_chees, cfg_samp, mass_chees,
-            data=chees_data, init_carry=r_w.final_carry, start_iter=600,
-            collect_flags=cf_s, end_flags=ef_s,
-        )
-        jax.block_until_ready(r.samples)
-        return r
+        jax.block_until_ready(r_w.final_carry.thetas)
+        mark("chees warmup chunk done")
 
-    r = run_chees_once(nonce)  # compile + warm up
-    # median-of-3 on the DERIVED metric (min-ESS/sec): both the wall time
-    # and the ESS itself vary per seed, so de-noise their ratio directly
-    chees_rates, chees_p10_rates, chees_accs = [], [], []
-    for rep in range(3):
+        def run_chees_sampling(seed):
+            r = _run_chees_jit(
+                jax.random.key(seed), r_w.final_carry.thetas, lp_chees,
+                cfg_samp, mass_chees, data=chees_data,
+                init_carry=r_w.final_carry, start_iter=600,
+                collect_flags=cf_s, end_flags=ef_s,
+            )
+            jax.block_until_ready(r.samples)
+            return r
+
+        r = run_chees_sampling(nonce)  # compile + warm up
+        # median-of-3 on the DERIVED metric (min-ESS/sec): both the wall
+        # time and the ESS itself vary per seed, so de-noise their ratio
+        chees_rates, chees_p10_rates, chees_accs = [], [], []
+        for rep in range(3):
+            del r
+            gc.collect()
+            t1 = time.perf_counter()
+            r = run_chees_sampling(nonce + rep + 1)
+            dt_chees = time.perf_counter() - t1
+            e_min, e_p10 = ess_quantiles(r.samples)  # all 300 rows post-burn
+            chees_rates.append(e_min / dt_chees)
+            chees_p10_rates.append(e_p10 / dt_chees)
+            chees_accs.append(float(jnp.mean(r.info.accept_prob)))
+        chees_rate = float(np.median(chees_rates))
+        mark("chees phase done")
+        out.update(
+            chees_min_ess_per_sec=round(chees_rate, 1),
+            chees_p10_ess_per_sec=round(float(np.median(chees_p10_rates)), 1),
+            chees_acc_rate=round(float(np.median(chees_accs)), 3),
+            chees_rel_spread=round(
+                (max(chees_rates) - min(chees_rates)) / chees_rate, 3
+            ),
+        )
         del r
         gc.collect()
-        t1 = time.perf_counter()
-        r = run_chees_once(nonce + rep + 1)
-        dt_chees = time.perf_counter() - t1
-        e_min, e_p10 = ess_quantiles(r.samples)  # all 300 rows are post-burn
-        chees_rates.append(e_min / dt_chees)
-        chees_p10_rates.append(e_p10 / dt_chees)
-        chees_accs.append(float(jnp.mean(r.info.accept_prob)))
-    chees_rate = float(np.median(chees_rates))
-    chees_p10_rate = float(np.median(chees_p10_rates))
-    chees_spread = (max(chees_rates) - min(chees_rates)) / chees_rate
-    chees_acc = float(np.median(chees_accs))
-    del r
-    gc.collect()
+    except Exception as e:  # noqa: BLE001
+        out["errors"]["chees"] = f"{type(e).__name__}: {e}"
+
+    if not out["errors"]:
+        del out["errors"]
+    print(json.dumps(out))
     print(
-        json.dumps(
-            {
-                "metric": "leapfrog_grad_steps_per_sec (100k-param BNN, 64 chains, 1 chip)",
-                "value": round(rate, 1),
-                "unit": "grad-steps/sec",
-                "vs_baseline": round(rate / 10000.0, 3),
-                "min_ess_per_sec": round(ess_per_sec, 1),
-                "acc_rate": round(acc, 3),
-                "fused_kernel_grad_steps_per_sec": round(fused_rate, 1),
-                "chees_min_ess_per_sec": round(chees_rate, 1),
-                "chees_p10_ess_per_sec": round(chees_p10_rate, 1),
-                "chees_acc_rate": round(chees_acc, 3),
-                "scan_rel_spread": round(scan_spread, 3),
-                "chees_rel_spread": round(chees_spread, 3),
-            }
-        )
+        f"# device={jax.devices()[0].device_kind}", file=sys.stderr
     )
-    print(f"# acc_rate={acc:.3f} wall={dt:.2f}s device={jax.devices()[0].device_kind}", file=sys.stderr)
+    if not primary_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
