@@ -511,20 +511,30 @@ def run_split_hmc_checkpointed(
     ``run_split_hmc_stacked`` contract: ``term_fn(theta, m[, data])`` one
     minibatch log-lik term, stacked arrays through ``data`` as a jit
     operand.  The splitting scheme and term count are part of the
-    checkpoint fingerprint."""
+    checkpoint fingerprint.  ``theta0`` may be a parameter PYTREE (with a
+    tree-taking ``term_fn``; diagonal metrics only) — the persistence
+    layer is tree-generic."""
     from .enums import Integrator
     from .samplers.splitting import _run_split_jit, stacked_total_logp
+    from .utils.pytree import is_param_tree
 
     integrator = Integrator.SPLITTING if integrator is None else integrator
-    theta0 = jnp.asarray(theta0)
-    mass = make_mass(inv_mass, theta0.shape[0])
-    da0 = da_init(config.step_size, dtype=theta0.dtype)
+    if is_param_tree(theta0):
+        from .ops.mass import make_diag_mass_tree
+
+        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+        mass = make_diag_mass_tree(inv_mass, theta0, "split HMC")
+    else:
+        theta0 = jnp.asarray(theta0)
+        mass = make_mass(inv_mass, theta0.shape[0])
+    dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
+    da0 = da_init(config.step_size, dtype=dtype)
     template = (_chain_state_template(theta0), da0)
     total_logp = stacked_total_logp(term_fn, num_terms, data)
 
     def init_carry_fn():
         return (ChainState(theta0, total_logp(theta0),
-                           jnp.zeros_like(theta0)), da0)
+                           jax.tree_util.tree_map(jnp.zeros_like, theta0)), da0)
 
     def chunk_runner(k, carry, n_done, cfg):
         state, da = carry
@@ -908,11 +918,12 @@ def run_pt_checkpointed(
     the RNG stream and the pairing parity).
 
     ``num_ensembles``: run E independent ladders (the ``run_pt_chains``
-    layout, leading ensemble axis).  ``mesh``: additionally shard the
-    ensembles over a `jax.sharding.Mesh` per chunk (requires
-    ``num_ensembles``) — the ensemble stream matches the vmapped run, so
-    vmapped and sharded checkpoints are interchangeable up to compile-level
-    f32 reassociation."""
+    layout, leading ensemble axis; ``theta0`` may be a pytree with
+    (E, K, ...)-stacked leaves or a single state to broadcast).  ``mesh``:
+    additionally shard the ensembles over a `jax.sharding.Mesh` per chunk
+    (requires ``num_ensembles``) — the ensemble stream matches the vmapped
+    run, so vmapped and sharded checkpoints are interchangeable up to
+    compile-level f32 reassociation."""
     from .samplers.tempering import (
         PTCarry,
         assemble_pt_result,
@@ -920,7 +931,7 @@ def run_pt_checkpointed(
         init_pt_carry,
         _run_pt_jit,
     )
-    from .utils.pytree import is_param_tree, reject_param_tree
+    from .utils.pytree import is_param_tree
 
     if mesh is not None and num_ensembles is None:
         raise ValueError(
@@ -928,11 +939,6 @@ def run_pt_checkpointed(
             "num_ensembles as well."
         )
     if num_ensembles is not None:
-        reject_param_tree(
-            theta0, "run_pt_checkpointed(num_ensembles=...)",
-            "the ensemble stacking is built for the flat layout",
-            "checkpoint a single pytree ladder (num_ensembles=None)",
-        )
         return _run_pt_checkpointed_ensembles(
             key, log_prob_fn, theta0, config, ckpt_dir, chunk_size,
             inv_mass, resume, num_ensembles, mesh,
@@ -1013,32 +1019,26 @@ def _run_pt_checkpointed_ensembles(
 ):
     """Ensemble (and optionally mesh-sharded) variant of
     ``run_pt_checkpointed``: E independent ladders with a leading ensemble
-    axis, each chunk one vmapped (or shard_map'd) compiled scan."""
+    axis, each chunk one vmapped (or shard_map'd) compiled scan.  The
+    ladder state may be a parameter pytree — the persistence layer and the
+    mesh specs are tree-generic."""
     from .samplers.tempering import (
         PTCarry,
+        _pt_ensemble_stack,
         assemble_pt_ensemble_result,
-        check_num_temps,
         init_pt_carry,
         _run_pt_jit,
     )
 
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        theta0 = jnp.broadcast_to(
-            theta0, (num_ensembles, config.num_temps) + theta0.shape
-        )
-    elif theta0.ndim == 2:
-        theta0 = jnp.broadcast_to(theta0, (num_ensembles,) + theta0.shape)
-    check_num_temps(theta0, config)
+    theta0, mass = _pt_ensemble_stack(theta0, config, num_ensembles, inv_mass)
     lp, data = resolve_potential(log_prob_fn, None)
-    mass = make_mass(inv_mass, theta0.shape[-1])
-    e, k_temps, d = theta0.shape
-    dtype = theta0.dtype
+    e, k_temps = num_ensembles, config.num_temps
+    dtype = jax.tree_util.tree_leaves(theta0)[0].dtype
 
     template = PTCarry(
         thetas=theta0,
         logps=jnp.zeros((e, k_temps), dtype),
-        grads=jnp.zeros_like(theta0),
+        grads=jax.tree_util.tree_map(jnp.zeros_like, theta0),
         s=jnp.zeros((e, k_temps - 1), dtype),
         ema=jnp.zeros((e, k_temps - 1), dtype),
         da=DualAveragingState(*(jnp.zeros((e, k_temps), dtype),) * 4),
@@ -1120,7 +1120,16 @@ def _run_pt_checkpointed_ensembles(
         chunk_size, resume, _fingerprint(config, theta0), save_chunk,
     )
     kept = config.num_samples  # burn slicing happens at assembly
-    traj = jnp.asarray(np.concatenate([z["traj"] for z in zs], axis=1))[:, :kept]
+    if "traj" in zs[0].files:
+        traj = jnp.asarray(np.concatenate([z["traj"] for z in zs], axis=1))[:, :kept]
+    else:  # pytree ladders: per-leaf chunk entries, (E, N, K, ...) leaves
+        tdef = jax.tree_util.tree_structure(carry.thetas)
+        traj = jax.tree_util.tree_unflatten(tdef, [
+            jnp.asarray(
+                np.concatenate([z[f"traj__leaf_{i}"] for z in zs], axis=1)
+            )[:, :kept]
+            for i in range(tdef.num_leaves)
+        ])
     alphas = jnp.asarray(np.concatenate([z["alphas"] for z in zs], axis=1))[:, :kept]
     swaps = jnp.asarray(np.concatenate([z["swaps"] for z in zs], axis=1))[:, :kept]
     return assemble_pt_ensemble_result(traj, alphas, swaps, carry, config)

@@ -30,6 +30,19 @@ import jax.numpy as jnp
 
 from ..enums import Integrator
 
+# theta/p may be flat (D,) vectors or parameter PYTREES (the no-slicing-tax
+# chain state); a bare array is a one-leaf pytree, so one tree_map code path
+# serves both — identical XLA on the flat layout
+_tmap = jax.tree_util.tree_map
+
+
+def _kick(mom, g, scale):
+    return _tmap(lambda ml, gl: ml + scale * gl, mom, g)
+
+
+def _drift(th, v, scale):
+    return _tmap(lambda tl, vl: tl + scale * vl, th, v)
+
 
 def splitting_leapfrog(
     grad_term: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
@@ -42,7 +55,11 @@ def splitting_leapfrog(
     integrator: Integrator,
     perm: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Integrate with per-term gradients ``grad_term(theta, m)``."""
+    """Integrate with per-term gradients ``grad_term(theta, m)``.
+
+    ``theta``/``p`` may be flat vectors or parameter pytrees; ``mass`` must
+    match the layout (a ``TreeMass`` for pytree state).
+    """
     eps = step_size
     m_f = jnp.arange(num_terms)
     m_r = m_f[::-1]
@@ -56,16 +73,16 @@ def splitting_leapfrog(
 
         def fwd(carry, m):
             th, mom = carry
-            mom = mom + 0.5 * eps * grad_term(th, m)
+            mom = _kick(mom, grad_term(th, m), 0.5 * eps)
             drift = jnp.where(m < num_terms - 1, eps / k_div, 0.0)
-            th = th + drift * mass.velocity(mom)
+            th = _drift(th, mass.velocity(mom), drift)
             return (th, mom), None
 
         def rev(carry, m):
             th, mom = carry
-            mom = mom + 0.5 * eps * grad_term(th, m)
+            mom = _kick(mom, grad_term(th, m), 0.5 * eps)
             drift = jnp.where(m > 0, eps / k_div, 0.0)
-            th = th + drift * mass.velocity(mom)
+            th = _drift(th, mass.velocity(mom), drift)
             return (th, mom), None
 
         def step(carry, _):
@@ -78,9 +95,9 @@ def splitting_leapfrog(
 
         def term_step(carry, m):
             th, mom = carry
-            mom = mom + 0.5 * eps * grad_term(th, m)
-            th = th + (eps / num_terms) * mass.velocity(mom)
-            mom = mom + 0.5 * eps * grad_term(th, m)
+            mom = _kick(mom, grad_term(th, m), 0.5 * eps)
+            th = _drift(th, mass.velocity(mom), eps / num_terms)
+            mom = _kick(mom, grad_term(th, m), 0.5 * eps)
             return (th, mom), None
 
         def step(carry, _):
@@ -95,7 +112,7 @@ def splitting_leapfrog(
 
         def kick_sweep(th, mom, order):
             def kick(carry, m):
-                return carry + 0.5 * eps * grad_term(th, m), None
+                return _kick(carry, grad_term(th, m), 0.5 * eps), None
 
             mom, _ = jax.lax.scan(kick, mom, order)
             return mom
@@ -103,7 +120,7 @@ def splitting_leapfrog(
         def step(carry, _):
             th, mom = carry
             mom = kick_sweep(th, mom, m_f)
-            th = th + eps * mass.velocity(mom)
+            th = _drift(th, mass.velocity(mom), eps)
             mom = kick_sweep(th, mom, m_r)
             return (th, mom), None
 

@@ -351,6 +351,51 @@ def define_split_model_log_prob(
     return term_fn, m_terms, flat_init, unravel, (xs, ys)
 
 
+def define_split_model_tree_log_prob(
+    model,
+    model_loss,
+    train_loader,
+    num_splits: int,
+    tau_list=None,
+    tau_out: float = 1.0,
+    predict: bool = False,
+    verbose: bool = True,
+    params_template=None,
+):
+    """Pytree-native variant of :func:`define_split_model_log_prob`.
+
+    The returned ``term_fn(params, m, data)`` takes the parameter PYTREE —
+    no ravel/unravel in the per-term gradient path, so split HMC runs on
+    its pytree-native chain state (``run_split_hmc_stacked`` accepts the
+    returned ``template`` as ``theta0``).  Big-model minibatch sampling is
+    exactly where the no-flat-tax design pays: every kick is one
+    minibatch forward/backward whose per-leaf gradients land directly on
+    the momentum leaves.  Values match the flat factory exactly (same
+    per-term ``prior/num_splits`` accounting, reference:
+    hamiltorch/samplers.py:1203-1258).
+
+    Returns ``(term_fn, num_terms, params_template, (xs, ys))``.
+    """
+    xs, ys = _as_batches(train_loader, num_splits)
+    m_terms = int(xs.shape[0])
+    apply_fn, template = build_model(
+        model, x_example=xs[0], params_template=params_template
+    )
+    if verbose:
+        print(f"Number of splits: {m_terms} , each of batch size {xs.shape[1]}\n")
+
+    def term_fn(params, m, data):
+        xs_, ys_ = data
+        l_prior = gaussian_prior_log_prob(params, tau_list) / m_terms
+        output = apply_fn(params, xs_[m])
+        ll = log_likelihood(output, ys_[m], model_loss, tau_out)
+        if predict:
+            return ll + l_prior, output
+        return ll + l_prior
+
+    return term_fn, m_terms, template, (xs, ys)
+
+
 # ---------------------------------------------------------------------------
 # user-facing parity entry points
 

@@ -866,33 +866,20 @@ def run_pt_sharded(
     device runs its slice of the E ladders, each ladder a K-replica batched
     scan, so the mesh multiplies cold-chain throughput for multimodal
     targets.  Returns a PTResult with a leading ensemble axis, as
-    ``run_pt_chains``.
+    ``run_pt_chains``.  ``theta0`` may be a parameter PYTREE (single state
+    broadcast, or (E, K, ...)-stacked leaves; diagonal metrics only) —
+    each leaf shards along its leading ensemble axis.
     """
-    from ..utils.pytree import reject_param_tree
-
-    reject_param_tree(
-        theta0, "run_pt_sharded",
-        "the mesh shard specs are built for the flat layout",
-        "use run_parallel_tempering's local pytree-native path",
-    )
     from ..samplers.tempering import (
+        _pt_ensemble_stack,
         _run_pt_jit,
         assemble_pt_ensemble_result,
-        check_num_temps,
     )
 
     if config.burn >= config.num_samples:
         raise RuntimeError("burn must be less than num_samples.")
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        theta0 = jnp.broadcast_to(
-            theta0, (num_ensembles, config.num_temps) + theta0.shape
-        )
-    elif theta0.ndim == 2:
-        theta0 = jnp.broadcast_to(theta0, (num_ensembles,) + theta0.shape)
-    check_num_temps(theta0, config)
+    theta0, mass = _pt_ensemble_stack(theta0, config, num_ensembles, inv_mass)
     lp, data = resolve_potential(log_prob_fn, None)
-    mass = make_mass(inv_mass, theta0.shape[-1])
     config = _warn_progress_ignored(config)
     n_dev = len(mesh.devices.flatten())
     if num_ensembles % n_dev:
@@ -908,13 +895,15 @@ def run_pt_sharded(
         )(keys_l, thetas_l)
 
     local_e = num_ensembles // n_dev
+    tmap = jax.tree_util.tree_map
+    theta_local = tmap(lambda l: l[:local_e], theta0)
     out_specs = _leading_axis_specs(
-        jax.eval_shape(local, keys[:local_e], theta0[:local_e], data), axes
+        jax.eval_shape(local, keys[:local_e], theta_local, data), axes
     )
     shard = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axes), P(axes, None, None), P()),
+        in_specs=(P(axes), _chain_leaf_specs(axes, theta0), P()),
         out_specs=out_specs,
         check_vma=False,
     )

@@ -40,9 +40,10 @@ def stacked_total_logp(term_fn, num_terms: int, data):
     fn = term_fn if data is None else (lambda t, m: term_fn(t, m, data))
 
     def total_logp(theta):
+        dtype = jax.tree_util.tree_leaves(theta)[0].dtype
         lp, _ = jax.lax.scan(
             lambda acc, m: (acc + fn(theta, m), None),
-            jnp.zeros((), theta.dtype), jnp.arange(num_terms),
+            jnp.zeros((), dtype), jnp.arange(num_terms),
         )
         return lp
 
@@ -78,9 +79,12 @@ def _run_split_jit(key, theta0, raw_term_fn, num_terms, config, integrator, mass
 
     total_logp = stacked_total_logp(raw_term_fn, num_terms, data)
 
+    _tmap = jax.tree_util.tree_map
+
     def transition(key, state: ChainState, step_size):
         k_mom, k_perm = jax.random.split(key)
-        p = mass.sample(k_mom, dtype=state.theta.dtype)
+        dtype = jax.tree_util.tree_leaves(state.theta)[0].dtype
+        p = mass.sample(k_mom, dtype=dtype)
         h0 = -state.logp + mass.kinetic(p)
         perm = None
         if integrator == Integrator.SPLITTING_RAND:
@@ -93,12 +97,14 @@ def _run_split_jit(key, theta0, raw_term_fn, num_terms, config, integrator, mass
         )
         logp1 = total_logp(theta)
         h1 = -logp1 + mass.kinetic(p_new)
-        return ChainState(theta, logp1, jnp.zeros_like(theta)), h0, h1
+        return ChainState(theta, logp1, _tmap(jnp.zeros_like, theta)), h0, h1
 
     if init_state is not None:
         state0 = init_state
     else:
-        state0 = ChainState(theta0, total_logp(theta0), jnp.zeros_like(theta0))
+        state0 = ChainState(
+            theta0, total_logp(theta0), _tmap(jnp.zeros_like, theta0)
+        )
     return run_mcmc(key, state0, transition, config, init_da=init_da,
                     start_iter=start_iter)
 
@@ -124,9 +130,24 @@ def run_split_hmc_stacked(
     ``pass_grad``: optional user gradient for the kicks, same signature as
     ``term_fn`` but returning the (D,) per-term gradient.  Extension: the
     reference refuses pass_grad for splitting (samplers.py:468-469).
+
+    ``theta0`` may also be a parameter PYTREE (with ``term_fn`` taking the
+    tree) — the hot kick/drift sweeps then update leaves in their natural
+    shapes, exactly where the no-flat-tax design pays most (splitting is
+    the big-model minibatch sampler).  Diagonal metrics only (``inv_mass``
+    None / flat (D,) / per-leaf pytree of diagonals), as every pytree
+    entry point.
     """
-    theta0 = jnp.asarray(theta0)
-    mass = make_mass(inv_mass, theta0.shape[0])
+    from ..utils.pytree import is_param_tree
+
+    if is_param_tree(theta0):
+        from ..ops.mass import make_diag_mass_tree
+
+        theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+        mass = make_diag_mass_tree(inv_mass, theta0, "split HMC")
+    else:
+        theta0 = jnp.asarray(theta0)
+        mass = make_mass(inv_mass, theta0.shape[0])
     return _run_split_jit(
         key, theta0, term_fn, num_terms, config, integrator, mass, data,
         raw_pass_grad=pass_grad,
@@ -149,13 +170,24 @@ def run_split_hmc_chains(
 
     Stacked-data contract as :func:`run_split_hmc_stacked`; the (M, B, ...)
     minibatch arrays are shared (not vmapped) across chains, so on TPU the
-    chain axis batches every per-term matmul.
+    chain axis batches every per-term matmul.  ``theta0`` may be a
+    parameter PYTREE — single state (broadcast to ``num_chains``) or
+    (C, ...)-stacked leaves.
     """
-    theta0 = jnp.asarray(theta0)
-    if theta0.ndim == 1:
-        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    from ..utils.pytree import is_param_tree
+
+    if is_param_tree(theta0):
+        from ..ops.mass import make_diag_mass_tree
+        from ..utils.pytree import stack_param_tree
+
+        template, theta0 = stack_param_tree(theta0, num_chains)
+        mass = make_diag_mass_tree(inv_mass, template, "split HMC")
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+        mass = make_mass(inv_mass, theta0.shape[-1])
     keys = jax.random.split(key, num_chains)
-    mass = make_mass(inv_mass, theta0.shape[-1])
     return jax.vmap(
         lambda k, t: _run_split_jit(
             k, t, term_fn, num_terms, config, integrator, mass, data,

@@ -407,17 +407,46 @@ def run_pt_chains(
 
     Returns a PTResult with a leading ensemble axis: ``samples``
     (E, N - burn, D) cold chains, ``replica_samples`` (E, N - burn, K, D),
-    per-ensemble info and carries.
+    per-ensemble info and carries.  ``theta0`` may be a parameter PYTREE —
+    a single state broadcasts to every (ensemble, replica) slot; leaves
+    already carrying (E, K, ...) axes are taken as per-slot states.
     """
     if config.burn >= config.num_samples:
         raise RuntimeError("burn must be less than num_samples.")
-    from ..utils.pytree import reject_param_tree
+    theta0, mass = _pt_ensemble_stack(theta0, config, num_ensembles, inv_mass)
+    lp, data = resolve_potential(log_prob_fn, None)
+    keys = jax.random.split(key, num_ensembles)
+    traj, alphas, swaps, carry_f = jax.vmap(
+        lambda k, t: _run_pt_jit(k, t, lp, config, mass, data=data)
+    )(keys, theta0)
+    return assemble_pt_ensemble_result(traj, alphas, swaps, carry_f, config)
 
-    reject_param_tree(
-        theta0, "run_pt_chains",
-        "the ensemble stacking is built for the flat layout",
-        "use run_parallel_tempering's local pytree-native path",
-    )
+
+def _pt_ensemble_stack(theta0, config: PTConfig, num_ensembles: int, inv_mass):
+    """(stacked theta0, mass) for an (E, K, ...) PT ensemble entry —
+    shared by the vmapped, mesh-sharded, and checkpointed ensemble runners
+    so all three agree on layout and metric validation.  Flat theta0 gives
+    an (E, K, D) block with any mass form; a pytree theta0 gives
+    (E, K, ...) leaves with diagonal metrics only (per-leaf inv_mass
+    pytree, flat (D,) diagonal, or None)."""
+    from ..utils.pytree import is_param_tree
+
+    if is_param_tree(theta0):
+        from ..ops.mass import make_diag_mass_tree
+
+        leaves = jax.tree_util.tree_leaves(theta0)
+        ek = (num_ensembles, config.num_temps)
+        if all(l.ndim >= 2 and l.shape[:2] == ek for l in leaves):
+            theta0 = _tmap(jnp.asarray, theta0)
+            template = _tmap(lambda l: l[0, 0], theta0)
+        else:
+            template = _tmap(jnp.asarray, theta0)
+            theta0 = _tmap(
+                lambda l: jnp.broadcast_to(l, ek + l.shape), template
+            )
+        _check_tree_num_temps(_tmap(lambda l: l[0], theta0), config)
+        mass = make_diag_mass_tree(inv_mass, template, "parallel tempering")
+        return theta0, mass
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(
@@ -426,24 +455,19 @@ def run_pt_chains(
     elif theta0.ndim == 2:
         theta0 = jnp.broadcast_to(theta0, (num_ensembles,) + theta0.shape)
     check_num_temps(theta0, config)
-    lp, data = resolve_potential(log_prob_fn, None)
-    mass = make_mass(inv_mass, theta0.shape[-1])
-    keys = jax.random.split(key, num_ensembles)
-    traj, alphas, swaps, carry_f = jax.vmap(
-        lambda k, t: _run_pt_jit(k, t, lp, config, mass, data=data)
-    )(keys, theta0)
-    return assemble_pt_ensemble_result(traj, alphas, swaps, carry_f, config)
+    return theta0, make_mass(inv_mass, theta0.shape[-1])
 
 
 def assemble_pt_ensemble_result(traj, alphas, swaps, carry_f: PTCarry,
                                 config: PTConfig) -> PTResult:
     """Ensemble-axis variant of :func:`assemble_pt_result`: burn-slice
-    (E, N, K, D) trajectories into a PTResult with a leading ensemble axis.
-    Shared by the vmapped and mesh-sharded runners."""
+    (E, N, K, D) trajectories (or trees of (E, N, K, ...) leaves) into a
+    PTResult with a leading ensemble axis.  Shared by the vmapped,
+    mesh-sharded, and checkpointed ensemble runners."""
     burn = max(config.burn, 0)
     return PTResult(
-        samples=traj[:, burn:, 0, :],
-        replica_samples=traj[:, burn:],
+        samples=_tmap(lambda l: l[:, burn:, 0], traj),
+        replica_samples=_tmap(lambda l: l[:, burn:], traj),
         info=PTInfo(
             accept_prob=alphas[:, burn:],
             swap_accept=swaps[:, burn:],

@@ -530,6 +530,32 @@ class TestPTSharding:
             rtol=1e-5,
         )
 
+    def test_pytree_sharded_matches_vmapped(self, key):
+        """Pytree ladders over the mesh (VERDICT r3 item 4): leaves shard
+        along the ensemble axis; matches the local vmapped pytree run."""
+        from hamiltorch_tpu.parallel.sharding import make_mesh, run_pt_sharded
+        from hamiltorch_tpu.samplers.tempering import PTConfig, run_pt_chains
+
+        def lp(t):
+            return jnp.logaddexp(
+                -0.5 * jnp.sum((t["a"] - 2.0) ** 2),
+                -0.5 * jnp.sum((t["a"] + 2.0) ** 2),
+            ) - 0.5 * jnp.sum(t["b"] ** 2)
+
+        t0 = {"a": jnp.zeros(1), "b": jnp.zeros((2, 1))}
+        cfg = PTConfig(num_samples=24, num_steps_per_sample=5, step_size=0.3,
+                       num_temps=4, burn=8, adapt_ladder=True)
+        mesh = make_mesh(chains=8)
+        r_sharded = run_pt_sharded(key, lp, t0, cfg, mesh, num_ensembles=8)
+        r_vmap = run_pt_chains(key, lp, t0, cfg, num_ensembles=8)
+        assert r_sharded.samples["a"].shape == (8, 16, 1)
+        assert r_sharded.replica_samples["b"].shape == (8, 16, 4, 2, 1)
+        for k in ("a", "b"):
+            np.testing.assert_allclose(
+                np.asarray(r_sharded.replica_samples[k]),
+                np.asarray(r_vmap.replica_samples[k]), atol=1e-4,
+            )
+
     def test_data_sharded_pt_matches_local_full_batch(self, key):
         """sample_pt_sharded (ladders over 'chains', likelihood psum over
         'data') == run_pt_chains on the equivalent full-data potential —

@@ -345,17 +345,84 @@ class TestPytreePT:
         assert r.samples["a"].shape == (200, 1)
         assert bool(np.isfinite(np.asarray(r.samples["b"])).all())
 
-    def test_flat_only_runners_reject(self, key):
+    def test_tree_ensembles_match_flat_bitwise(self, key):
+        """run_pt_chains on a single-leaf pytree == the flat layout,
+        bit-exactly: the tree path's momentum draws and reductions stay
+        flat-compatible (ops.mass.TreeMass contract)."""
+        from hamiltorch_tpu.samplers.tempering import run_pt_chains
+
+        cfg = PTConfig(num_samples=60, num_steps_per_sample=5, step_size=0.1,
+                       num_temps=4, burn=20, adapt_ladder=True)
+        theta0 = jnp.asarray([3.0, -1.0])
+        r_flat = run_pt_chains(key, bimodal_logprob, theta0, cfg,
+                               num_ensembles=2)
+        r_tree = run_pt_chains(
+            key, lambda t: bimodal_logprob(t["x"]), {"x": theta0}, cfg,
+            num_ensembles=2,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_tree.replica_samples["x"]),
+            np.asarray(r_flat.replica_samples),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_tree.samples["x"]), np.asarray(r_flat.samples)
+        )
+
+    def test_tree_ensembles_shapes_and_stacked(self, key):
+        """Multi-leaf pytree ensembles: broadcast AND pre-stacked
+        (E, K, ...) entries run and keep per-leaf shapes."""
+        from hamiltorch_tpu.samplers.tempering import run_pt_chains
+
+        cfg = PTConfig(num_samples=40, num_steps_per_sample=5, step_size=0.1,
+                       num_temps=4, burn=10)
+        t0 = {"a": jnp.full((1,), 3.0), "b": jnp.zeros((2, 1))}
+        r = run_pt_chains(key, self.tree_lp, t0, cfg, num_ensembles=2)
+        assert r.samples["a"].shape == (2, 30, 1)
+        assert r.replica_samples["b"].shape == (2, 30, 4, 2, 1)
+        t0s = {
+            "a": jnp.broadcast_to(t0["a"], (2, 4, 1)),
+            "b": jnp.broadcast_to(t0["b"], (2, 4, 2, 1)),
+        }
+        r2 = run_pt_chains(key, self.tree_lp, t0s, cfg, num_ensembles=2)
+        np.testing.assert_array_equal(
+            np.asarray(r2.replica_samples["a"]),
+            np.asarray(r.replica_samples["a"]),
+        )
+
+    def test_tree_ensemble_checkpoint_resume(self, key, tmp_path):
+        """Pytree PT-ensemble checkpointing (VERDICT r3 item 4): the
+        chunked run matches the direct vmapped run and an interrupted one
+        resumes bit-exactly."""
+        import dataclasses
+
         from hamiltorch_tpu.checkpoint import run_pt_checkpointed
         from hamiltorch_tpu.samplers.tempering import run_pt_chains
 
-        t0 = {"a": jnp.zeros(1), "b": jnp.zeros((2, 1))}
-        cfg = PTConfig(num_samples=10, num_temps=4)
-        with pytest.raises(TypeError, match="flat"):
-            run_pt_chains(key, self.tree_lp, t0, cfg, num_ensembles=2)
-        with pytest.raises(TypeError, match="flat"):
-            run_pt_checkpointed(key, self.tree_lp, t0, cfg, "/tmp/nope",
-                                num_ensembles=2)
+        t0 = {"a": jnp.full((1,), 3.0), "b": jnp.zeros((2, 1))}
+        cfg = PTConfig(num_samples=80, num_steps_per_sample=5, step_size=0.1,
+                       num_temps=4, max_temp=30.0, burn=30, adapt_ladder=True)
+        r_direct = run_pt_chains(key, self.tree_lp, t0, cfg, num_ensembles=2)
+        r_ck = run_pt_checkpointed(key, self.tree_lp, t0, cfg,
+                                   str(tmp_path / "e"), chunk_size=40,
+                                   num_ensembles=2)
+        for k in ("a", "b"):
+            np.testing.assert_array_equal(
+                np.asarray(r_ck.replica_samples[k]),
+                np.asarray(r_direct.replica_samples[k]),
+            )
+        # interrupted (half the draws), then resumed to the full run
+        run_pt_checkpointed(key, self.tree_lp, t0,
+                            dataclasses.replace(cfg, num_samples=40),
+                            str(tmp_path / "f"), chunk_size=40,
+                            num_ensembles=2)
+        r_res = run_pt_checkpointed(key, self.tree_lp, t0, cfg,
+                                    str(tmp_path / "f"), chunk_size=40,
+                                    num_ensembles=2)
+        for k in ("a", "b"):
+            np.testing.assert_array_equal(
+                np.asarray(r_res.replica_samples[k]),
+                np.asarray(r_ck.replica_samples[k]),
+            )
 
     def test_tree_checkpoint_resume_bit_exact(self, key, tmp_path):
         import dataclasses
