@@ -106,14 +106,6 @@ def sample(
         raise RuntimeError("burn must be less than num_samples.")
     if thin > 1 and burn > 0 and burn % thin:
         raise RuntimeError("burn must be divisible by thin.")
-    if not store_on_GPU and (
-        sampler in (Sampler.NUTS, Sampler.RMHMC) or integrator in _SPLITTING
-    ):
-        raise RuntimeError(
-            "store_on_GPU=False (host offload of the trace) is implemented "
-            "for the plain-HMC paths only; for long NUTS runs use "
-            "checkpoint.run_nuts_checkpointed, which streams per chunk."
-        )
     if adapt_mass and (
         sampler == Sampler.RMHMC or integrator in _SPLITTING
     ):
@@ -181,10 +173,20 @@ def sample(
             progress_every=progress_every,
             thin=thin,
         )
-        result, _ = run_nuts(
-            key, log_prob_func, params_init, nuts_config,
-            inv_mass=inv_mass, pass_grad=pass_grad,
-        )
+        if store_on_GPU:
+            result, _ = run_nuts(
+                key, log_prob_func, params_init, nuts_config,
+                inv_mass=inv_mass, pass_grad=pass_grad,
+            )
+        else:
+            # reference store_on_GPU=False streams every sampler's trace to
+            # host per draw (samplers.py:956-959); here per compiled chunk
+            from .samplers.offload import run_nuts_host_offload
+
+            result = run_nuts_host_offload(
+                key, log_prob_func, params_init, nuts_config,
+                inv_mass=inv_mass, pass_grad=pass_grad,
+            )
     elif sampler in (Sampler.HMC, Sampler.HMC_NUTS) and integrator not in _SPLITTING:
         if store_on_GPU:
             result = run_hmc(
@@ -213,11 +215,27 @@ def sample(
             )
         from .samplers.splitting import run_split_hmc
 
-        result = run_split_hmc(
-            key, list(log_prob_func), params_init, config,
-            integrator=integrator, inv_mass=inv_mass,
-            pass_grad=None if pass_grad is None else list(pass_grad),
-        )
+        if store_on_GPU:
+            result = run_split_hmc(
+                key, list(log_prob_func), params_init, config,
+                integrator=integrator, inv_mass=inv_mass,
+                pass_grad=None if pass_grad is None else list(pass_grad),
+            )
+        else:
+            # chunked host offload of the trace (reference streams inside
+            # its splitting branches, samplers.py:542-547)
+            from .samplers.offload import run_split_hmc_host_offload
+            from .samplers.splitting import grads_from_list, terms_from_list
+
+            result = run_split_hmc_host_offload(
+                key, terms_from_list(list(log_prob_func)),
+                len(log_prob_func), params_init, config,
+                integrator=integrator, inv_mass=inv_mass,
+                pass_grad=(
+                    None if pass_grad is None
+                    else grads_from_list(list(pass_grad))
+                ),
+            )
     elif sampler == Sampler.RMHMC:
         if pass_grad is not None:
             # reference parity (samplers.py:309-310,389-390): a user-supplied
@@ -226,14 +244,24 @@ def sample(
             raise RuntimeError("Passing user-determined gradients not implemented for RMHMC")
         from .samplers.rmhmc import run_rmhmc
 
-        result = run_rmhmc(
-            key, log_prob_func, params_init, config,
+        rm_kwargs = dict(
             integrator=integrator, metric=metric,
             jitter=jitter, softabs_const=softabs_const,
             explicit_binding_const=explicit_binding_const,
             fixed_point_threshold=fixed_point_threshold,
             fixed_point_max_iterations=fixed_point_max_iterations,
         )
+        if store_on_GPU:
+            result = run_rmhmc(key, log_prob_func, params_init, config,
+                               **rm_kwargs)
+        else:
+            # chunked host offload (reference RMHMC honours store_on_GPU
+            # through the shared driver, samplers.py:1008-1012)
+            from .samplers.offload import run_rmhmc_host_offload
+
+            result = run_rmhmc_host_offload(
+                key, log_prob_func, params_init, config, **rm_kwargs
+            )
     else:
         raise NotImplementedError(f"sampler={sampler}, integrator={integrator}")
 

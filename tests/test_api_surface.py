@@ -155,10 +155,44 @@ class TestLoudUnsupportedOptions:
         # the bar header reaches the host stream (CPU supports callbacks)
         assert "Sampling" in captured.out and "Progress" in captured.out
 
-    def test_nuts_host_offload_raises(self, key):
+    def test_nuts_host_offload_matches_device(self, key):
+        """store_on_GPU=False for NUTS (VERDICT r3 item 5): host-resident
+        trace, bit-identical to the on-device run (fold_in RNG lineage —
+        reference streams per draw, samplers.py:956-959)."""
+        import numpy as np
+
         import hamiltorch_tpu as ht
 
-        with pytest.raises(RuntimeError, match="store_on_GPU"):
-            ht.sample(lambda t: -0.5 * jnp.sum(t**2), jnp.zeros(2),
-                      num_samples=8, burn=2, sampler=ht.Sampler.NUTS,
-                      store_on_GPU=False, key=key)
+        lp = lambda t: -0.5 * jnp.sum(t**2)
+        kw = dict(num_samples=40, burn=10, step_size=0.5,
+                  sampler=ht.Sampler.NUTS, verbose=False, key=key)
+        s_dev = ht.sample(lp, jnp.zeros(2), **kw)
+        s_host = ht.sample(lp, jnp.zeros(2), store_on_GPU=False, **kw)
+        assert isinstance(s_host, np.ndarray)  # trace lives on host
+        np.testing.assert_array_equal(np.asarray(s_dev), s_host)
+
+    def test_rmhmc_host_offload_matches_device(self, key):
+        import numpy as np
+
+        import hamiltorch_tpu as ht
+
+        lp = lambda t: -0.5 * jnp.sum(t**2)
+        kw = dict(num_samples=30, num_steps_per_sample=3, step_size=0.2,
+                  sampler=ht.Sampler.RMHMC, verbose=False, key=key)
+        s_dev = ht.sample(lp, jnp.zeros(2), **kw)
+        s_host = ht.sample(lp, jnp.zeros(2), store_on_GPU=False, **kw)
+        assert isinstance(s_host, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(s_dev), s_host)
+
+    def test_splitting_host_offload_matches_device(self, key):
+        import numpy as np
+
+        import hamiltorch_tpu as ht
+
+        fns = [lambda t: -0.25 * jnp.sum(t**2), lambda t: -0.25 * jnp.sum(t**2)]
+        kw = dict(num_samples=40, num_steps_per_sample=4, step_size=0.3,
+                  integrator=ht.Integrator.SPLITTING, verbose=False, key=key)
+        s_dev = ht.sample(fns, jnp.zeros(2), **kw)
+        s_host = ht.sample(fns, jnp.zeros(2), store_on_GPU=False, **kw)
+        assert isinstance(s_host, np.ndarray)
+        np.testing.assert_array_equal(np.asarray(s_dev), s_host)
