@@ -1451,3 +1451,159 @@ class TestTreeModelLogProb:
         leaves = jax.tree_util.tree_leaves(r.samples)
         assert all(l.shape[:2] == (8, 100) for l in leaves)
         assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+
+@pytest.mark.slow
+class TestBridgeRound4:
+    """Round-4 bridge stress (VERDICT r3 item 8): standard composite
+    blocks — a residual-bottleneck CNN and a small UNet with skip
+    concatenation — through from_torch_module, matching torch to 1e-5
+    (reference functionalises any module eagerly, util.py:253-376)."""
+
+    def _check(self, net, x, atol=1e-5):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        net = net.eval()
+        apply_fn, template = from_torch_module(net)
+        with torch.no_grad():
+            ref = net(torch.tensor(x)).numpy()
+        got = np.asarray(apply_fn(template, jnp.asarray(x)))
+        np.testing.assert_allclose(got, ref, atol=atol)
+        return apply_fn, template
+
+    def test_residual_bottleneck_cnn_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        nn_t = torch.nn
+
+        class Bottleneck(nn_t.Module):
+            """ResNet-style 1x1 -> 3x3 -> 1x1 with a projection shortcut."""
+
+            def __init__(self, cin, mid, cout, stride=1):
+                super().__init__()
+                self.conv1 = nn_t.Conv2d(cin, mid, 1, bias=False)
+                self.gn1 = nn_t.GroupNorm(2, mid)
+                self.conv2 = nn_t.Conv2d(mid, mid, 3, stride=stride, padding=1,
+                                         bias=False)
+                self.gn2 = nn_t.GroupNorm(2, mid)
+                self.conv3 = nn_t.Conv2d(mid, cout, 1, bias=False)
+                self.gn3 = nn_t.GroupNorm(2, cout)
+                self.short = nn_t.Sequential(
+                    nn_t.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                    nn_t.GroupNorm(2, cout),
+                )
+
+            def forward(self, x):
+                h = torch.relu(self.gn1(self.conv1(x)))
+                h = torch.relu(self.gn2(self.conv2(h)))
+                h = self.gn3(self.conv3(h))
+                return torch.relu(h + self.short(x))
+
+        class ResNet(nn_t.Module):
+            def __init__(self):
+                super().__init__()
+                self.stem = nn_t.Conv2d(3, 8, 3, padding=1)
+                self.block1 = Bottleneck(8, 4, 16, stride=2)
+                self.block2 = Bottleneck(16, 8, 16)
+                self.pool = nn_t.AdaptiveAvgPool2d(1)
+                self.head = nn_t.Linear(16, 5)
+
+            def forward(self, x):
+                h = torch.relu(self.stem(x))
+                h = self.block2(self.block1(h))
+                return self.head(torch.flatten(self.pool(h), 1))
+
+        torch.manual_seed(41)
+        x = np.random.RandomState(41).randn(2, 3, 12, 12).astype(np.float32)
+        apply_fn, template = self._check(ResNet(), x)
+        # the bridge output must be differentiable wrt every parameter
+        # (sampling needs the full backward path through residual adds)
+        g = jax.grad(
+            lambda ps: jnp.sum(apply_fn(ps, jnp.asarray(x)) ** 2)
+        )(template)
+        assert all(bool(jnp.any(gl != 0)) for gl in g)
+
+    def test_small_unet_matches_torch(self):
+        torch = pytest.importorskip("torch")
+        nn_t = torch.nn
+
+        class UNet(nn_t.Module):
+            """Two-level UNet: down (stride-2 convs), up (ConvTranspose2d),
+            skip connections by channel concatenation."""
+
+            def __init__(self):
+                super().__init__()
+                self.enc1 = nn_t.Conv2d(1, 8, 3, padding=1)
+                self.down1 = nn_t.Conv2d(8, 16, 3, stride=2, padding=1)
+                self.enc2 = nn_t.Conv2d(16, 16, 3, padding=1)
+                self.down2 = nn_t.Conv2d(16, 32, 3, stride=2, padding=1)
+                self.mid = nn_t.Conv2d(32, 32, 3, padding=1)
+                self.up2 = nn_t.ConvTranspose2d(32, 16, 2, stride=2)
+                self.dec2 = nn_t.Conv2d(32, 16, 3, padding=1)
+                self.up1 = nn_t.ConvTranspose2d(16, 8, 2, stride=2)
+                self.dec1 = nn_t.Conv2d(16, 8, 3, padding=1)
+                self.out = nn_t.Conv2d(8, 2, 1)
+
+            def forward(self, x):
+                e1 = torch.relu(self.enc1(x))
+                e2 = torch.relu(self.enc2(torch.relu(self.down1(e1))))
+                m = torch.relu(self.mid(torch.relu(self.down2(e2))))
+                d2 = torch.relu(self.dec2(torch.cat([self.up2(m), e2], dim=1)))
+                d1 = torch.relu(self.dec1(torch.cat([self.up1(d2), e1], dim=1)))
+                return self.out(d1)
+
+        torch.manual_seed(42)
+        x = np.random.RandomState(42).randn(2, 1, 16, 16).astype(np.float32)
+        apply_fn, template = self._check(UNet(), x)
+        g = jax.grad(
+            lambda ps: jnp.sum(apply_fn(ps, jnp.asarray(x)) ** 2)
+        )(template)
+        assert all(bool(jnp.any(gl != 0)) for gl in g)
+
+    def test_unet_samples_as_bnn(self, key):
+        """The UNet potential built by define_model_tree_log_prob drives a
+        short HMC run end to end (finite trace, the chain moves)."""
+        torch = pytest.importorskip("torch")
+        nn_t = torch.nn
+
+        class TinyUNet(nn_t.Module):
+            def __init__(self):
+                super().__init__()
+                self.down = nn_t.Conv2d(1, 4, 3, stride=2, padding=1)
+                self.up = nn_t.ConvTranspose2d(4, 1, 2, stride=2)
+
+            def forward(self, x):
+                return self.up(torch.relu(self.down(x)))
+
+        from hamiltorch_tpu.models.bnn import define_model_tree_log_prob
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        from hamiltorch_tpu.samplers.hmc import run_hmc
+
+        x = np.random.RandomState(43).randn(4, 1, 8, 8).astype(np.float32)
+        y = x * 0.5
+        lp, template = define_model_tree_log_prob(
+            TinyUNet(), "regression", jnp.asarray(x), jnp.asarray(y),
+            tau_out=10.0, x_example=jnp.asarray(x),
+        )
+        cfg = MCMCConfig(num_samples=20, num_steps_per_sample=3, step_size=1e-3)
+        r = run_hmc(key, lp, template, cfg)
+        leaves = jax.tree_util.tree_leaves(r.samples)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+        assert float(r.acc_rate) > 0.5
+
+    def test_missing_op_error_names_the_op(self):
+        """An op outside the fx tables must raise at translate time naming
+        the exact op — no silent mistranslation possible."""
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Weird(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.lin = torch.nn.Linear(3, 3)
+
+            def forward(self, x):
+                return torch.special.i0(self.lin(x))  # bessel: not bridged
+
+        with pytest.raises(TypeError, match="i0"):
+            from_torch_module(Weird())
