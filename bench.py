@@ -124,11 +124,16 @@ def main():
     # min over a 64-dim coordinate slice PLUS 32 random unit directions
     # through the full 100k-dim posterior — projections catch slow
     # directions a coordinate slice can miss (full-D ESS is O(N*D) fft work
-    # for a side statistic).  The projection maps chain-by-chain: under one
-    # jitted map XLA hoists a bf16 convert of the WHOLE trace out of the
-    # loop (a spare 7 GB copy -> OOM)
+    # for a side statistic).  The projection maps in 8-chain blocks: under
+    # one jitted map over the WHOLE trace XLA hoists a bf16 convert of all
+    # of it (a spare multi-GB copy), while per-chain eager dots cost 64
+    # service round-trips on axon (~0.5 s each) — 8 blocks is the sweet
+    # spot (<1 GB live per block)
     def _project(samples, dirs):
-        return jnp.stack([samples[c] @ dirs for c in range(samples.shape[0])])
+        blocks = [
+            samples[c : c + 8] @ dirs for c in range(0, samples.shape[0], 8)
+        ]
+        return jnp.concatenate(blocks)
 
     def ess_quantiles(samples, burn=0):
         """(min, 10th-percentile) ESS over the coordinate slice + random

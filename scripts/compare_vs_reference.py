@@ -9,9 +9,11 @@ cached); the reference has no compile to cache.
 Usage: python scripts/compare_vs_reference.py
 """
 
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, "/root/reference")
 
 import numpy as np
@@ -35,6 +37,10 @@ def reference_runs():
     def funnel(w):
         v, x = w[0], w[1:]
         return -0.5 * v**2 / 9.0 - 0.5 * torch.sum(x**2) * torch.exp(-v) - 0.5 * 10 * v
+
+    def banana(w):
+        # Rosenbrock "banana" posterior (BASELINE config 3), b = 0.1
+        return -w[0] ** 2 / 200.0 - 0.5 * (w[1] + 0.1 * w[0] ** 2 - 10.0) ** 2
 
     rows = {}
     torch.manual_seed(0)
@@ -69,6 +75,34 @@ def reference_runs():
                                     step_size=0.2, num_steps_per_sample=25, verbose=False))
     rows["HMC funnel 11-D (500, L=25)"] = 500 / t
 
+    # BASELINE config 2: step-size-adapting NUTS on the 10+1-D funnel
+    torch.manual_seed(0)
+    _, t = timed(lambda: ref.sample(funnel, torch.zeros(11), num_samples=900,
+                                    burn=500, step_size=0.2,
+                                    num_steps_per_sample=25,
+                                    sampler=ref.Sampler.HMC_NUTS, verbose=False))
+    rows["NUTS-adapt funnel 11-D (900, L=25)"] = 900 / t
+
+    # BASELINE config 3: softabs-metric RMHMC on the banana posterior
+    torch.manual_seed(0)
+    _, t = timed(lambda: ref.sample(banana, torch.zeros(2), num_samples=50,
+                                    step_size=0.1, num_steps_per_sample=5,
+                                    sampler=ref.Sampler.RMHMC,
+                                    integrator=ref.Integrator.IMPLICIT,
+                                    metric=ref.Metric.SOFTABS, softabs_const=1e6,
+                                    fixed_point_max_iterations=6,
+                                    fixed_point_threshold=1e-20, verbose=False))
+    rows["implicit softabs RMHMC banana (50)"] = 50 / t
+
+    torch.manual_seed(0)
+    _, t = timed(lambda: ref.sample(banana, torch.zeros(2), num_samples=50,
+                                    step_size=0.1, num_steps_per_sample=5,
+                                    sampler=ref.Sampler.RMHMC,
+                                    integrator=ref.Integrator.EXPLICIT,
+                                    metric=ref.Metric.SOFTABS, softabs_const=1e6,
+                                    verbose=False))
+    rows["explicit softabs RMHMC banana (50)"] = 50 / t
+
     # iris-style linear BNN (notebook cell 8 config)
     net = torch.nn.Sequential(torch.nn.Linear(4, 3))
     rng = np.random.RandomState(0)
@@ -97,6 +131,9 @@ def tpu_runs():
     def funnel(w):
         v, x = w[0], w[1:]
         return -0.5 * v**2 / 9.0 - 0.5 * jnp.sum(x**2) * jnp.exp(-v) - 0.5 * 10 * v
+
+    def banana(w):
+        return -w[0] ** 2 / 200.0 - 0.5 * (w[1] + 0.1 * w[0] ** 2 - 10.0) ** 2
 
     def steady(fn):
         jax.block_until_ready(fn(jax.random.key(0)))
@@ -129,6 +166,31 @@ def tpu_runs():
                                    step_size=0.2, num_steps_per_sample=25,
                                    key=k, verbose=False))
     rows["HMC funnel 11-D (500, L=25)"] = 500 / t
+
+    t = steady(lambda k: ht.sample(funnel, jnp.zeros(11), num_samples=900,
+                                   burn=500, step_size=0.2,
+                                   num_steps_per_sample=25,
+                                   sampler=ht.Sampler.HMC_NUTS, key=k,
+                                   verbose=False))
+    rows["NUTS-adapt funnel 11-D (900, L=25)"] = 900 / t
+
+    t = steady(lambda k: ht.sample(banana, jnp.zeros(2), num_samples=50,
+                                   step_size=0.1, num_steps_per_sample=5,
+                                   sampler=ht.Sampler.RMHMC,
+                                   integrator=ht.Integrator.IMPLICIT,
+                                   metric=ht.Metric.SOFTABS, softabs_const=1e6,
+                                   fixed_point_max_iterations=6,
+                                   fixed_point_threshold=1e-20, key=k,
+                                   verbose=False))
+    rows["implicit softabs RMHMC banana (50)"] = 50 / t
+
+    t = steady(lambda k: ht.sample(banana, jnp.zeros(2), num_samples=50,
+                                   step_size=0.1, num_steps_per_sample=5,
+                                   sampler=ht.Sampler.RMHMC,
+                                   integrator=ht.Integrator.EXPLICIT,
+                                   metric=ht.Metric.SOFTABS, softabs_const=1e6,
+                                   key=k, verbose=False))
+    rows["explicit softabs RMHMC banana (50)"] = 50 / t
 
     import flax.linen as nn
 
