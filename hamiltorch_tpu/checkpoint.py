@@ -200,6 +200,27 @@ def _checkpoint_loop(
     return zs, carry
 
 
+def _np_savable(v) -> np.ndarray:
+    """np.savez-safe view of a device array.  ml_dtypes floats (bfloat16
+    trace storage) have numpy kind 'V' and np.save would store raw void
+    bytes that load back as garbage — upcast those to f32 on disk; the
+    assembly casts back to the configured trace dtype (bf16->f32->bf16 is
+    exact)."""
+    a = np.asarray(v)
+    if a.dtype.kind == "V":
+        return np.asarray(jnp.asarray(v).astype(jnp.float32))
+    return a
+
+
+def _restore_trace_dtype(samples, config):
+    """Cast an assembled trace back to ``config.trace_dtype`` (chunk files
+    store sub-f32 traces upcast to f32 — see _np_savable)."""
+    td = getattr(config, "trace_dtype", None)
+    if td is None:
+        return samples
+    return jax.tree_util.tree_map(lambda l: l.astype(td), samples)
+
+
 def _flatten_chunk_dict(d: dict) -> dict:
     """Encode a chunk dict for np.savez: a pytree value (a tree-state
     sample trace) becomes per-leaf ``<name>__leaf_<i>`` entries; plain
@@ -208,10 +229,10 @@ def _flatten_chunk_dict(d: dict) -> dict:
     for k, v in d.items():
         leaves = jax.tree_util.tree_leaves(v)
         if len(leaves) == 1 and leaves[0] is v:
-            out[k] = np.asarray(v)
+            out[k] = _np_savable(v)
         else:
             for i, l in enumerate(leaves):
-                out[f"{k}__leaf_{i}"] = np.asarray(l)
+                out[f"{k}__leaf_{i}"] = _np_savable(l)
     return out
 
 
@@ -241,7 +262,7 @@ def _assemble_mcmc(zs, config, carry, time_axis: int = 0, acc_from_prob=False):
             np.concatenate([z[name] for z in zs], axis=time_axis)
         )[take]
 
-    samples = cat("samples")
+    samples = _restore_trace_dtype(cat("samples"), config)
     stats = MCMCStats(**{f: cat(f) for f in MCMCStats._fields})
     state, da = carry[0], carry[1]
     dtype = jax.tree_util.tree_leaves(samples)[0].dtype
@@ -863,6 +884,7 @@ def run_nuts_ensemble_checkpointed(
             )[:, :kept]
             for i in range(tdef.num_leaves)
         ])
+    samples = _restore_trace_dtype(samples, config)
     info = NUTSInfo(
         **{
             f: jnp.asarray(np.concatenate([z[f] for z in zs], axis=0))[:kept]
@@ -1345,6 +1367,7 @@ def run_chees_checkpointed(
             )[:, :kept]
             for i in range(tdef.num_leaves)
         ])
+    samples = _restore_trace_dtype(samples, config)
     info = ChEESInfo(
         **{
             f: jnp.asarray(np.concatenate([z[f] for z in zs], axis=0))[:kept]

@@ -30,9 +30,19 @@ def as_flat_samples(samples, like=None) -> jnp.ndarray:
     reading; when every leaf also shares its first TWO dims, both
     (N, …) and (C, N, …) fit and the call raises — pass ``like=`` there
     (a one-leaf 2-d+ trace is always in that ambiguous class).
+
+    Sub-f32 traces (``trace_dtype="bfloat16"`` storage) upcast to f32:
+    the FFT autocovariances and rank statistics need full precision even
+    when the stored samples don't.
     """
+
+    def _f32_floor(x):
+        if jnp.issubdtype(x.dtype, jnp.floating) and jnp.finfo(x.dtype).bits < 32:
+            return x.astype(jnp.float32)
+        return x
+
     if hasattr(samples, "ndim"):
-        return samples
+        return _f32_floor(samples)
     leaves = jax.tree_util.tree_leaves(samples)
     if like is not None:
         t_leaves = jax.tree_util.tree_leaves(like)
@@ -59,7 +69,7 @@ def as_flat_samples(samples, like=None) -> jnp.ndarray:
         mats = [l.reshape(l.shape[0], -1) for l in leaves]
     else:
         mats = [l.reshape(l.shape[0], l.shape[1], -1) for l in leaves]
-    return jnp.concatenate(mats, axis=-1)
+    return _f32_floor(jnp.concatenate(mats, axis=-1))
 
 
 def _autocovariance(x: jnp.ndarray) -> jnp.ndarray:

@@ -548,8 +548,31 @@ def predict_model(
     consumed lazily, at most k batches staged at a time, each chunk's
     predictions offloaded to host numpy before the next loads — test sets
     larger than host memory stream end to end (returns numpy arrays).
+
+    ``samples`` may also be a parameter-PYTREE trace (the pytree-native
+    samplers' output: leaves (S, ...)): predictions evaluate directly on
+    the tree path (no ravel/unravel; ``params_template`` defaults to the
+    per-sample slice of the trace itself).  Works with x/y and with
+    ``test_loader``; ``stream_batches`` stays flat-only.
     """
-    samples = jnp.stack(list(samples)) if not isinstance(samples, jnp.ndarray) else samples
+    from ..utils.pytree import is_param_tree
+
+    tree_samples = is_param_tree(samples)
+    if tree_samples:
+        if stream_batches:
+            raise TypeError(
+                "stream_batches takes a flat (S, D) sample stack — ravel "
+                "the trace (utils.pytree.ravel_pytree_fn per draw) or drop "
+                "stream_batches for the pytree path."
+            )
+        n_s = jax.tree_util.tree_leaves(samples)[0].shape[0]
+        s_dtype = jax.tree_util.tree_leaves(samples)[0].dtype
+        if params_template is None:
+            params_template = jax.tree_util.tree_map(lambda l: l[0], samples)
+    else:
+        samples = jnp.stack(list(samples)) if not isinstance(samples, jnp.ndarray) else samples
+        n_s = samples.shape[0]
+        s_dtype = samples.dtype
 
     if test_loader is not None and stream_batches:
         return _predict_streaming(
@@ -557,16 +580,20 @@ def predict_model(
             params_template, int(stream_batches),
         )
 
+    def make_raw(x_, y_):
+        factory = define_model_tree_log_prob if tree_samples else define_model_log_prob
+        out = factory(
+            model, model_loss, x_, y_, tau_list=tau_list, tau_out=tau_out,
+            predict=True, params_template=params_template,
+        )
+        return out[0]._raw_fn
+
     if test_loader is not None:
         # stacked equal-size run + ragged remainder (usually the final
         # batch) — prediction covers the WHOLE test set, unlike split
         # training where ragged batches are rejected
         xs, ys, tail = _as_batches(test_loader, None, keep_tail=True)
-        log_prob_func, _, _ = define_model_log_prob(
-            model, model_loss, xs[0], ys[0], tau_list=tau_list, tau_out=tau_out,
-            predict=True, params_template=params_template,
-        )
-        raw = log_prob_func._raw_fn
+        raw = make_raw(xs[0], ys[0])
 
         @jax.jit
         def batched_stream(thetas, xs_, ys_):
@@ -579,12 +606,10 @@ def predict_model(
                 return acc + lp_b, out_b
 
             lls, outs = jax.lax.scan(
-                per_batch, jnp.zeros(thetas.shape[:1], thetas.dtype), (xs_, ys_)
+                per_batch, jnp.zeros((n_s,), s_dtype), (xs_, ys_)
             )
             # outs: (M, S, B, O) -> (S, M*B, O)
-            preds = jnp.swapaxes(outs, 0, 1).reshape(
-                (thetas.shape[0], -1) + outs.shape[3:]
-            )
+            preds = jnp.swapaxes(outs, 0, 1).reshape((n_s, -1) + outs.shape[3:])
             return preds, lls, priors
 
         preds, lls, priors = batched_stream(samples, xs, ys)
@@ -600,14 +625,12 @@ def predict_model(
 
     if x is None or y is None:
         raise RuntimeError("Val data not defined (pass x,y or test_loader)")
-    log_prob_func, _, _ = define_model_log_prob(
-        model, model_loss, x, y, tau_list=tau_list, tau_out=tau_out,
-        predict=True, params_template=params_template,
-    )
+    raw = make_raw(x, y)
+    data = (jnp.asarray(x), jnp.asarray(y))
 
     @jax.jit
     def batched(thetas):
-        return jax.vmap(log_prob_func)(thetas)
+        return jax.vmap(lambda t: raw(t, data))(thetas)
 
     lps, preds = batched(samples)
     return preds, lps

@@ -67,11 +67,17 @@ class ChEESConfig:
     # transitions, must divide by thin) — cuts the (C, N, D) trace memory
     # and host-offload IO thin-fold for long ensemble runs
     thin: int = 1
+    # store the kept trace in this dtype ("bfloat16" halves the dominant
+    # (C, N, D) allocation) while sampling stays in the state's precision;
+    # None = the state dtype (see NUTSConfig.trace_dtype)
+    trace_dtype: str | None = None
 
     def __post_init__(self):
         from .driver import validate_common_config
+        from .nuts import validate_trace_dtype
 
         validate_common_config(self)
+        validate_trace_dtype(self.trace_dtype)
 
 
 def validate_chees(config: ChEESConfig, mass) -> None:
@@ -544,7 +550,7 @@ def _run_chees_jit(key, theta0s, log_prob_fn, config: ChEESConfig, mass, data=No
     carry_f, thetas, info = scan_trace(
         step, carry0, (idx, collect_flags, end_flags),
         thin=thin, chain_major=True, aux_reduce=_info_kept,
-        state_like=carry0[0],
+        state_like=carry0[0], trace_dtype=getattr(config, "trace_dtype", None),
     )
     th_f, lp_f, g_f, da_f, log_t_f, adam_f, wf_f, metric_f, da_t_f = carry_f
     return ChEESResult(

@@ -116,6 +116,11 @@ class NUTSConfig:
     # (C, N, D) ensemble trace should shrink on device, not in transit
     # (same rationale as ChEESConfig.thin).
     thin: int = 1
+    # store the kept trace in this dtype ("bfloat16" halves the dominant
+    # (C, N, D) allocation and the host-offload IO) while the chain itself
+    # keeps sampling in its own precision; None = the state dtype.  A
+    # storage-precision policy, orthogonal to thinning.
+    trace_dtype: str | None = None
 
     def __post_init__(self):
         from .driver import validate_common_config
@@ -128,6 +133,30 @@ class NUTSConfig:
                 f"num_samples={self.num_samples} must be divisible by "
                 f"thin={self.thin}"
             )
+        validate_trace_dtype(self.trace_dtype)
+
+
+def validate_trace_dtype(trace_dtype) -> None:
+    """trace_dtype must be None or a dtype NAME (configs are static jit
+    keys, so the field stays a hashable string) that jnp can store."""
+    if trace_dtype is None:
+        return
+    if not isinstance(trace_dtype, str):
+        raise ValueError(
+            f"trace_dtype={trace_dtype!r}; pass a dtype NAME string (e.g. "
+            "'bfloat16') — configs are static jit keys and must stay hashable"
+        )
+    import numpy as _np
+
+    try:
+        jnp.zeros((), trace_dtype)
+    except Exception as e:
+        raise ValueError(f"trace_dtype={trace_dtype!r} is not a dtype: {e}")
+    if not jnp.issubdtype(jnp.zeros((), trace_dtype).dtype, _np.inexact):
+        raise ValueError(
+            f"trace_dtype={trace_dtype!r}; the sample trace is real-valued "
+            "— pass a floating dtype name"
+        )
 
 
 class _End(NamedTuple):
@@ -568,6 +597,7 @@ def _run_nuts_jit(key, theta0, log_prob_fn, config: NUTSConfig, mass,
         (theta0, logp0, grad0, da0, wf0, metric0, da_t0),
         (start_iter + jnp.arange(config.num_samples), collect_flags, end_flags),
         thin=config.thin, aux_reduce=_nuts_aux_kept, state_like=theta0,
+        trace_dtype=config.trace_dtype,
     )
     stats = MCMCStats(
         accept_prob=infos.accept_prob,
@@ -903,7 +933,7 @@ def _run_nuts_ensemble_jit(key, theta0s, log_prob_fn, config: NUTSConfig, mass,
         step, carry0,
         (start_iter + jnp.arange(config.num_samples), collect_flags, end_flags),
         thin=config.thin, chain_major=True, aux_reduce=_nuts_aux_kept,
-        state_like=carry0[0],
+        state_like=carry0[0], trace_dtype=config.trace_dtype,
     )
     stats = MCMCStats(
         accept_prob=infos.accept_prob,

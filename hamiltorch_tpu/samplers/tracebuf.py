@@ -35,7 +35,7 @@ def _zeros_like_struct(struct):
 
 
 def scan_trace(step, carry0, xs, *, thin: int = 1, chain_major: bool = False,
-               aux_reduce=None, state_like=None):
+               aux_reduce=None, state_like=None, trace_dtype=None):
     """``lax.scan`` over draws with a memory-safe kept-state trace.
 
     ``step(carry, x) -> (carry, (state, aux))`` where ``state`` is the
@@ -60,6 +60,12 @@ def scan_trace(step, carry0, xs, *, thin: int = 1, chain_major: bool = False,
     ``step`` emits (usually the carry's theta block), needed whenever a
     buffer or a window placeholder is pre-allocated (every path except
     unthinned time-major).
+
+    ``trace_dtype``: store the kept trace in this dtype (e.g.
+    ``jnp.bfloat16``) while the chain itself keeps computing in its own
+    precision — the trace is the dominant HBM/host-IO allocation of a long
+    ensemble run, and storage precision is a policy choice independent of
+    sampling precision.  ``None`` keeps the state dtype.
     """
     thin = max(int(thin), 1)
     n_total = jax.tree_util.tree_leaves(xs)[0].shape[0]
@@ -67,8 +73,19 @@ def scan_trace(step, carry0, xs, *, thin: int = 1, chain_major: bool = False,
         raise ValueError(f"scan length {n_total} must be divisible by thin={thin}")
     kept = n_total // thin
 
+    def _store(s):
+        return s if trace_dtype is None else s.astype(trace_dtype)
+
     if thin == 1 and not chain_major:
-        carry_f, (trace, aux) = jax.lax.scan(step, carry0, xs)
+        if trace_dtype is None:
+            carry_f, (trace, aux) = jax.lax.scan(step, carry0, xs)
+            return carry_f, trace, aux
+
+        def step_cast(carry, x):
+            carry, (state, aux) = step(carry, x)
+            return carry, (_tmap(_store, state), aux)
+
+        carry_f, (trace, aux) = jax.lax.scan(step_cast, carry0, xs)
         return carry_f, trace, aux
     if state_like is None:
         raise ValueError(
@@ -78,7 +95,10 @@ def scan_trace(step, carry0, xs, *, thin: int = 1, chain_major: bool = False,
 
     if chain_major:
         bufs0 = _tmap(
-            lambda s: jnp.zeros((s.shape[0], kept) + s.shape[1:], s.dtype),
+            lambda s: jnp.zeros(
+                (s.shape[0], kept) + s.shape[1:],
+                s.dtype if trace_dtype is None else trace_dtype,
+            ),
             state_s,
         )
 
@@ -88,7 +108,7 @@ def scan_trace(step, carry0, xs, *, thin: int = 1, chain_major: bool = False,
             carry, bufs = cb
             k, x = xk
             carry, (state, aux) = step(carry, x)
-            bufs = _tmap(lambda b, s: b.at[:, k].set(s), bufs, state)
+            bufs = _tmap(lambda b, s: b.at[:, k].set(_store(s)), bufs, state)
             return (carry, bufs), aux
 
         (carry_f, trace), aux = jax.lax.scan(
@@ -116,7 +136,7 @@ def scan_trace(step, carry0, xs, *, thin: int = 1, chain_major: bool = False,
             carry, bufs = cb
             k, x_w = xk
             (carry, state_k), aux_w = jax.lax.scan(inner, (carry, state0), x_w)
-            bufs = _tmap(lambda b, s: b.at[:, k].set(s), bufs, state_k)
+            bufs = _tmap(lambda b, s: b.at[:, k].set(_store(s)), bufs, state_k)
             return (carry, bufs), _aux_kept(aux_w)
 
         (carry_f, trace), aux = jax.lax.scan(
@@ -128,7 +148,7 @@ def scan_trace(step, carry0, xs, *, thin: int = 1, chain_major: bool = False,
 
     def outer_t(carry, x_w):
         (carry, state_k), aux_w = jax.lax.scan(inner, (carry, state0), x_w)
-        return carry, (state_k, _aux_kept(aux_w))
+        return carry, (_tmap(_store, state_k), _aux_kept(aux_w))
 
     carry_f, (trace, aux) = jax.lax.scan(outer_t, carry0, xs_w)
     return carry_f, trace, aux

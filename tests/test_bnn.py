@@ -1607,3 +1607,68 @@ class TestBridgeRound4:
 
         with pytest.raises(TypeError, match="i0"):
             from_torch_module(Weird())
+
+
+class TestTreePredictModel:
+    """predict_model on a parameter-PYTREE sample trace (round 4): same
+    predictions as the flat path on the raveled trace, x/y and loader."""
+
+    def _trace(self, key):
+        from hamiltorch_tpu.models.bnn import define_model_tree_log_prob
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        from hamiltorch_tpu.samplers.hmc import run_hmc
+        from hamiltorch_tpu.utils.pytree import ravel_pytree_fn
+
+        x = jnp.linspace(-1, 1, 12)[:, None]
+        y = jnp.sin(2 * x)
+        model = MLP(features=(4, 1))
+        lp, template = define_model_tree_log_prob(
+            model, "regression", x, y, tau_out=10.0)
+        cfg = MCMCConfig(num_samples=20, num_steps_per_sample=5, step_size=0.01)
+        r = run_hmc(key, lp, template, cfg)
+        flat = jnp.stack([
+            ravel_pytree_fn(
+                jax.tree_util.tree_map(lambda l: l[i], r.samples))[0]
+            for i in range(20)
+        ])
+        return model, x, y, r.samples, flat
+
+    def test_xy_path_matches_flat(self, key):
+        from hamiltorch_tpu.models.bnn import predict_model
+
+        model, x, y, tree_trace, flat_trace = self._trace(key)
+        p_tree, lp_tree = predict_model(
+            model, tree_trace, x=x, y=y, model_loss="regression", tau_out=10.0)
+        p_flat, lp_flat = predict_model(
+            model, flat_trace, x=x, y=y, model_loss="regression", tau_out=10.0)
+        np.testing.assert_allclose(np.asarray(p_tree), np.asarray(p_flat),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lp_tree), np.asarray(lp_flat),
+                                   rtol=1e-5)
+
+    def test_loader_path_matches_flat(self, key):
+        from hamiltorch_tpu.models.bnn import predict_model
+
+        model, x, y, tree_trace, flat_trace = self._trace(key)
+        loader = [(np.asarray(x[i : i + 5]), np.asarray(y[i : i + 5]))
+                  for i in range(0, 12, 5)]  # 5, 5, ragged 2
+        p_tree, lp_tree = predict_model(
+            model, tree_trace, test_loader=loader, model_loss="regression",
+            tau_out=10.0)
+        p_flat, lp_flat = predict_model(
+            model, flat_trace, test_loader=loader, model_loss="regression",
+            tau_out=10.0)
+        assert p_tree.shape == (20, 12, 1)
+        np.testing.assert_allclose(np.asarray(p_tree), np.asarray(p_flat),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(lp_tree), np.asarray(lp_flat),
+                                   rtol=1e-5)
+
+    def test_stream_batches_rejects_tree(self, key):
+        from hamiltorch_tpu.models.bnn import predict_model
+
+        model, x, y, tree_trace, _ = self._trace(key)
+        loader = [(np.asarray(x), np.asarray(y))]
+        with pytest.raises(TypeError, match="flat"):
+            predict_model(model, tree_trace, test_loader=loader,
+                          model_loss="regression", stream_batches=1)

@@ -201,3 +201,125 @@ class TestBenchShapeEnvelope:
             f"NUTS ensemble temp {temp:.2f} GB vs trace {trace_gb:.2f} GB — "
             "a temp at trace scale means the relayout copy is back"
         )
+
+
+@pytest.mark.slow
+class TestTraceDtype:
+    """Opt-in reduced-precision trace storage: sampling precision is the
+    state's; STORAGE precision is a policy knob (halves the dominant
+    (C, N, D) allocation and host-offload IO)."""
+
+    def _lp(self, t):
+        return -0.5 * jnp.sum((t / jnp.array([0.5, 1.0, 2.0])) ** 2)
+
+    def test_chees_bf16_trace_matches_f32_cast(self):
+        import dataclasses
+
+        from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
+
+        key = jax.random.key(0)
+        cfg = ChEESConfig(num_samples=60, step_size=0.2, burn=20,
+                          init_trajectory_length=0.3)
+        r32 = run_chees(key, self._lp, jnp.zeros(3), cfg, num_chains=8)
+        r16 = run_chees(key, self._lp, jnp.zeros(3),
+                        dataclasses.replace(cfg, trace_dtype="bfloat16"),
+                        num_chains=8)
+        assert r16.samples.dtype == jnp.bfloat16
+        # identical chain states, cast exactly once at storage
+        np.testing.assert_array_equal(
+            np.asarray(r16.samples, np.float32),
+            np.asarray(r32.samples.astype(jnp.bfloat16), np.float32),
+        )
+        # the chain itself still computed in f32: the carry is full precision
+        assert r16.final_carry.thetas.dtype == jnp.float32
+
+    @pytest.mark.parametrize("thin", [1, 3])
+    def test_nuts_paths_bf16(self, thin):
+        import dataclasses
+
+        from hamiltorch_tpu.samplers.nuts import (
+            NUTSConfig,
+            run_nuts,
+            run_nuts_ensemble,
+        )
+
+        key = jax.random.key(1)
+        cfg = NUTSConfig(num_samples=30, step_size=0.3, burn=12,
+                         trace_dtype="bfloat16", thin=thin)
+        r, _ = run_nuts(key, self._lp, jnp.zeros(3), cfg)
+        assert r.samples.dtype == jnp.bfloat16
+        assert r.samples.shape == (30 // thin, 3)
+        r32, _ = run_nuts(key, self._lp, jnp.zeros(3),
+                          dataclasses.replace(cfg, trace_dtype=None))
+        np.testing.assert_array_equal(
+            np.asarray(r.samples, np.float32),
+            np.asarray(r32.samples.astype(jnp.bfloat16), np.float32),
+        )
+        re_, _ = run_nuts_ensemble(key, self._lp, jnp.zeros(3), cfg,
+                                   num_chains=4)
+        assert re_.samples.dtype == jnp.bfloat16
+        assert re_.samples.shape == (4, 30 // thin, 3)
+        assert re_.final_state.theta.dtype == jnp.float32
+
+    def test_bf16_halves_the_compiled_trace(self):
+        from hamiltorch_tpu.ops.mass import make_mass
+        from hamiltorch_tpu.ops.potential import resolve_potential
+        from hamiltorch_tpu.samplers.chees import ChEESConfig, _run_chees_jit
+
+        lp, data = resolve_potential(self._lp, None)
+        mass = make_mass(None, 3)
+
+        def out_bytes(cfg):
+            compiled = _run_chees_jit.lower(
+                jax.random.key(0), jnp.zeros((256, 3)), lp, cfg, mass,
+                data=data,
+            ).compile()
+            return compiled.memory_analysis().output_size_in_bytes
+
+        base = ChEESConfig(num_samples=400, step_size=0.2, burn=100)
+        import dataclasses
+
+        b32 = out_bytes(base)
+        b16 = out_bytes(dataclasses.replace(base, trace_dtype="bfloat16"))
+        trace32 = 256 * 400 * 3 * 4
+        assert b32 - b16 == trace32 // 2  # exactly the trace halved
+
+    def test_invalid_trace_dtype_rejected(self):
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig
+
+        with pytest.raises(ValueError, match="dtype"):
+            NUTSConfig(num_samples=10, trace_dtype="int32")
+        with pytest.raises(ValueError, match="hashable|NAME"):
+            NUTSConfig(num_samples=10, trace_dtype=jnp.bfloat16)
+        with pytest.raises(ValueError, match="dtype"):
+            NUTSConfig(num_samples=10, trace_dtype="not_a_dtype")
+
+    def test_checkpointed_bf16_trace_roundtrip(self, tmp_path):
+        """bf16 traces survive the chunk files: np.savez would store
+        ml_dtypes floats as raw void bytes, so chunks save the trace
+        upcast to f32 and assembly casts back — resumed == direct,
+        bit-exact (bf16 -> f32 -> bf16 is the identity)."""
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_chees_checkpointed
+        from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
+
+        key = jax.random.key(3)
+        cfg = ChEESConfig(num_samples=60, step_size=0.2, burn=20,
+                          init_trajectory_length=0.3,
+                          trace_dtype="bfloat16")
+        r_direct = run_chees(key, self._lp, jnp.zeros(3), cfg, num_chains=8)
+        run_chees_checkpointed(
+            key, self._lp, jnp.zeros(3),
+            dataclasses.replace(cfg, num_samples=30), str(tmp_path / "c"),
+            num_chains=8, chunk_size=30,
+        )
+        r_ck = run_chees_checkpointed(
+            key, self._lp, jnp.zeros(3), cfg, str(tmp_path / "c"),
+            num_chains=8, chunk_size=30,
+        )
+        assert r_ck.samples.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(r_ck.samples, np.float32),
+            np.asarray(r_direct.samples, np.float32),
+        )

@@ -652,14 +652,8 @@ class TestPytreeNUTS:
         with pytest.raises(ValueError, match="diagonal"):
             run_nuts(key, self.tree_lp, t0, NUTSConfig(num_samples=10),
                      inv_mass=jnp.eye(5))
-        # PT ensemble stacking stays flat-path-only
-        from hamiltorch_tpu.samplers.tempering import PTConfig, run_pt_chains
-
-        with pytest.raises(TypeError, match="flat"):
-            run_pt_chains(
-                key, self.tree_lp, t0, PTConfig(num_samples=10, num_temps=4),
-                num_ensembles=2,
-            )
+        # (pytree PT ensembles were flat-only until round 4; they now run —
+        # covered by test_tempering.TestPytreePT)
 
     def test_tree_ensemble_checkpoint_resume_bit_exact(self, key, tmp_path):
         import dataclasses
