@@ -64,6 +64,20 @@ def main():
         print(f"# [{time.time() - t_start:6.1f}s] {phase}", file=sys.stderr,
               flush=True)
 
+    def _hard_sync(tree):
+        """Force completion by FETCHING a device-reduced scalar.  On the
+        axon backend block_until_ready was observed to return before some
+        programs finished executing, which silently turns a timing loop
+        into an async-dispatch measurement; a host-side float() of a
+        reduction cannot return early.  ONE combined scalar -> one service
+        round-trip of overhead per timed rep (per-leaf fetches cost ~5% of
+        a 1.3 s rep)."""
+        s = sum(
+            jnp.sum(l[(0,) * (l.ndim - 1)] if l.ndim > 1 else l)
+            for l in jax.tree_util.tree_leaves(tree)
+        )
+        float(s)
+
     num_chains = 64
     num_samples = 100
     num_steps = 50
@@ -91,7 +105,11 @@ def main():
             result = run_hmc_chains(
                 k, log_prob_fn, params0, config, num_chains=num_chains
             )
-            jax.block_until_ready(result.samples)
+            # hard sync: a reduced-scalar FETCH, not block_until_ready —
+            # the axon client was observed returning from block before
+            # execution finished on some programs (a 100-draw split-HMC
+            # run "completed" in 0.8 ms); a host float can't lie
+            _hard_sync(result.samples)
             return result
 
         run(jax.random.key(nonce))  # compile + warm up
@@ -189,7 +207,7 @@ def main():
         def run_fused(seed):
             o = bnn_hmc(seed, xb, yb, w1, b1, w2, b2, num_samples=50,
                         num_steps=num_steps, step_size=2e-4, tau=10.0)
-            jax.block_until_ready(o)
+            _hard_sync(o)
 
         run_fused(nonce)  # compile + warm (nonce: defeat the result cache)
         times = []
@@ -268,7 +286,7 @@ def main():
                 init_carry=r_w.final_carry, start_iter=600,
                 collect_flags=cf_s, end_flags=ef_s,
             )
-            jax.block_until_ready(r.samples)
+            _hard_sync(r.samples)
             return r
 
         r = run_chees_sampling(nonce)  # compile + warm up

@@ -36,22 +36,16 @@ batches = [
     for i in range(num_splits)
 ]
 
-def run(key):
-    return hamiltorch.sample_split_model(
-        Net(), batches, num_splits=num_splits,
-        model_loss="multi_class_linear_output",
-        num_samples=100, num_steps_per_sample=10, step_size=2e-4,
-        tau_out=1.0, key=key, verbose=False,
-    )
-
-samples = jax.block_until_ready(run(jax.random.key(0)))  # compile + warm up
-t0 = time.time()
-samples = jax.block_until_ready(run(jax.random.key(1)))
-dt = time.time() - t0
+# The parity entry point (one-line port of the reference's
+# sample_split_model call):
+samples = hamiltorch.sample_split_model(
+    Net(), batches, num_splits=num_splits,
+    model_loss="multi_class_linear_output",
+    num_samples=100, num_steps_per_sample=10, step_size=2e-4,
+    tau_out=1.0, key=jax.random.key(0), verbose=False,
+)
 print(f"split HMC, {samples.shape[1]:,}-param BNN, {num_splits} splits of "
-      f"{x.shape[0] // num_splits} images:")
-print(f"  {100 / dt:.1f} samples/sec steady-state "
-      f"(reference anchor: ~1.8 samples/sec on a 10k-param BNN)")
+      f"{x.shape[0] // num_splits} images")
 
 preds, _ = hamiltorch.predict_model(
     Net(), samples[20:], x=jnp.asarray(x[:1000]), y=jnp.asarray(labels[:1000]),
@@ -59,3 +53,55 @@ preds, _ = hamiltorch.predict_model(
 )
 acc = float((preds.mean(0).argmax(-1) == jnp.asarray(labels[:1000])).mean())
 print(f"  posterior-mean accuracy on 1000 train images: {acc:.3f}")
+
+# --- steady-state timing, flat vs pytree chain state ----------------------
+# Timing rules that matter on the remote TPU service: build each potential
+# factory ONCE (a fresh closure per call is a fresh jit key -> recompile
+# every run), and sync by FETCHING a device-reduced scalar (the client's
+# block_until_ready was observed returning before some programs finished).
+# Big-model minibatch splitting is exactly where the no-flat-tax pytree
+# state pays: each kick's per-leaf gradients land directly on the momentum
+# leaves instead of round-tripping through a 203k-element concat/slice.
+from hamiltorch_tpu.models.bnn import (
+    define_split_model_log_prob,
+    define_split_model_tree_log_prob,
+)
+from hamiltorch_tpu.samplers.driver import MCMCConfig
+from hamiltorch_tpu.samplers.splitting import run_split_hmc_stacked
+
+cfg = MCMCConfig(num_samples=100, num_steps_per_sample=10, step_size=2e-4)
+nonce = int(time.time_ns() % (1 << 30))  # defeat the service result cache
+
+term_flat, m_terms, flat0, _, data_f = define_split_model_log_prob(
+    Net(), "multi_class_linear_output", batches, num_splits, verbose=False,
+)
+term_tree, _, template, data_t = define_split_model_tree_log_prob(
+    Net(), "multi_class_linear_output", batches, num_splits, verbose=False,
+)
+
+def steady(run_once):
+    run_once(nonce)  # compile + warm up
+    times = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        run_once(nonce + rep + 1)
+        times.append(time.perf_counter() - t0)
+    return 100 / float(np.median(times))
+
+def run_flat(seed):
+    r = run_split_hmc_stacked(jax.random.key(seed), term_flat, m_terms,
+                              flat0, cfg, data=data_f)
+    float(jnp.sum(r.samples[-1]))  # hard sync
+
+def run_tree(seed):
+    r = run_split_hmc_stacked(jax.random.key(seed), term_tree, m_terms,
+                              template, cfg, data=data_t)
+    for l in jax.tree_util.tree_leaves(r.samples):
+        float(jnp.sum(l[-1]))
+
+rate_flat = steady(run_flat)
+rate_tree = steady(run_tree)
+print(f"  flat chain state:   {rate_flat:.1f} samples/sec steady-state "
+      f"(reference anchor: ~1.8/s on a 10k-param BNN)")
+print(f"  pytree chain state: {rate_tree:.1f} samples/sec steady-state "
+      f"({rate_tree / rate_flat:.2f}x — no per-kick ravel/unravel)")

@@ -33,7 +33,10 @@ def test_flagship_throughput_floor():
     def run(seed):
         r = run_hmc_chains(jax.random.key(seed), lp, theta0, config,
                            num_chains=chains)
-        jax.block_until_ready(r.samples)
+        # hard sync by fetching a reduced scalar: axon's block_until_ready
+        # can return before execution finishes (CLAUDE.md gotcha), which
+        # would inflate the measured rate and defeat the floor
+        float(jnp.sum(r.samples[0, -1]))
         return r
 
     run(nonce)  # compile
