@@ -227,6 +227,14 @@ def sample(
             from .samplers.offload import run_split_hmc_host_offload
             from .samplers.splitting import grads_from_list, terms_from_list
 
+            if pass_grad is not None and len(pass_grad) != len(log_prob_func):
+                # same validation as run_split_hmc: lax.switch would CLAMP
+                # out-of-range term indices onto the last gradient fn and
+                # sample silently wrong
+                raise RuntimeError(
+                    "For splitting, pass_grad must be a list of per-term "
+                    "gradient callables matching log_prob_funcs."
+                )
             result = run_split_hmc_host_offload(
                 key, terms_from_list(list(log_prob_func)),
                 len(log_prob_func), params_init, config,

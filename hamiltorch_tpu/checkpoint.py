@@ -265,7 +265,10 @@ def _assemble_mcmc(zs, config, carry, time_axis: int = 0, acc_from_prob=False):
     samples = _restore_trace_dtype(cat("samples"), config)
     stats = MCMCStats(**{f: cat(f) for f in MCMCStats._fields})
     state, da = carry[0], carry[1]
-    dtype = jax.tree_util.tree_leaves(samples)[0].dtype
+    # scalar dtypes follow the CHAIN state, not the (possibly
+    # reduced-precision trace_dtype) storage — acc_rate must agree with
+    # the uninterrupted run's f32 value
+    dtype = jax.tree_util.tree_leaves(state.theta)[0].dtype
     if acc_from_prob:
         acc_rate = jnp.mean(stats.accept_prob)
     else:

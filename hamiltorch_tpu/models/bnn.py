@@ -605,8 +605,14 @@ def predict_model(
                 lp_b, out_b = jax.vmap(lambda t: raw(t, xy))(thetas)
                 return acc + lp_b, out_b
 
+            # accumulator at the PROMOTED dtype: a reduced-precision
+            # (trace_dtype) sample trace still yields f32 log-probs
+            # (bf16 params x f32 data), and scan requires carry-in ==
+            # carry-out dtypes
             lls, outs = jax.lax.scan(
-                per_batch, jnp.zeros((n_s,), s_dtype), (xs_, ys_)
+                per_batch,
+                jnp.zeros((n_s,), jnp.promote_types(s_dtype, jnp.float32)),
+                (xs_, ys_),
             )
             # outs: (M, S, B, O) -> (S, M*B, O)
             preds = jnp.swapaxes(outs, 0, 1).reshape((n_s, -1) + outs.shape[3:])

@@ -176,15 +176,14 @@ def run_hmc_host_offload(
     always bitwise).
 
     Returns an MCMCResult whose ``samples``/``stats`` leaves are host numpy
-    arrays.
+    arrays.  Built on the sampler-agnostic chunk loop in
+    ``samplers/offload.py`` (shared with the NUTS/RMHMC/splitting
+    offload runners).
     """
-    import numpy as np
-
-    from .adaptation import da_init
-
     from ..utils.pytree import is_param_tree
-
-    from .warmup import validate_adapt_mass
+    from .adaptation import da_init
+    from .offload import host_offload_loop
+    from .warmup import schedule_flags, validate_adapt_mass
 
     if is_param_tree(theta0):
         _reject_tree_adapt_mass(config)
@@ -198,59 +197,27 @@ def run_hmc_host_offload(
         dtype = theta0.dtype
         validate_adapt_mass(config.adapt_mass, mass)
     lp, data = resolve_potential(log_prob_fn, pass_grad)
-    state = init_chain_state(lp if data is None else (lambda t: lp(t, data)), theta0)
-    da = da_init(config.step_size, dtype=dtype)
-
-    thin = max(config.thin, 1)
-    chunk_size = max(thin, (chunk_size // thin) * thin)
-    import dataclasses
-
+    state0 = init_chain_state(
+        lp if data is None else (lambda t: lp(t, data)), theta0
+    )
     windowed = bool(config.adapt_mass) and config.burn > 0
-    warm = None
-    host_samples, host_stats, chunk_accs = [], [], []
-    n_done = 0
-    while n_done < config.num_samples:
-        this_chunk = min(chunk_size, config.num_samples - n_done)
-        cfg = dataclasses.replace(config, num_samples=this_chunk)
+    carry0 = (state0, da_init(config.step_size, dtype=dtype), None)
+
+    def run_chunk(cfg, n_done, carry):
+        state, da, warm = carry
         cf = ef = None
         if windowed:
             # each chunk gets its slice of the GLOBAL warmup schedule; the
             # (welford, metric, da_t) carry rides result.final_warm
-            from .warmup import schedule_flags
-
-            cf, ef = schedule_flags(config.burn, n_done, this_chunk)
+            cf, ef = schedule_flags(config.burn, n_done, cfg.num_samples)
         result = _run_hmc_jit(
             key, state.theta, lp, cfg, mass,
             init_state=state, init_da=da, start_iter=n_done, data=data,
             init_warm=warm, collect_flags=cf, end_flags=ef,
         )
-        host_samples.append(jax.device_get(result.samples))
-        host_stats.append(jax.device_get(result.stats))
-        chunk_accs.append((float(result.acc_rate), this_chunk))
-        state, da, warm = result.final_state, result.final_da, result.final_warm
-        n_done += this_chunk
+        return result, (result.final_state, result.final_da, result.final_warm)
 
-    # tree_map concatenates per leaf; a flat trace is a single leaf
-    samples = jax.tree_util.tree_map(
-        lambda *xs: np.concatenate(xs), *host_samples
-    )
-    from .driver import MCMCStats
-
-    stats = MCMCStats(
-        *(np.concatenate([getattr(s, f) for s in host_stats])
-          for f in MCMCStats._fields)
-    )
-    # transition-weighted mean of exact per-chunk rates (with thin > 1 the
-    # stacked stats only carry each window's last transition)
-    acc_rate = sum(a * n for a, n in chunk_accs) / max(config.num_samples, 1)
-    return MCMCResult(
-        samples=samples,
-        stats=stats,
-        final_step_size=da.step_size,
-        acc_rate=jnp.asarray(acc_rate, dtype),
-        final_state=state,
-        final_da=da,
-    )
+    return host_offload_loop(run_chunk, config, carry0, dtype, chunk_size)
 
 
 def run_hmc_chains(

@@ -121,8 +121,11 @@ def run_nuts_host_offload(
     d = sum(int(l.size) for l in leaves0)
     dtype = leaves0[0].dtype
     windowed = bool(config.adapt_mass) and config.burn > 0
+    # dense only when the warmup actually runs (burn > 0), matching
+    # _run_nuts_jit — otherwise two dead (d, d) matrices would thread
+    # through every chunk's carry (~120 GB at the flagship width)
     wf0, metric0 = init_metric_seed(
-        seed_mass, d, dtype, dense=config.adapt_mass == "dense"
+        seed_mass, d, dtype, dense=windowed and config.adapt_mass == "dense"
     )
     state0 = init_chain_state(
         lp if data is None else (lambda t: lp(t, data)), theta0

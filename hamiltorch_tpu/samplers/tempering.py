@@ -428,21 +428,34 @@ def _pt_ensemble_stack(theta0, config: PTConfig, num_ensembles: int, inv_mass):
     so all three agree on layout and metric validation.  Flat theta0 gives
     an (E, K, D) block with any mass form; a pytree theta0 gives
     (E, K, ...) leaves with diagonal metrics only (per-leaf inv_mass
-    pytree, flat (D,) diagonal, or None)."""
+    pytree, flat (D,) diagonal, or None).  Pytree layouts mirror the flat
+    1-d/2-d/3-d convention: a single state broadcasts to every (E, K)
+    slot, leaves with a leading K axis are per-REPLICA states (the
+    run_parallel_tempering layout — only the ensemble axis broadcasts),
+    and (E, K, ...) leaves are taken as-is."""
     from ..utils.pytree import is_param_tree
 
     if is_param_tree(theta0):
         from ..ops.mass import make_diag_mass_tree
 
+        theta0 = _tmap(jnp.asarray, theta0)
         leaves = jax.tree_util.tree_leaves(theta0)
-        ek = (num_ensembles, config.num_temps)
-        if all(l.ndim >= 2 and l.shape[:2] == ek for l in leaves):
-            theta0 = _tmap(jnp.asarray, theta0)
+        e, k = num_ensembles, config.num_temps
+        if all(l.ndim >= 2 and l.shape[:2] == (e, k) for l in leaves):
             template = _tmap(lambda l: l[0, 0], theta0)
-        else:
-            template = _tmap(jnp.asarray, theta0)
+        elif all(l.ndim >= 1 and l.shape[:1] == (k,) for l in leaves):
+            # per-replica ladder (the single-ladder runners' stacked
+            # layout): broadcast the ENSEMBLE axis only — treating this as
+            # a single state would couple all K initial states into every
+            # replica slot
+            template = _tmap(lambda l: l[0], theta0)
             theta0 = _tmap(
-                lambda l: jnp.broadcast_to(l, ek + l.shape), template
+                lambda l: jnp.broadcast_to(l, (e,) + l.shape), theta0
+            )
+        else:
+            template = theta0
+            theta0 = _tmap(
+                lambda l: jnp.broadcast_to(l, (e, k) + l.shape), template
             )
         _check_tree_num_temps(_tmap(lambda l: l[0], theta0), config)
         mass = make_diag_mass_tree(inv_mass, template, "parallel tempering")

@@ -323,3 +323,60 @@ class TestTraceDtype:
             np.asarray(r_ck.samples, np.float32),
             np.asarray(r_direct.samples, np.float32),
         )
+
+    def test_bf16_trace_predicts_and_reports_f32_acc(self, tmp_path):
+        """Review findings: a bf16 trace must flow through predict_model's
+        loader path (the scan accumulator promotes to f32) and a
+        checkpointed run's acc_rate must stay at the CHAIN dtype, agreeing
+        with the direct run."""
+        import dataclasses
+
+        import flax.linen as nn
+
+        from hamiltorch_tpu.checkpoint import run_nuts_checkpointed
+        from hamiltorch_tpu.models.bnn import (
+            define_model_tree_log_prob,
+            predict_model,
+        )
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts
+
+        class Net(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.Dense(1)(x)
+
+        x = jnp.linspace(-1, 1, 8)[:, None]
+        y = 2.0 * x
+        lp, template = define_model_tree_log_prob(
+            Net(), "regression", x, y, tau_out=10.0)
+        cfg = NUTSConfig(num_samples=20, step_size=0.05, burn=8,
+                         trace_dtype="bfloat16")
+        key = jax.random.key(5)
+        r, _ = run_nuts(key, lp, template, cfg)
+        assert jax.tree_util.tree_leaves(r.samples)[0].dtype == jnp.bfloat16
+        loader = [(np.asarray(x[:5]), np.asarray(y[:5])),
+                  (np.asarray(x[5:]), np.asarray(y[5:]))]
+        preds, lps = predict_model(Net(), r.samples, test_loader=loader,
+                                   model_loss="regression", tau_out=10.0)
+        assert preds.shape[:2] == (20, 8)
+        assert lps.dtype == jnp.float32  # accumulator promoted, not bf16
+        r_ck = run_nuts_checkpointed(key, lp, template, cfg,
+                                     str(tmp_path / "bf"), chunk_size=10)
+        assert r_ck.acc_rate.dtype == jnp.float32
+        np.testing.assert_allclose(float(r_ck.acc_rate),
+                                   float(jnp.mean(r.stats.accept_prob)),
+                                   atol=0.3)  # same statistic family, f32
+
+    def test_nuts_offload_dense_without_burn_stays_diagonal(self):
+        """adapt_mass='dense' with burn=0 must not thread dead (d, d)
+        matrices through the offload chunks (review finding: ~120 GB at
+        the flagship width)."""
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig
+        from hamiltorch_tpu.samplers.offload import run_nuts_host_offload
+
+        cfg = NUTSConfig(num_samples=12, step_size=0.3, burn=0,
+                         adapt_step_size=False, adapt_mass="dense")
+        r = run_nuts_host_offload(jax.random.key(0), self._lp, jnp.zeros(3),
+                                  cfg, chunk_size=6)
+        # metric seed stays the (d,) diagonal, not an (inv, chol) pair
+        assert r.final_warm[1].ndim == 1

@@ -390,3 +390,17 @@ class TestPytreeSplitHMC:
         np.testing.assert_array_equal(
             r_host.samples["x"], np.asarray(r_dev.samples["x"])
         )
+
+
+class TestSplittingOffloadValidation:
+    def test_offload_rejects_wrong_length_pass_grad(self, key):
+        """Review finding: the store_on_GPU=False branch must validate the
+        pass_grad list length like the device path — lax.switch would
+        clamp the term index and sample silently wrong."""
+        fns = make_split_gaussian(2)
+        grad = [lambda t: -0.5 * t]  # one fn for two terms
+        with pytest.raises(RuntimeError, match="matching"):
+            ht.sample(fns, jnp.zeros(2), num_samples=10,
+                      num_steps_per_sample=3, step_size=0.2,
+                      integrator=Integrator.SPLITTING, pass_grad=grad,
+                      store_on_GPU=False, key=key, verbose=False)

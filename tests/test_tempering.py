@@ -456,3 +456,28 @@ class TestPytreePT:
             run_parallel_tempering(key, self.tree_lp, t0,
                                    PTConfig(num_samples=10, num_temps=4),
                                    inv_mass=jnp.eye(3))
+
+
+class TestPTEnsembleReplicaStack:
+    """Review finding: a per-REPLICA (K, ...) pytree ladder through the
+    ensemble runners must broadcast only the ensemble axis — not be
+    treated as a single state whose leading K couples into every slot."""
+
+    def lp(self, t):
+        return -0.5 * jnp.sum(t["x"] ** 2)
+
+    def test_k_stacked_tree_broadcasts_ensemble_axis_only(self, key):
+        from hamiltorch_tpu.samplers.tempering import run_pt_chains
+
+        cfg = PTConfig(num_samples=30, num_steps_per_sample=3, step_size=0.2,
+                       num_temps=4, burn=10)
+        per_replica = {"x": jnp.arange(8.0).reshape(4, 2)}  # (K, 2) states
+        r = run_pt_chains(key, self.lp, per_replica, cfg, num_ensembles=2)
+        # param shape stays (2,): replica_samples (E, N, K, 2), NOT (..., 4, 2)
+        assert r.replica_samples["x"].shape == (2, 20, 4, 2)
+        explicit = {"x": jnp.broadcast_to(per_replica["x"], (2, 4, 2))}
+        r2 = run_pt_chains(key, self.lp, explicit, cfg, num_ensembles=2)
+        np.testing.assert_array_equal(
+            np.asarray(r.replica_samples["x"]),
+            np.asarray(r2.replica_samples["x"]),
+        )
