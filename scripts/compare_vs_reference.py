@@ -115,6 +115,28 @@ def reference_runs():
                                           num_samples=300, num_steps_per_sample=20,
                                           step_size=0.002, verbose=False))
     rows["BNN HMC iris-style (300, L=20)"] = 300 / t
+
+    # BASELINE config 5: symmetric-split minibatch HMC, the notebook's
+    # 1 -> 100 -> 100 -> 1 regression BNN (~10.4k params), 4 splits
+    sx = np.linspace(-1, 1, 400)[:, None].astype(np.float32)
+    sy = (np.sin(3 * sx) + 0.05 * rng.randn(400, 1)).astype(np.float32)
+    split_net = torch.nn.Sequential(
+        torch.nn.Linear(1, 100), torch.nn.Tanh(),
+        torch.nn.Linear(100, 100), torch.nn.Tanh(),
+        torch.nn.Linear(100, 1),
+    )
+    loader = [
+        (torch.tensor(sx[i::4]), torch.tensor(sy[i::4])) for i in range(4)
+    ]
+    split_init = torch.cat(
+        [p.flatten() for p in split_net.parameters()]
+    ).detach()
+    torch.manual_seed(0)
+    _, t = timed(lambda: ref.sample_split_model(
+        split_net, loader, params_init=split_init, num_splits=4,
+        model_loss="regression", num_samples=30, num_steps_per_sample=10,
+        step_size=5e-4, tau_out=100.0, verbose=False))
+    rows["split HMC 10.4k-param BNN (30, L=10)"] = 30 / t
     return rows
 
 
@@ -208,9 +230,43 @@ def tpu_runs():
                                          step_size=0.002, key=k, verbose=False))
     rows["BNN HMC iris-style (300, L=20)"] = 300 / t
 
+    # BASELINE config 5: split HMC on the same 10.4k-param regression BNN,
+    # pytree chain state (the no-flat-tax path; potential factory built
+    # ONCE — a fresh closure per call would recompile every run)
+    from hamiltorch_tpu.models.bnn import define_split_model_tree_log_prob
+    from hamiltorch_tpu.samplers.driver import MCMCConfig
+    from hamiltorch_tpu.samplers.splitting import run_split_hmc_stacked
+
+    class SplitNet(nn.Module):
+        @nn.compact
+        def __call__(self, xb):
+            h = jnp.tanh(nn.Dense(100)(xb))
+            h = jnp.tanh(nn.Dense(100)(h))
+            return nn.Dense(1)(h)
+
+    sx = np.linspace(-1, 1, 400)[:, None].astype(np.float32)
+    sy = (np.sin(3 * sx) + 0.05 * np.random.RandomState(0).randn(400, 1)).astype(np.float32)
+    batches = [(sx[i::4], sy[i::4]) for i in range(4)]
+    term_fn, m_terms, template, data = define_split_model_tree_log_prob(
+        SplitNet(), "regression", batches, 4, tau_out=100.0, verbose=False,
+    )
+    split_cfg = MCMCConfig(num_samples=30, num_steps_per_sample=10,
+                           step_size=5e-4)
+
+    def run_split(k):
+        r = run_split_hmc_stacked(k, term_fn, m_terms, template, split_cfg,
+                                  data=data)
+        # hard sync: fetch a reduced scalar (block_until_ready can return
+        # early on the remote service — CLAUDE.md gotcha)
+        for l in jax.tree_util.tree_leaves(r.samples):
+            float(jnp.sum(l[-1]))
+        return r
+
+    t = steady(run_split)
+    rows["split HMC 10.4k-param BNN (30, L=10)"] = 30 / t
+
     # the TPU-native usage: the chain axis batched into every matmul
     from hamiltorch_tpu.models.bnn import define_model_log_prob
-    from hamiltorch_tpu.samplers.driver import MCMCConfig
     from hamiltorch_tpu.samplers.hmc import run_hmc_chains
 
     lp_fn, flat0, _ = define_model_log_prob(Net(), "multi_class_linear_output", x, y)

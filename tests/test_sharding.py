@@ -141,6 +141,29 @@ class TestChEESSharding:
             rtol=0.05,
         )
 
+    def test_sharded_thinned_matches_unthinned_subsample(self, key):
+        """thin=k under shard_map (the trace buffer's windowed inner-carry
+        path inside a mesh program): kept rows are exactly every k-th state
+        of the unthinned sharded run, bit-for-bit."""
+        import dataclasses
+
+        from hamiltorch_tpu.parallel.sharding import run_chees_sharded
+        from hamiltorch_tpu.samplers.chees import ChEESConfig
+
+        config = ChEESConfig(num_samples=24, burn=12, step_size=0.2)
+        mesh = make_mesh(chains=4, data=2)
+        theta0 = 0.1 * jax.random.normal(jax.random.key(7), (8, 3))
+        r_full = run_chees_sharded(key, std_normal, theta0, config, mesh,
+                                   num_chains=8)
+        r_thin = run_chees_sharded(
+            key, std_normal, theta0,
+            dataclasses.replace(config, thin=3), mesh, num_chains=8,
+        )
+        assert r_thin.samples.shape == (8, 8, 3)
+        np.testing.assert_array_equal(
+            np.asarray(r_thin.samples), np.asarray(r_full.samples[:, 2::3])
+        )
+
     def test_sharded_chees_checkpoint_resume_matches_direct(self, key, tmp_path):
         """run_chees_checkpointed(mesh=...): chunked + resumed sharded runs
         reproduce the uninterrupted run_chees_sharded stream, and a sharded
