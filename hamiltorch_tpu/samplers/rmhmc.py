@@ -131,7 +131,29 @@ def run_rmhmc(
 
     ``custom_metric``: analytic ``theta -> (D, D)`` SPD metric G(theta);
     replaces the Hessian/softabs pipeline (see ops/metrics.py).
+
+    ``theta0`` may be a parameter PYTREE: RMHMC's metric pipeline
+    (Hessian, eigendecomposition, Cholesky) is inherently flat — G is a
+    dense (D, D) object — so the tree state ravels ONCE at the boundary
+    and samples unravel back to (N, ...) leaves.  Unlike the Euclidean
+    samplers there is no per-step flat tax to avoid: the O(D^2)/O(D^3)
+    metric work dominates the O(D) ravel by orders of magnitude.
+    ``ham_func``/``custom_metric``/``pass-through log_prob`` all receive
+    the FLAT theta in this mode (wrap your tree potential before calling
+    if you need leaf structure; see utils.pytree.ravel_pytree_fn).
     """
+    from ..utils.pytree import is_param_tree
+
+    if is_param_tree(theta0):
+        return _run_rmhmc_tree(
+            run_rmhmc, key, log_prob_fn, theta0, config,
+            dict(integrator=integrator, metric=metric, jitter=jitter,
+                 softabs_const=softabs_const,
+                 explicit_binding_const=explicit_binding_const,
+                 fixed_point_threshold=fixed_point_threshold,
+                 fixed_point_max_iterations=fixed_point_max_iterations,
+                 ham_func=ham_func, custom_metric=custom_metric),
+        )
     theta0 = jnp.asarray(theta0)
     integrator, opts, ham_func, custom_metric = resolve_rmhmc_options(dict(
         integrator=integrator, metric=metric, jitter=jitter,
@@ -144,6 +166,61 @@ def run_rmhmc(
     lp, data = resolve_potential(log_prob_fn, None)
     return _run_rmhmc_jit(key, theta0, lp, config, integrator, opts,
                           ham_func, custom_metric, data=data)
+
+
+def _run_rmhmc_tree(runner, key, log_prob_fn, theta0, config, kwargs,
+                    num_chains=None, theta0_is_stacked=None):
+    """Boundary-ravel adapter: run a flat RMHMC entry on a pytree state.
+
+    The tree potential wraps as ``lp(unravel(theta))`` — evaluated once
+    per Hamiltonian/gradient call, where the metric's O(D^2) AD dominates
+    — and the flat (.., N, D) trace unravels back to (.., N, ...) leaves.
+    """
+    from ..utils.pytree import ravel_pytree_fn, stack_param_tree
+
+    theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
+    if num_chains is None:
+        template = theta0
+        flat0, unravel = ravel_pytree_fn(template)
+        runner_kwargs = {}
+    else:
+        template, stacked = stack_param_tree(
+            theta0, num_chains, stacked=theta0_is_stacked
+        )
+        _, unravel = ravel_pytree_fn(template)
+        # per-chain flat rows in ravel_pytree's leaf order (per-leaf
+        # C-order flattens concatenated in tree order)
+        flat0 = jnp.concatenate(
+            [l.reshape(num_chains, -1)
+             for l in jax.tree_util.tree_leaves(stacked)],
+            axis=-1,
+        )
+        runner_kwargs = {"num_chains": num_chains}
+    lp_tree = log_prob_fn
+
+    def lp_flat(th):
+        return lp_tree(unravel(th))
+
+    result = runner(key, lp_flat, flat0, config, **runner_kwargs, **kwargs)
+
+    leaves, tdef = jax.tree_util.tree_flatten(template)
+    sizes = [l.size for l in leaves]
+
+    def unravel_trace(mat):
+        parts, off = [], 0
+        lead = mat.shape[:-1]
+        for l, n in zip(leaves, sizes):
+            parts.append(mat[..., off : off + n].reshape(lead + l.shape))
+            off += n
+        return jax.tree_util.tree_unflatten(tdef, parts)
+
+    return result._replace(
+        samples=unravel_trace(result.samples),
+        final_state=result.final_state._replace(
+            theta=unravel_trace(result.final_state.theta),
+            grad=unravel_trace(result.final_state.grad),
+        ),
+    )
 
 
 def run_rmhmc_chains(
@@ -164,11 +241,26 @@ def run_rmhmc_chains(
 ) -> MCMCResult:
     """Vectorised independent RMHMC chains via vmap over (key, theta0).
 
-    ``theta0``: (D,) broadcast to all chains, or (num_chains, D).  The
-    fixed-point while_loops vectorise per lane (each lane iterates until the
+    ``theta0``: (D,) broadcast to all chains, or (num_chains, D), or a
+    parameter PYTREE (single state or (C, ...)-stacked leaves — ravelled
+    once at the boundary, see :func:`run_rmhmc`).  The fixed-point
+    while_loops vectorise per lane (each lane iterates until the
     batch-wide condition clears), so chains in a batch wait for the slowest
     fixed point per step — still far cheaper than sequential chains.
     """
+    from ..utils.pytree import is_param_tree
+
+    if is_param_tree(theta0):
+        return _run_rmhmc_tree(
+            run_rmhmc_chains, key, log_prob_fn, theta0, config,
+            dict(integrator=integrator, metric=metric, jitter=jitter,
+                 softabs_const=softabs_const,
+                 explicit_binding_const=explicit_binding_const,
+                 fixed_point_threshold=fixed_point_threshold,
+                 fixed_point_max_iterations=fixed_point_max_iterations,
+                 ham_func=ham_func, custom_metric=custom_metric),
+            num_chains=num_chains,
+        )
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:
         theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)

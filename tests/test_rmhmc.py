@@ -495,3 +495,40 @@ class TestImplicitMidpoint:
         np.testing.assert_array_equal(
             np.asarray(r_direct.samples), np.asarray(r_ck.samples)
         )
+
+
+class TestPytreeRMHMC:
+    """Pytree states through RMHMC (boundary ravel: the metric pipeline is
+    inherently flat — G is dense (D, D) — so the tree ravels ONCE per
+    potential call, negligible next to the Hessian/eigh work)."""
+
+    def test_single_leaf_tree_matches_flat_bitwise(self, key):
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        from hamiltorch_tpu.samplers.rmhmc import run_rmhmc
+
+        lp_flat = lambda t: -0.5 * jnp.sum(t**2)
+        lp_tree = lambda t: -0.5 * jnp.sum(t["x"] ** 2)
+        cfg = MCMCConfig(num_samples=20, num_steps_per_sample=3, step_size=0.2)
+        r_flat = run_rmhmc(key, lp_flat, jnp.zeros(2), cfg)
+        r_tree = run_rmhmc(key, lp_tree, {"x": jnp.zeros(2)}, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(r_tree.samples["x"]), np.asarray(r_flat.samples)
+        )
+        assert r_tree.final_state.theta["x"].shape == (2,)
+
+    def test_multi_leaf_tree_chains_shapes(self, key):
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        from hamiltorch_tpu.samplers.rmhmc import run_rmhmc_chains
+
+        def lp(t):
+            return -0.5 * (jnp.sum(t["a"] ** 2) + jnp.sum(t["b"] ** 2))
+
+        t0 = {"a": jnp.zeros(2), "b": jnp.zeros((2, 1))}
+        cfg = MCMCConfig(num_samples=15, num_steps_per_sample=3, step_size=0.2)
+        r = run_rmhmc_chains(key, lp, t0, cfg, num_chains=3)
+        assert r.samples["a"].shape == (3, 15, 2)
+        assert r.samples["b"].shape == (3, 15, 2, 1)
+        assert bool(np.isfinite(np.asarray(r.samples["a"])).all())
+        # moments sane on the pooled trace
+        pooled = np.asarray(r.samples["a"][:, 5:]).reshape(-1, 2)
+        assert abs(pooled.mean()) < 0.6
