@@ -1,11 +1,16 @@
 from .adaptation import DualAveragingState, da_init, da_update
 from .chees import ChEESConfig, ChEESResult, run_chees
 from .driver import ChainState, MCMCConfig, MCMCResult, MCMCStats, run_mcmc
-from .hmc import hmc_transition, run_hmc, run_hmc_chains
-from .nuts import NUTSConfig, NUTSInfo, run_nuts, run_nuts_chains
-from .rmhmc import run_rmhmc
-from .splitting import run_split_hmc, run_split_hmc_stacked
-from .tempering import PTConfig, PTResult, run_parallel_tempering
+from .hmc import hmc_transition, run_hmc, run_hmc_chains, run_hmc_host_offload
+from .nuts import NUTSConfig, NUTSInfo, run_nuts, run_nuts_chains, run_nuts_ensemble
+from .offload import (
+    run_nuts_host_offload,
+    run_rmhmc_host_offload,
+    run_split_hmc_host_offload,
+)
+from .rmhmc import run_rmhmc, run_rmhmc_chains
+from .splitting import run_split_hmc, run_split_hmc_chains, run_split_hmc_stacked
+from .tempering import PTConfig, PTResult, run_parallel_tempering, run_pt_chains
 
 __all__ = [
     "ChainState",
@@ -24,11 +29,19 @@ __all__ = [
     "ChEESResult",
     "run_chees",
     "run_rmhmc",
+    "run_rmhmc_chains",
+    "run_nuts_ensemble",
     "run_split_hmc",
+    "run_split_hmc_chains",
     "run_split_hmc_stacked",
+    "run_hmc_host_offload",
+    "run_nuts_host_offload",
+    "run_rmhmc_host_offload",
+    "run_split_hmc_host_offload",
     "PTConfig",
     "PTResult",
     "run_parallel_tempering",
+    "run_pt_chains",
     "DualAveragingState",
     "da_init",
     "da_update",
