@@ -253,6 +253,30 @@ def e_bfmi(energies: jnp.ndarray) -> jnp.ndarray:
     return num / den
 
 
+def summary_by_leaf(samples, like, energies=None) -> Dict[str, object]:
+    """Per-PARAMETER-LEAF posterior summary for a pytree trace.
+
+    Same statistics as :func:`summary`, but each (D,)-vector statistic is
+    split back into the parameter tree: ``out["ess"]`` is a pytree whose
+    leaves have the parameter shapes — per-layer diagnostics for pytree
+    BNN users, no manual offset bookkeeping.  ``like=theta0`` (required)
+    supplies the structure and pins the trace's chain/draw axes.
+    """
+    flat = summary(samples, energies=energies, like=like)
+    leaves, tdef = jax.tree_util.tree_flatten(like)
+
+    def split(vec):
+        parts, off = [], 0
+        for l in leaves:
+            parts.append(vec[off : off + l.size].reshape(l.shape))
+            off += l.size
+        return jax.tree_util.tree_unflatten(tdef, parts)
+
+    return {
+        k: (v if k == "e_bfmi" else split(v)) for k, v in flat.items()
+    }
+
+
 def summary(samples, energies=None, like=None) -> Dict[str, jnp.ndarray]:
     """Per-dimension posterior summary: mean, std, ESS (raw + bulk + tail),
     split-R-hat (classic + rank-normalized), MCSE of the mean; pass the

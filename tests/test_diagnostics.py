@@ -512,3 +512,33 @@ class TestPytreeDiagnostics:
             like={"a": jnp.zeros(3), "b": jnp.zeros(3)},
         )
         assert out.shape == (10, 6)
+
+
+class TestSummaryByLeaf:
+    def test_per_leaf_stats_match_flat_offsets(self, key):
+        from hamiltorch_tpu.diagnostics import summary, summary_by_leaf
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        from hamiltorch_tpu.samplers.hmc import run_hmc_chains
+
+        def lp(t):
+            return -0.5 * (jnp.sum(t["w"] ** 2) + jnp.sum((t["b"] / 2.0) ** 2))
+
+        t0 = {"w": jnp.zeros((2, 3)), "b": jnp.zeros(2)}
+        cfg = MCMCConfig(num_samples=200, num_steps_per_sample=5, step_size=0.4)
+        r = run_hmc_chains(key, lp, t0, cfg, num_chains=4)
+        s_leaf = summary_by_leaf(r.samples, like=t0)
+        s_flat = summary(r.samples, like=t0)
+        assert s_leaf["mean"]["w"].shape == (2, 3)
+        assert s_leaf["ess"]["b"].shape == (2,)
+        # the per-leaf view is exactly the flat vector re-split: tree order
+        # is b (dict-sorted) then w, so b takes the first 2 entries
+        np.testing.assert_array_equal(
+            np.asarray(s_leaf["std"]["b"]), np.asarray(s_flat["std"][:2])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_leaf["r_hat"]["w"]).ravel(),
+            np.asarray(s_flat["r_hat"][2:]),
+        )
+        # sanity: the wide-prior leaf reports the wider posterior std
+        assert float(np.asarray(s_leaf["std"]["b"]).mean()) > \
+            float(np.asarray(s_leaf["std"]["w"]).mean())
