@@ -22,6 +22,7 @@ from .samplers.hmc import run_hmc, run_hmc_chains, run_hmc_host_offload
 from .samplers.chees import ChEESConfig, ChEESResult, run_chees
 from .samplers.nuts import NUTSConfig, run_nuts, run_nuts_chains, run_nuts_ensemble
 from .samplers.rmhmc import run_rmhmc, run_rmhmc_chains
+from .samplers.smc import SMCConfig, run_smc, smc_posterior_sample
 from .samplers.tempering import PTConfig, run_parallel_tempering, run_pt_chains
 from .utils.rng import next_key, set_random_seed
 
@@ -50,6 +51,9 @@ __all__ = [
     "PTConfig",
     "run_parallel_tempering",
     "run_pt_chains",
+    "SMCConfig",
+    "run_smc",
+    "smc_posterior_sample",
     "MCMCConfig",
     "MCMCResult",
     "MCMCStats",

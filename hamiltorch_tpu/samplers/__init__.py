@@ -9,6 +9,7 @@ from .offload import (
     run_split_hmc_host_offload,
 )
 from .rmhmc import run_rmhmc, run_rmhmc_chains
+from .smc import SMCConfig, SMCResult, run_smc, smc_posterior_sample
 from .splitting import run_split_hmc, run_split_hmc_chains, run_split_hmc_stacked
 from .tempering import PTConfig, PTResult, run_parallel_tempering, run_pt_chains
 
@@ -42,6 +43,10 @@ __all__ = [
     "PTResult",
     "run_parallel_tempering",
     "run_pt_chains",
+    "SMCConfig",
+    "SMCResult",
+    "run_smc",
+    "smc_posterior_sample",
     "DualAveragingState",
     "da_init",
     "da_update",

@@ -1,0 +1,281 @@
+"""Tempered Sequential Monte Carlo with HMC mutations (SMC sampler).
+
+No counterpart in the reference.  An SMC sampler moves a POPULATION of
+particles from the prior to the posterior through a tempered path
+``pi_k ∝ prior * lik^beta_k``: at each stage the particles reweight by the
+likelihood increment, resample when the weights degenerate, and mutate
+with a few jittered-HMC steps targeting the current tempered posterior.
+
+Why it earns a place next to HMC/NUTS/ChEES/PT here:
+
+* it is multi-particle by construction — the particle axis is one batch
+  dimension through every matmul, exactly the regime this framework's
+  vmapped/batched execution is built for (the same argument as ChEES-HMC;
+  the retrieved ChEES-SMC paper, arXiv:2504.02627, combines the two);
+* it estimates the MODEL EVIDENCE log Z as a by-product (the running sum
+  of log-mean incremental weights) — a quantity no MCMC chain in this
+  framework (or the reference) can produce;
+* like parallel tempering it crosses energy barriers (the early, hot
+  stages are nearly the prior), but with a normalising-constant estimate
+  and an embarrassingly parallel population.
+
+TPU-first shape: one ``lax.scan`` over a FIXED tempering ladder; each
+stage is (reweight -> branchless conditional systematic resampling ->
+R batched-leapfrog mutations).  Resampling is a gather — data-dependent
+indices but static shapes.  The mutation step size adapts across stages
+by a Robbins-Monro update toward the jittered-HMC optimum, and trajectory
+lengths are jittered per stage (shared across particles, the ChEES
+convention — lanes never diverge).
+
+Particles may be flat (N, D) blocks or parameter PYTREES with (N, ...)
+leaves; the hot loops reuse the ChEES batched-leapfrog kernels, so the
+tree path pays no flat-layout tax.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .chees import _batched_leapfrog, _batched_leapfrog_tree
+
+_tmap = jax.tree_util.tree_map
+
+
+@dataclasses.dataclass(frozen=True)
+class SMCConfig:
+    num_particles: int
+    # tempering stages: beta_k = (k / num_temps)**temp_power, k = 1..num_temps
+    # (power > 1 spends more stages at small beta, where the likelihood
+    # reshapes the prior fastest — the usual SMC schedule choice)
+    num_temps: int = 20
+    temp_power: float = 3.0
+    mcmc_steps: int = 5  # HMC mutations per stage
+    leapfrog_steps: int = 10  # leapfrog steps per mutation
+    step_size: float = 0.1
+    # resample when ESS / N drops below this fraction (branchless select;
+    # 1.0 = every stage, 0.0 = never)
+    resample_threshold: float = 0.5
+    # Robbins-Monro step-size adaptation across stages toward the
+    # jittered-HMC optimum (Hoffman et al. 2021)
+    adapt_step_size: bool = True
+    desired_accept_rate: float = 0.651
+
+    def __post_init__(self):
+        if self.num_particles < 2:
+            raise ValueError("num_particles must be >= 2")
+        if self.num_temps < 1:
+            raise ValueError("num_temps must be >= 1")
+        if not self.step_size > 0:
+            raise ValueError("step_size must be positive")
+        if not 0.0 <= self.resample_threshold <= 1.0:
+            raise ValueError("resample_threshold must be in [0, 1]")
+
+
+class SMCInfo(NamedTuple):
+    betas: jnp.ndarray  # (K,) tempering ladder
+    ess_fraction: jnp.ndarray  # (K,) ESS/N before each resample decision
+    resampled: jnp.ndarray  # (K,) bool
+    accept_prob: jnp.ndarray  # (K,) mean mutation acceptance per stage
+    step_size: jnp.ndarray  # (K,) step size used at each stage
+
+
+class SMCResult(NamedTuple):
+    particles: jnp.ndarray  # (N, D) or tree of (N, ...) leaves — FINAL stage
+    log_weights: jnp.ndarray  # (N,) normalised log-weights of the particles
+    log_evidence: jnp.ndarray  # scalar: estimate of log Z = log p(data)
+    info: SMCInfo
+
+
+def _systematic_resample(key, logw, n):
+    """Systematic resampling: indices (N,) int32 from normalised log-weights.
+
+    One uniform offsets a stratified comb — O(N log N) via searchsorted on
+    the weight cumsum; static shapes, jit-safe."""
+    w = jax.nn.softmax(logw)
+    positions = (jax.random.uniform(key, ()) + jnp.arange(n)) / n
+    return jnp.searchsorted(jnp.cumsum(w), positions).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("log_prior_fn", "log_lik_fn", "config"))
+def _run_smc_jit(key, particles0, log_prior_fn, log_lik_fn, config: SMCConfig,
+                 data=None):
+    lik = log_lik_fn if data is None else (lambda t: log_lik_fn(t, data))
+    is_tree = not hasattr(particles0, "ndim")
+    leaves0 = jax.tree_util.tree_leaves(particles0)
+    n = leaves0[0].shape[0]
+    dtype = leaves0[0].dtype
+
+    betas = (jnp.arange(1, config.num_temps + 1, dtype=dtype)
+             / config.num_temps) ** config.temp_power
+    prev_betas = jnp.concatenate([jnp.zeros((1,), dtype), betas[:-1]])
+
+    lik_vec = jax.vmap(lik)
+    prior_vec = jax.vmap(log_prior_fn)
+
+    def gather(tree, idx):
+        return _tmap(lambda l: l[idx], tree)
+
+    def where_n(mask, new, old):
+        return _tmap(
+            lambda nl, ol: jnp.where(
+                mask.reshape((n,) + (1,) * (nl.ndim - 1)), nl, ol
+            ),
+            new, old,
+        )
+
+    lf = _batched_leapfrog_tree if is_tree else _batched_leapfrog
+
+    def mutate(key, parts, beta, eps):
+        """R jittered-HMC transitions targeting prior * lik^beta."""
+
+        def tempered(t):
+            return log_prior_fn(t) + beta * lik(t)
+
+        vg = jax.vmap(jax.value_and_grad(tempered))
+
+        def velocity(p):
+            return p
+
+        def kinetic(p):
+            parts_k = [
+                jnp.sum((pl * pl).reshape(n, -1), axis=-1)
+                for pl in jax.tree_util.tree_leaves(p)
+            ]
+            return 0.5 * sum(parts_k)
+
+        def one_step(carry, k_step):
+            parts, logps, grads = carry
+            k_mom, k_jit, k_mh = jax.random.split(k_step, 3)
+            p_leaves, p_tdef = jax.tree_util.tree_flatten(parts)
+            mom_keys = jax.random.split(k_mom, len(p_leaves))
+            ps = jax.tree_util.tree_unflatten(p_tdef, [
+                jax.random.normal(mk, l.shape, dtype)
+                for mk, l in zip(mom_keys, p_leaves)
+            ])
+            # shared jittered trajectory length (the ChEES convention:
+            # every particle runs the same L, lanes never diverge)
+            num_steps = 1 + (
+                jax.random.randint(k_jit, (), 0, config.leapfrog_steps)
+            )
+            h0 = -logps + kinetic(ps)
+            th, p1, logp1, grad1 = lf(
+                vg, velocity, parts, ps, logps, grads, eps, num_steps,
+                config.leapfrog_steps,
+            )
+            h1 = -logp1 + kinetic(p1)
+            log_ratio = h0 - h1
+            finite = jnp.isfinite(log_ratio)
+            alpha = jnp.where(finite, jnp.exp(jnp.minimum(0.0, log_ratio)), 0.0)
+            accept = finite & (
+                jnp.log(jax.random.uniform(k_mh, (n,), dtype)) < log_ratio
+            )
+            parts = where_n(accept, th, parts)
+            logps = jnp.where(accept, logp1, logps)
+            grads = where_n(accept, grad1, grads)
+            return (parts, logps, grads), jnp.mean(alpha)
+
+        logps, grads = vg(parts)
+        (parts, _, _), alphas = jax.lax.scan(
+            one_step, (parts, logps, grads),
+            jax.random.split(key, config.mcmc_steps),
+        )
+        return parts, jnp.mean(alphas)
+
+    def stage(carry, xs):
+        parts, logw, log_z, eps, stage_key = carry
+        beta, beta_prev = xs
+        k_res, k_mut, k_next = jax.random.split(stage_key, 3)
+
+        # --- reweight: incremental likelihood tempering -------------------
+        incr = (beta - beta_prev) * lik_vec(parts)
+        # log-evidence increment: log E_w[exp(incr)] under the CURRENT
+        # normalised weights
+        logw_n = logw - jax.scipy.special.logsumexp(logw)
+        log_z = log_z + jax.scipy.special.logsumexp(logw_n + incr)
+        logw = logw_n + incr
+
+        # --- conditional systematic resampling (branchless select) --------
+        w = jax.nn.softmax(logw)
+        ess_frac = 1.0 / (n * jnp.sum(w * w))
+        do_resample = ess_frac < config.resample_threshold
+        idx = _systematic_resample(k_res, logw, n)
+        idx = jnp.where(do_resample, idx, jnp.arange(n, dtype=jnp.int32))
+        parts = gather(parts, idx)
+        logw = jnp.where(do_resample, jnp.zeros_like(logw), logw)
+
+        # --- mutate at the current temperature -----------------------------
+        parts, acc = mutate(k_mut, parts, beta, eps)
+        if config.adapt_step_size:
+            # Robbins-Monro toward the jittered-HMC optimal acceptance;
+            # bounded multiplicative steps keep eps positive and stable
+            eps = eps * jnp.exp(
+                0.5 * jnp.clip(acc - config.desired_accept_rate, -0.5, 0.5)
+            )
+
+        info = (ess_frac, do_resample, acc, eps)
+        return (parts, logw, log_z, eps, k_next), info
+
+    logw0 = jnp.zeros((n,), dtype)
+    carry0 = (
+        particles0, logw0, jnp.zeros((), dtype),
+        jnp.asarray(config.step_size, dtype), key,
+    )
+    (parts, logw, log_z, _, _), (ess_f, res, accs, epss) = jax.lax.scan(
+        stage, carry0, (betas, prev_betas)
+    )
+    return SMCResult(
+        particles=parts,
+        log_weights=logw - jax.scipy.special.logsumexp(logw),
+        log_evidence=log_z,
+        info=SMCInfo(
+            betas=betas, ess_fraction=ess_f, resampled=res,
+            accept_prob=accs, step_size=epss,
+        ),
+    )
+
+
+def run_smc(
+    key,
+    log_prior_fn,
+    log_lik_fn,
+    prior_sample_fn,
+    config: SMCConfig,
+    data=None,
+) -> SMCResult:
+    """Tempered SMC from the prior to the posterior.
+
+    * ``log_prior_fn(theta)`` — log prior density (the beta=0 endpoint);
+    * ``log_lik_fn(theta[, data])`` — log likelihood (tempered by beta;
+      large datasets ride through ``data`` as a jit operand);
+    * ``prior_sample_fn(key, n)`` — n draws from the prior: a (N, D) block
+      or a pytree with (N, ...) leaves (sets the particle layout).
+
+    Returns an :class:`SMCResult`: the final particle population with
+    normalised ``log_weights`` (use
+    ``gather(particles, systematic indices)`` or weighted statistics),
+    the ``log_evidence`` estimate of log p(data) — the quantity MCMC
+    chains cannot produce — and per-stage diagnostics.
+    """
+    k_init, key = jax.random.split(key)
+    particles0 = prior_sample_fn(k_init, config.num_particles)
+    leaves = jax.tree_util.tree_leaves(particles0)
+    if any(l.shape[:1] != (config.num_particles,) for l in leaves):
+        raise ValueError(
+            "prior_sample_fn must return leaves with a leading "
+            f"num_particles={config.num_particles} axis"
+        )
+    return _run_smc_jit(key, particles0, log_prior_fn, log_lik_fn, config,
+                        data=data)
+
+
+def smc_posterior_sample(key, result: SMCResult):
+    """Equal-weight posterior draws: one systematic resample of the final
+    population under its normalised log-weights."""
+    n = jax.tree_util.tree_leaves(result.particles)[0].shape[0]
+    idx = _systematic_resample(key, result.log_weights, n)
+    return _tmap(lambda l: l[idx], result.particles)
