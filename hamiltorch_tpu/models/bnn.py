@@ -39,12 +39,16 @@ from ..utils.rng import next_key
 # model normalisation
 
 
-def build_model(model, x_example=None, params_template=None, rng=None):
+def build_model(model, x_example=None, params_template=None, rng=None,
+                bridge_method="auto"):
     """Normalise ``model`` to ``(apply_fn(params, x), params_template)``.
 
     * flax.linen.Module: initialised with ``x_example`` (required);
     * callable: used as-is, ``params_template`` required;
-    * torch.nn.Module: converted via the interop bridge.
+    * torch.nn.Module: converted via the interop bridge
+      (``bridge_method="callback"`` forces the eager host-execution path —
+      exact for ANY module, CPU backend only; see
+      :func:`~hamiltorch_tpu.models.interop.from_torch_module`).
     """
     # flax module?
     try:
@@ -72,7 +76,9 @@ def build_model(model, x_example=None, params_template=None, rng=None):
 
         # x_example (when the caller has data in hand, e.g. sample_model)
         # enables the concrete-trace fallback for fx-untraceable forwards
-        return from_torch_module(model, example_input=x_example)
+        return from_torch_module(
+            model, example_input=x_example, method=bridge_method
+        )
 
     if callable(model):
         if params_template is None:
@@ -156,6 +162,7 @@ def define_model_log_prob(
     x_example=None,
     params_template=None,
     remat: bool = False,
+    bridge_method: str = "auto",
 ):
     """Build ``log_prob_func(flat_theta)`` for a model + dataset.
 
@@ -169,7 +176,7 @@ def define_model_log_prob(
     """
     apply_fn, template = build_model(
         model, x_example=x_example if x_example is not None else x,
-        params_template=params_template,
+        params_template=params_template, bridge_method=bridge_method,
     )
     if remat:
         apply_fn = jax.checkpoint(apply_fn)
@@ -215,6 +222,7 @@ def define_model_tree_log_prob(
     x_example=None,
     params_template=None,
     remat: bool = False,
+    bridge_method: str = "auto",
 ):
     """Pytree-native variant of :func:`define_model_log_prob`.
 
@@ -232,7 +240,7 @@ def define_model_tree_log_prob(
     """
     apply_fn, template = build_model(
         model, x_example=x_example if x_example is not None else x,
-        params_template=params_template,
+        params_template=params_template, bridge_method=bridge_method,
     )
     if remat:
         apply_fn = jax.checkpoint(apply_fn)
@@ -429,11 +437,12 @@ def sample_model(
     verbose: bool = True,
     key=None,
     params_template=None,
+    bridge_method: str = "auto",
 ):
     """Sample BNN weights (reference: samplers.py:1261-1362)."""
     log_prob_func, flat_init, _ = define_model_log_prob(
         model, model_loss, x, y, tau_list=tau_list, tau_out=tau_out,
-        params_template=params_template,
+        params_template=params_template, bridge_method=bridge_method,
     )
     if params_init is None:
         params_init = flat_init
@@ -534,6 +543,7 @@ def predict_model(
     verbose: bool = False,
     params_template=None,
     stream_batches: Optional[int] = None,
+    bridge_method: str = "auto",
 ):
     """Posterior predictive over weight samples (reference: samplers.py:1468-1562).
 
@@ -577,7 +587,7 @@ def predict_model(
     if test_loader is not None and stream_batches:
         return _predict_streaming(
             model, samples, test_loader, model_loss, tau_out, tau_list,
-            params_template, int(stream_batches),
+            params_template, int(stream_batches), bridge_method=bridge_method,
         )
 
     def make_raw(x_, y_):
@@ -585,6 +595,7 @@ def predict_model(
         out = factory(
             model, model_loss, x_, y_, tau_list=tau_list, tau_out=tau_out,
             predict=True, params_template=params_template,
+            bridge_method=bridge_method,
         )
         return out[0]._raw_fn
 
@@ -643,7 +654,8 @@ def predict_model(
 
 
 def _predict_streaming(model, samples, test_loader, model_loss, tau_out,
-                       tau_list, params_template, stream_batches: int):
+                       tau_list, params_template, stream_batches: int,
+                       bridge_method: str = "auto"):
     """Lazy chunked posterior predictive: consume ``test_loader`` without
     ever staging more than ``stream_batches`` batches; each chunk's
     predictions land in host numpy before the next chunk loads.
@@ -685,7 +697,7 @@ def _predict_streaming(model, samples, test_loader, model_loss, tau_out,
             log_prob_func, _, _ = define_model_log_prob(
                 model, model_loss, jnp.asarray(bx), jnp.asarray(by),
                 tau_list=tau_list, tau_out=tau_out, predict=True,
-                params_template=params_template,
+                params_template=params_template, bridge_method=bridge_method,
             )
             raw = log_prob_func._raw_fn
             prior_fn = jax.jit(jax.vmap(lambda t: raw(t, None)))

@@ -37,6 +37,14 @@ construction; passing ``example_input=`` enables a third path — a CONCRETE
 jnp ops (``_from_torch_traced``), with the branch taken on the example
 frozen in.  Alternatively define those models in flax/JAX
 (``build_model`` accepts flax modules and plain apply functions).
+
+A fourth path, ``method="callback"``, drops translation altogether and
+executes the REAL torch forward/backward on the host per evaluation
+(``_from_torch_callback``) — the reference's own universality mechanism
+(it executes any forward eagerly, reference: hamiltorch/util.py:318-346).
+Exact for ANY module, including live data-dependent branches and ops in no
+table; costs: host-eager speed, CPU backend only (the axon TPU plugin
+rejects host callbacks), first-order gradients only.
 """
 
 from __future__ import annotations
@@ -1749,8 +1757,10 @@ def _from_torch_traced(module, example_input) -> Callable:
             steps.append(("call", outs, aten[kind], ins, kind))
         else:
             raise TypeError(
-                f"traced graph contains unsupported op {kind!r}; supported "
-                f"aten ops: {sorted(aten)}"
+                f"traced graph contains unsupported op {kind!r} (supported "
+                f"aten ops: {sorted(aten)}); from_torch_module(..., "
+                "method='callback') executes the torch forward eagerly on "
+                "host instead (exact but slow; CPU backend)"
             )
     out_uniques = [v.unique() for v in graph.return_node().inputs()]
 
@@ -1782,8 +1792,118 @@ def _from_torch_traced(module, example_input) -> Callable:
     return fn
 
 
+# ---------------------------------------------------------------------------
+# eager-callback fallback: run the REAL torch forward on host per evaluation
+
+
+def _from_torch_callback(module):
+    """Universal bridge path: the torch forward executes EAGERLY on the host
+    inside ``jax.pure_callback``, with gradients from ``torch.autograd``
+    inside a ``custom_vjp``.  This is how the reference achieves
+    universality — it executes the user's forward rather than translating
+    it (reference: hamiltorch/util.py:318-346) — so nothing is translated
+    and ANY ``nn.Module`` is sampleable.
+
+    Costs relative to the translated paths (documented, not hidden):
+
+    * one host round-trip per potential evaluation (no XLA fusion);
+    * first-order gradients only — torch.autograd runs opaquely on host,
+      so jit cannot differentiate through it twice (RMHMC metrics raise);
+    * vmapped chains evaluate sequentially (``vmap_method="sequential"``);
+    * backends that reject host callbacks at execution time (the axon TPU
+      plugin, see utils/progress.py) cannot run it — use the CPU backend.
+
+    The output shape/dtype is probed once per (shapes, dtypes) trace by
+    running the torch forward on zeros; forwards whose OUTPUT SHAPE depends
+    on input values cannot run under jit at all.
+    """
+    import numpy as np
+    import torch
+    from torch.func import functional_call
+
+    names = [n for n, _ in module.named_parameters()]
+    n_params = len(names)
+    module.eval()
+
+    def _tensor(a):
+        # jax arrays expose read-only buffers; torch warns on wrapping them
+        a = np.ascontiguousarray(a)
+        return torch.from_numpy(a if a.flags.writeable else a.copy())
+
+    def _tensors(params_np):
+        return {n: _tensor(p) for n, p in zip(names, params_np)}
+
+    def _host_forward(x_np, *params_np):
+        with torch.no_grad():
+            y = functional_call(module, _tensors(params_np), (_tensor(x_np),))
+        return np.asarray(y.detach().cpu().numpy())
+
+    def _host_vjp(x_np, g_np, *params_np):
+        """Returns (grad_x_or_None, *grad_params) as one flat tuple; a zero
+        placeholder stands in for grad_x when x is non-floating."""
+        tp = {n: t.requires_grad_(True) for n, t in _tensors(params_np).items()}
+        x_t = _tensor(x_np)
+        x_diff = x_t.is_floating_point()
+        if x_diff:
+            x_t.requires_grad_(True)
+        y = functional_call(module, tp, (x_t,))
+        inputs = list(tp.values()) + ([x_t] if x_diff else [])
+        grads = torch.autograd.grad(
+            y, inputs, grad_outputs=_tensor(g_np),
+            allow_unused=True,  # a param the taken branch never touched
+        )
+        out = [
+            np.zeros(t.shape, dtype=p.dtype) if g is None
+            else np.asarray(g.detach().cpu().numpy())
+            for t, g, p in zip(inputs[:n_params], grads[:n_params], params_np)
+        ]
+        gx = (
+            np.asarray(grads[-1].detach().cpu().numpy())
+            if x_diff and grads[-1] is not None
+            else np.zeros(x_np.shape, dtype=x_np.dtype if x_diff else np.float32)
+        )
+        return (gx, *out)
+
+    @jax.custom_vjp
+    def _apply(x, params_tuple):
+        zx = np.zeros(x.shape, dtype=np.dtype(x.dtype))
+        zp = [np.zeros(p.shape, dtype=np.dtype(p.dtype)) for p in params_tuple]
+        y0 = _host_forward(zx, *zp)
+        aval = jax.ShapeDtypeStruct(y0.shape, y0.dtype)
+        return jax.pure_callback(
+            _host_forward, aval, x, *params_tuple, vmap_method="sequential"
+        )
+
+    def _fwd(x, params_tuple):
+        return _apply(x, params_tuple), (x, params_tuple)
+
+    def _bwd(res, g):
+        x, params_tuple = res
+        x_float = jnp.issubdtype(x.dtype, jnp.floating)
+        gx_aval = jax.ShapeDtypeStruct(
+            x.shape, x.dtype if x_float else jnp.float32
+        )
+        avals = (gx_aval,) + tuple(
+            jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params_tuple
+        )
+        gx, *gps = jax.pure_callback(
+            _host_vjp, avals, x, g, *params_tuple, vmap_method="sequential"
+        )
+        if not x_float:  # integer/bool inputs take a float0 cotangent
+            gx = np.zeros(x.shape, dtype=jax.dtypes.float0)
+        return gx, tuple(gps)
+
+    _apply.defvjp(_fwd, _bwd)
+
+    def fn(params, off, x):
+        sub = tuple(params[off + i] for i in range(n_params))
+        return _apply(x, sub), off + n_params
+
+    return fn
+
+
 def from_torch_module(
-    module, example_input=None
+    module, example_input=None, method="auto"
 ) -> Tuple[Callable, List[jnp.ndarray]]:
     """Translate a supported torch module into (apply_fn, params_template).
 
@@ -1798,20 +1918,33 @@ def from_torch_module(
     given: ``torch.jit.trace`` executes the forward eagerly on the example
     and the taken branch is translated — see ``_from_torch_traced`` for the
     branch-freezing caveat.
+
+    ``method="callback"`` skips translation entirely and executes the REAL
+    torch forward on the host per evaluation (``_from_torch_callback``) —
+    exact semantics for ANY module, at host-eager speed, CPU backend only,
+    first-order gradients only.  ``method="auto"`` (default) runs the
+    translated cascade.
     """
-    try:
-        fn = _convert(module)
-    except TypeError:
+    if method not in ("auto", "callback"):
+        raise ValueError(f"method must be 'auto' or 'callback', got {method!r}")
+    if method == "callback":
+        fn = _from_torch_callback(module)
+    else:
         try:
-            fn = _from_torch_fx(module)
-        except TypeError as fx_err:
-            if example_input is None:
-                raise TypeError(
-                    f"{fx_err} For forwards with data-dependent control "
-                    "flow, pass example_input= to freeze the traced branch "
-                    "(concrete torch.jit.trace fallback)."
-                ) from fx_err
-            fn = _from_torch_traced(module, example_input)
+            fn = _convert(module)
+        except TypeError:
+            try:
+                fn = _from_torch_fx(module)
+            except TypeError as fx_err:
+                if example_input is None:
+                    raise TypeError(
+                        f"{fx_err} For forwards with data-dependent control "
+                        "flow, pass example_input= to freeze the traced "
+                        "branch (concrete torch.jit.trace fallback), or "
+                        "method='callback' to execute the torch forward "
+                        "eagerly on host (exact but slow; CPU backend)."
+                    ) from fx_err
+                fn = _from_torch_traced(module, example_input)
     template = [
         jnp.asarray(p.detach().cpu().numpy()) for p in module.parameters()
     ]

@@ -1672,3 +1672,161 @@ class TestTreePredictModel:
         with pytest.raises(TypeError, match="flat"):
             predict_model(model, tree_trace, test_loader=loader,
                           model_loss="regression", stream_batches=1)
+
+
+class TestBridgeCallback:
+    """method='callback': the universal bridge path — the torch forward
+    executes eagerly on host inside pure_callback, gradients via
+    torch.autograd in a custom_vjp.  This is the reference's own
+    universality mechanism (it executes any forward rather than translating
+    it — reference: hamiltorch/util.py:318-346), so ANY nn.Module works:
+    ops outside every translation table, data-dependent control flow, both
+    at once."""
+
+    def _weird_net(self):
+        """matrix_exp is in no fx/aten table; the branch is data-dependent
+        Python control flow — neither fx nor jit.trace-with-frozen-branch
+        represents this module faithfully."""
+        torch = pytest.importorskip("torch")
+        nn_t = torch.nn
+
+        class Weird(nn_t.Module):
+            def __init__(self):
+                super().__init__()
+                self.a = nn_t.Linear(4, 4)
+                self.b = nn_t.Linear(4, 2)
+
+            def forward(self, x):
+                h = self.a(x)
+                if h.sum().item() > 0.0:  # data-dependent branch
+                    h = torch.linalg.matrix_exp(h.T @ h / 16.0) @ h.T
+                    h = h.T
+                else:
+                    h = -h
+                return self.b(torch.tanh(h))
+
+        torch.manual_seed(7)
+        return Weird()
+
+    def test_forward_matches_torch_both_branches(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        net = self._weird_net()
+        apply_fn, template = from_torch_module(net, method="callback")
+        rng = np.random.default_rng(0)
+        for shift in (2.0, -2.0):  # drive both branches of the live forward
+            x = rng.standard_normal((3, 4)).astype(np.float32) + shift
+            with torch.no_grad():
+                ref = net(torch.tensor(x)).numpy()
+            got = np.asarray(apply_fn(template, jnp.asarray(x)))
+            np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-5)
+
+    def test_grads_match_torch_autograd(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        net = self._weird_net()
+        apply_fn, template = from_torch_module(net, method="callback")
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((3, 4)).astype(np.float32)
+        xj = jnp.asarray(x)
+
+        def loss(params):
+            return jnp.sum(apply_fn(params, xj) ** 2)
+
+        grads = jax.jit(jax.grad(loss))(template)
+
+        xt = torch.tensor(x)
+        out = net(xt)
+        (out**2).sum().backward()
+        for g, p in zip(grads, net.parameters()):
+            np.testing.assert_allclose(
+                np.asarray(g), p.grad.numpy(), rtol=1e-4, atol=1e-5
+            )
+
+    def test_sample_model_bridge_method(self):
+        pytest.importorskip("torch")
+        net = self._weird_net()
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((6, 4)).astype(np.float32)
+        y = rng.standard_normal((6, 2)).astype(np.float32)
+        trace = sample_model(
+            net, x, y, model_loss="regression", num_samples=8,
+            num_steps_per_sample=3, step_size=5e-3, burn=2, verbose=False,
+            key=jax.random.key(0), bridge_method="callback",
+        )
+        # façade convention: [init] + one entry per post-burn transition
+        assert trace.shape[0] == 6
+        assert np.isfinite(np.asarray(trace)).all()
+        # the chain must actually move (callback grads reached the sampler)
+        assert np.abs(np.asarray(trace[-1] - trace[0])).max() > 0
+
+    def test_vmap_chains_sequential(self):
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        net = self._weird_net()
+        apply_fn, template = from_torch_module(net, method="callback")
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((3, 4)).astype(np.float32))
+        stacked = [
+            jnp.stack([p, p + 0.01]) for p in template
+        ]  # two "chains"
+        outs = jax.vmap(lambda ps: apply_fn(list(ps), x))(stacked)
+        one = apply_fn([s[1] for s in stacked], x)
+        np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(one),
+                                   rtol=2e-5, atol=1e-6)
+
+    def test_integer_input_embedding(self):
+        torch = pytest.importorskip("torch")
+        nn_t = torch.nn
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Emb(nn_t.Module):
+            def __init__(self):
+                super().__init__()
+                self.e = nn_t.Embedding(5, 3)
+                self.l = nn_t.Linear(3, 2)
+
+            def forward(self, ix):
+                return self.l(self.e(ix)).mean(dim=1)
+
+        torch.manual_seed(0)
+        net = Emb()
+        apply_fn, template = from_torch_module(net, method="callback")
+        ix = jnp.asarray(np.array([[0, 3, 4], [1, 2, 2]], dtype=np.int32))
+
+        def loss(params):
+            return jnp.sum(apply_fn(params, ix))
+
+        grads = jax.jit(jax.grad(loss))(template)
+        it = torch.tensor(np.asarray(ix), dtype=torch.long)
+        net(it).sum().backward()
+        for g, p in zip(grads, net.parameters()):
+            np.testing.assert_allclose(
+                np.asarray(g), p.grad.numpy(), rtol=1e-5, atol=1e-6
+            )
+
+    def test_bad_method_rejected(self):
+        pytest.importorskip("torch")
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        with pytest.raises(ValueError, match="callback"):
+            from_torch_module(self._weird_net(), method="eager")
+
+    def test_error_messages_name_the_escape_hatch(self):
+        torch = pytest.importorskip("torch")
+        nn_t = torch.nn
+        from hamiltorch_tpu.models.interop import from_torch_module
+
+        class Exotic(nn_t.Module):
+            def __init__(self):
+                super().__init__()
+                self.l = nn_t.Linear(4, 4)
+
+            def forward(self, x):
+                return torch.linalg.matrix_exp(self.l(x))
+
+        with pytest.raises(TypeError, match="callback"):
+            from_torch_module(Exotic(), example_input=torch.zeros(4, 4))
