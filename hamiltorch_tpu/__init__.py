@@ -22,6 +22,14 @@ from .samplers.hmc import run_hmc, run_hmc_chains, run_hmc_host_offload
 from .samplers.chees import ChEESConfig, ChEESResult, run_chees
 from .samplers.nuts import NUTSConfig, run_nuts, run_nuts_chains, run_nuts_ensemble
 from .samplers.rmhmc import run_rmhmc, run_rmhmc_chains
+from .samplers.sgmcmc import (
+    SGHMCConfig,
+    SGLDConfig,
+    run_sghmc,
+    run_sghmc_chains,
+    run_sgld,
+    run_sgld_chains,
+)
 from .samplers.smc import SMCConfig, run_smc, smc_posterior_sample
 from .samplers.tempering import PTConfig, run_parallel_tempering, run_pt_chains
 from .utils.rng import next_key, set_random_seed
@@ -54,6 +62,12 @@ __all__ = [
     "SMCConfig",
     "run_smc",
     "smc_posterior_sample",
+    "SGLDConfig",
+    "SGHMCConfig",
+    "run_sgld",
+    "run_sgld_chains",
+    "run_sghmc",
+    "run_sghmc_chains",
     "MCMCConfig",
     "MCMCResult",
     "MCMCStats",

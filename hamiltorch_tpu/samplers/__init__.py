@@ -9,6 +9,15 @@ from .offload import (
     run_split_hmc_host_offload,
 )
 from .rmhmc import run_rmhmc, run_rmhmc_chains
+from .sgmcmc import (
+    SGHMCConfig,
+    SGLDConfig,
+    SGMCMCResult,
+    run_sghmc,
+    run_sghmc_chains,
+    run_sgld,
+    run_sgld_chains,
+)
 from .smc import SMCConfig, SMCResult, run_smc, smc_posterior_sample
 from .splitting import run_split_hmc, run_split_hmc_chains, run_split_hmc_stacked
 from .tempering import PTConfig, PTResult, run_parallel_tempering, run_pt_chains
@@ -47,6 +56,13 @@ __all__ = [
     "SMCResult",
     "run_smc",
     "smc_posterior_sample",
+    "SGLDConfig",
+    "SGHMCConfig",
+    "SGMCMCResult",
+    "run_sgld",
+    "run_sgld_chains",
+    "run_sghmc",
+    "run_sghmc_chains",
     "DualAveragingState",
     "da_init",
     "da_update",

@@ -1,0 +1,245 @@
+"""SG-MCMC tests: SGLD/pSGLD/SGHMC posterior recovery (pooled chains),
+chunked-resume bit-exactness, pytree states, the split-model term_fn
+protocol, divergence handling, and config validation.
+
+No reference counterpart — the reference's minibatch answer is split HMC
+(reference: hamiltorch/samplers.py:465-603); these samplers cover the
+one-minibatch-gradient-per-step regime with the SAME term_fn protocol.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hamiltorch_tpu.samplers.sgmcmc import (
+    SGHMCConfig,
+    SGLDConfig,
+    run_sghmc,
+    run_sghmc_chains,
+    run_sgld,
+    run_sgld_chains,
+)
+
+MU = jnp.array([1.0, -2.0, 0.5])
+S2 = jnp.array([0.5, 1.0, 2.0])
+
+
+def exact_term(t, m):
+    """Four identical terms summing to log N(MU, diag(S2)) — ghat is exact
+    (plain ULA / HMC dynamics), isolating the integrator from gradient
+    noise."""
+    return -0.125 * jnp.sum((t - MU) ** 2 / S2)
+
+
+_DELTA = jnp.array(
+    [[1.0, -1.0, 0.5], [-1.0, 1.0, -0.5], [0.5, 0.5, 1.0], [-0.5, -0.5, -1.0]]
+)
+_CS = MU + _DELTA  # term centers averaging to MU -> noisy minibatch grads
+
+
+def noisy_term(t, m):
+    return -0.125 * jnp.sum((t - _CS[m]) ** 2 / S2)
+
+
+class TestSGLDStatistics:
+    @pytest.mark.slow
+    def test_preconditioned_gaussian_recovery(self, key):
+        """inv_mass = S2 equalizes per-coordinate mixing; pooled chains
+        match the analytic posterior."""
+        cfg = SGLDConfig(num_samples=6000, step_size=0.02)
+        r = run_sgld_chains(key, exact_term, 4, MU, cfg, num_chains=8,
+                            inv_mass=S2)
+        assert r.samples.shape == (8, 6000, 3)
+        pooled = np.asarray(r.samples[:, 1000:]).reshape(-1, 3)
+        np.testing.assert_allclose(pooled.mean(0), np.asarray(MU), atol=0.12)
+        np.testing.assert_allclose(
+            pooled.std(0), np.sqrt(np.asarray(S2)), rtol=0.12
+        )
+        assert not bool(np.asarray(r.stats.divergent).any())
+
+    @pytest.mark.slow
+    def test_noisy_gradients_still_target_posterior(self, key):
+        """Distinct term centers: the minibatch gradient is genuinely
+        stochastic yet unbiased; means still land on MU."""
+        cfg = SGLDConfig(num_samples=8000, step_size=0.02)
+        r = run_sgld_chains(key, noisy_term, 4, MU, cfg, num_chains=8,
+                            inv_mass=S2)
+        pooled = np.asarray(r.samples[:, 2000:]).reshape(-1, 3)
+        np.testing.assert_allclose(pooled.mean(0), np.asarray(MU), atol=0.15)
+
+    @pytest.mark.slow
+    def test_psgld_rmsprop_preconditioner(self, key):
+        """pSGLD self-preconditions from the gradient-noise floor.  Loose
+        std tolerance: the omitted Gamma drift (module docstring) inflates
+        heavy-curvature tails for low-dim synthetic targets."""
+        cfg = SGLDConfig(num_samples=20000, step_size=8e-3, thin=2,
+                         preconditioner="rmsprop", rmsprop_eps=1e-2)
+        r = run_sgld_chains(key, noisy_term, 4, MU, cfg, num_chains=8)
+        pooled = np.asarray(r.samples[:, 2000:]).reshape(-1, 3)
+        np.testing.assert_allclose(pooled.mean(0), np.asarray(MU), atol=0.2)
+        np.testing.assert_allclose(
+            pooled.std(0), np.sqrt(np.asarray(S2)), rtol=0.35
+        )
+
+    def test_step_decay_schedule(self, key):
+        """decay_gamma > 0: recorded step sizes follow the polynomial
+        schedule exactly."""
+        cfg = SGLDConfig(num_samples=100, step_size=0.01, decay_gamma=0.55,
+                         decay_t0=10.0)
+        r = run_sgld(key, exact_term, 4, jnp.zeros(3), cfg)
+        t = np.arange(100, dtype=np.float32)
+        expect = 0.01 * (1.0 + t / 10.0) ** (-0.55)
+        np.testing.assert_allclose(np.asarray(r.stats.step_size), expect,
+                                   rtol=1e-5)
+
+
+class TestSGHMCStatistics:
+    @pytest.mark.slow
+    def test_gaussian_recovery(self, key):
+        cfg = SGHMCConfig(num_samples=6000, step_size=5e-3, friction=0.1)
+        r = run_sghmc_chains(key, exact_term, 4, MU, cfg, num_chains=8,
+                             inv_mass=S2)
+        pooled = np.asarray(r.samples[:, 1000:]).reshape(-1, 3)
+        np.testing.assert_allclose(pooled.mean(0), np.asarray(MU), atol=0.15)
+        np.testing.assert_allclose(
+            pooled.std(0), np.sqrt(np.asarray(S2)), rtol=0.2
+        )
+
+    @pytest.mark.slow
+    def test_momentum_resampling(self, key):
+        """resample_momentum_every breaks long-range momentum coherence;
+        the posterior is unchanged."""
+        cfg = SGHMCConfig(num_samples=6000, step_size=5e-3, friction=0.1,
+                          resample_momentum_every=50)
+        r = run_sghmc_chains(key, exact_term, 4, MU, cfg, num_chains=8,
+                             inv_mass=S2)
+        pooled = np.asarray(r.samples[:, 1000:]).reshape(-1, 3)
+        np.testing.assert_allclose(pooled.mean(0), np.asarray(MU), atol=0.15)
+
+
+class TestResume:
+    def test_sgld_chunked_resume_bit_exact(self, key):
+        full = SGLDConfig(num_samples=2000, step_size=0.02, thin=2)
+        half = SGLDConfig(num_samples=1000, step_size=0.02, thin=2)
+        r = run_sgld(key, exact_term, 4, jnp.zeros(3), full)
+        a = run_sgld(key, exact_term, 4, jnp.zeros(3), half)
+        b = run_sgld(key, exact_term, 4, a.final_theta, half,
+                     init_aux=a.final_aux, start_step=int(a.final_step))
+        joined = np.concatenate([np.asarray(a.samples), np.asarray(b.samples)])
+        np.testing.assert_array_equal(joined, np.asarray(r.samples))
+
+    def test_psgld_resume_carries_accumulator(self, key):
+        full = SGLDConfig(num_samples=400, step_size=5e-3,
+                          preconditioner="rmsprop", rmsprop_eps=1e-2)
+        half = SGLDConfig(num_samples=200, step_size=5e-3,
+                          preconditioner="rmsprop", rmsprop_eps=1e-2)
+        r = run_sgld(key, noisy_term, 4, MU, full)
+        a = run_sgld(key, noisy_term, 4, MU, half)
+        b = run_sgld(key, noisy_term, 4, a.final_theta, half,
+                     init_aux=a.final_aux, start_step=int(a.final_step))
+        joined = np.concatenate([np.asarray(a.samples), np.asarray(b.samples)])
+        np.testing.assert_array_equal(joined, np.asarray(r.samples))
+
+    def test_sghmc_resume_carries_momentum(self, key):
+        full = SGHMCConfig(num_samples=400, step_size=5e-3, friction=0.1)
+        half = SGHMCConfig(num_samples=200, step_size=5e-3, friction=0.1)
+        r = run_sghmc(key, exact_term, 4, MU, full)
+        a = run_sghmc(key, exact_term, 4, MU, half)
+        b = run_sghmc(key, exact_term, 4, a.final_theta, half,
+                      init_aux=a.final_aux, start_step=int(a.final_step))
+        joined = np.concatenate([np.asarray(a.samples), np.asarray(b.samples)])
+        np.testing.assert_array_equal(joined, np.asarray(r.samples))
+
+
+class TestPytreeAndData:
+    def test_pytree_state_and_data_operand(self, key):
+        data = {"mu": MU, "s2": S2}
+
+        def term_d(t, m, d):
+            return -0.125 * (
+                jnp.sum((t["a"] - d["mu"][0]) ** 2 / d["s2"][0])
+                + jnp.sum((t["b"] - d["mu"][1:]) ** 2 / d["s2"][1:])
+            )
+
+        t0 = {"a": jnp.zeros(()), "b": jnp.zeros(2)}
+        cfg = SGLDConfig(num_samples=6000, step_size=0.01)
+        r = run_sgld_chains(key, term_d, 4, t0, cfg, num_chains=8, data=data)
+        assert r.samples["a"].shape == (8, 6000)
+        assert r.samples["b"].shape == (8, 6000, 2)
+        a_mean = float(np.asarray(r.samples["a"][:, 2000:]).mean())
+        assert abs(a_mean - 1.0) < 0.15
+
+    def test_pytree_inv_mass_broadcast(self, key):
+        t0 = {"a": jnp.zeros(()), "b": jnp.zeros(2)}
+
+        def term_d(t, m):
+            return -0.125 * (
+                jnp.sum((t["a"] - MU[0]) ** 2) + jnp.sum((t["b"] - MU[1:]) ** 2)
+            )
+
+        cfg = SGHMCConfig(num_samples=200, step_size=5e-3, friction=0.1)
+        r = run_sghmc(key, term_d, 4, t0, cfg,
+                      inv_mass={"a": 1.0, "b": jnp.array([0.5, 2.0])})
+        assert r.samples["a"].shape == (200,)
+        assert r.samples["b"].shape == (200, 2)
+
+    def test_split_model_term_fn_protocol(self, key):
+        """define_split_model_log_prob output drives run_sgld directly —
+        the reference split-HMC workload moves over by swapping the runner
+        (reference: hamiltorch/samplers.py:1203-1258)."""
+        torch = pytest.importorskip("torch")
+        from hamiltorch_tpu.models.bnn import define_split_model_log_prob
+
+        torch.manual_seed(0)
+        net = torch.nn.Sequential(torch.nn.Linear(2, 8), torch.nn.Tanh(),
+                                  torch.nn.Linear(8, 1))
+        x = torch.randn(32, 2)
+        y = torch.randn(32, 1)
+        loader = [(x[i : i + 8], y[i : i + 8]) for i in range(0, 32, 8)]
+        term_fn, m, flat_init, _, data = define_split_model_log_prob(
+            net, "regression", loader, num_splits=4, verbose=False
+        )
+        cfg = SGLDConfig(num_samples=50, step_size=1e-4)
+        r = run_sgld(key, term_fn, m, flat_init, cfg, data=data)
+        assert r.samples.shape == (50, flat_init.shape[0])
+        assert bool(np.isfinite(np.asarray(r.samples)).all())
+
+
+class TestRobustness:
+    def test_nonfinite_step_is_rejected_not_raised(self, key):
+        """A term that overflows marks stats.divergent and keeps the last
+        finite state — divergences are data, never exceptions."""
+
+        def bad_term(t, m):
+            return -jnp.sum(jnp.exp(80.0 * t**2))  # inf gradient away from 0
+
+        cfg = SGLDConfig(num_samples=50, step_size=10.0)
+        r = run_sgld(key, bad_term, 2, jnp.ones(3), cfg)
+        assert bool(np.asarray(r.stats.divergent).any())
+        assert bool(np.isfinite(np.asarray(r.samples)).all())
+        assert bool(np.isfinite(np.asarray(r.final_theta)).all())
+
+    def test_validation(self, key):
+        with pytest.raises(ValueError, match="num_samples"):
+            SGLDConfig(num_samples=0, step_size=0.1)
+        with pytest.raises(ValueError, match="divisible"):
+            SGLDConfig(num_samples=10, step_size=0.1, thin=3)
+        with pytest.raises(ValueError, match="step_size"):
+            SGLDConfig(num_samples=10, step_size=-1.0)
+        with pytest.raises(ValueError, match="preconditioner"):
+            SGLDConfig(num_samples=10, step_size=0.1, preconditioner="adam")
+        with pytest.raises(ValueError, match="friction"):
+            SGHMCConfig(num_samples=10, step_size=0.1, friction=2.0)
+        with pytest.raises(ValueError, match="num_terms"):
+            run_sgld(key, exact_term, 0, jnp.zeros(3),
+                     SGLDConfig(num_samples=10, step_size=0.1))
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            run_sgld(key, exact_term, 4, jnp.zeros(3),
+                     SGLDConfig(num_samples=10, step_size=0.1,
+                                preconditioner="rmsprop"),
+                     inv_mass=jnp.ones(3))
+        with pytest.raises(ValueError, match="inv_mass shape"):
+            run_sgld(key, exact_term, 4, jnp.zeros(3),
+                     SGLDConfig(num_samples=10, step_size=0.1),
+                     inv_mass=jnp.ones(4))
