@@ -993,3 +993,135 @@ def sample_pt_sharded(
     )
     traj, alphas, swaps, carry_f = jax.jit(shard)(keys, theta0, x, y)
     return assemble_pt_ensemble_result(traj, alphas, swaps, carry_f, config)
+
+
+def _run_sgmcmc_sharded(jit_fn, key, term_shard_fn, log_prior_fn, num_terms,
+                        theta0, config, mesh, num_chains, data, inv_mass,
+                        what):
+    from ..samplers.sgmcmc import _prep
+    from ..utils.pytree import is_param_tree, stack_param_tree
+
+    tmap = jax.tree_util.tree_map
+    n_chain_shards = mesh.shape["chains"]
+    n_data_shards = mesh.shape["data"]
+    if num_chains % n_chain_shards:
+        raise ValueError(
+            f"{what}: num_chains={num_chains} not divisible by mesh "
+            f"chains={n_chain_shards}"
+        )
+    if data is None:
+        raise ValueError(
+            f"{what}: data is required (stacked (M, B, ...) term arrays; "
+            "the B axis shards over the mesh 'data' axis)"
+        )
+    data = tmap(jnp.asarray, data)
+    for leaf in jax.tree_util.tree_leaves(data):
+        if leaf.ndim < 2 or leaf.shape[1] % n_data_shards:
+            raise ValueError(
+                f"{what}: every data leaf must be (M, B, ...) with B "
+                f"divisible by mesh data={n_data_shards}; got {leaf.shape}"
+            )
+    if is_param_tree(theta0):
+        template, theta0 = stack_param_tree(theta0, num_chains)
+    else:
+        theta0 = jnp.asarray(theta0)
+        template = theta0 if theta0.ndim == 1 else theta0[0]
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    _, pre, _ = _prep(key, term_shard_fn, num_terms, template, config,
+                      inv_mass, None, what)
+    config = _warn_progress_ignored(config) if hasattr(config, "progress_every") else config
+    keys = jax.random.split(key, num_chains)
+
+    def local(keys_l, thetas_l, data_l):
+        return jax.vmap(
+            lambda k, t: jit_fn(k, t, term_shard_fn, num_terms, config, pre,
+                                data_l, None, 0, "data", log_prior_fn)
+        )(keys_l, thetas_l)
+
+    # psum-free stand-in for output shapes (psum can't trace outside the
+    # mesh context shard_map provides); shapes don't depend on the axis.
+    local_chains = num_chains // n_chain_shards
+    theta_local = tmap(lambda l: l[:local_chains], theta0)
+    data_local = tmap(
+        lambda l: l[:, : l.shape[1] // n_data_shards], data
+    )
+    out_specs = _leading_axis_specs(
+        jax.eval_shape(
+            lambda k, t, d: jax.vmap(
+                lambda kk, tt: jit_fn(kk, tt, term_shard_fn, num_terms,
+                                      config, pre, d, None, 0, None,
+                                      log_prior_fn)
+            )(k, t),
+            keys[:local_chains], theta_local, data_local,
+        ),
+        "chains",
+    )
+    data_specs = tmap(
+        lambda l: P(*((None, "data") + (None,) * (l.ndim - 2))), data
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("chains"), _chain_leaf_specs("chains", theta0), data_specs),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(shard)(keys, theta0, data)
+
+
+def run_sgld_sharded(
+    key,
+    term_shard_fn: Callable,
+    log_prior_fn: Callable,
+    num_terms: int,
+    theta0,
+    config,  # SGLDConfig
+    mesh: Mesh,
+    num_chains: int,
+    data,
+    inv_mass=None,
+):
+    """SGLD chains sharded over 'chains' with the minibatch gradient
+    data-parallel over 'data'.
+
+    ``term_shard_fn(theta, m, data_shard)`` returns its device's SLICE of
+    term m's log-likelihood (data leaves are (M, B, ...) arrays whose B
+    axis shards over the mesh); the gradient estimate is ``num_terms *
+    psum(grad ll_shard) + grad log_prior`` — the prior enters once,
+    locally, NOT through the psum.  Chain keys replicate along 'data', so
+    every member of a data-shard group draws the same term index and
+    noise: chains stay in lockstep and the result equals the local
+    :func:`~..samplers.sgmcmc.run_sgld_chains` run whose term is
+    ``ll_full_term + log_prior / num_terms`` (up to f32 summation order).
+
+    One gradient-tree psum per step rides ICI; everything else is local.
+    """
+    from ..samplers.sgmcmc import _run_sgld_jit
+
+    return _run_sgmcmc_sharded(
+        _run_sgld_jit, key, term_shard_fn, log_prior_fn, num_terms, theta0,
+        config, mesh, num_chains, data, inv_mass, "run_sgld_sharded"
+    )
+
+
+def run_sghmc_sharded(
+    key,
+    term_shard_fn: Callable,
+    log_prior_fn: Callable,
+    num_terms: int,
+    theta0,
+    config,  # SGHMCConfig
+    mesh: Mesh,
+    num_chains: int,
+    data,
+    inv_mass=None,
+):
+    """SGHMC chains sharded over 'chains' x data-parallel minibatch
+    gradients — the same contract as :func:`run_sgld_sharded`."""
+    from ..samplers.sgmcmc import _run_sghmc_jit
+
+    return _run_sgmcmc_sharded(
+        _run_sghmc_jit, key, term_shard_fn, log_prior_fn, num_terms, theta0,
+        config, mesh, num_chains, data, inv_mass, "run_sghmc_sharded"
+    )

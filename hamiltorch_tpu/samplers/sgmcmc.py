@@ -187,8 +187,14 @@ def _resolve_precond(inv_mass, theta0, what: str):
                  theta0, inv_mass)
 
 
-def _make_ghat(term_fn, num_terms: int, data):
-    """Unbiased grad-log-posterior estimate from one uniform term index."""
+def _make_ghat(term_fn, num_terms: int, data, psum_axis=None, prior_fn=None):
+    """Unbiased grad-log-posterior estimate from one uniform term index.
+
+    With ``psum_axis`` (inside shard_map), ``term_fn`` sees only its
+    device's batch shard and the term gradient is psum-completed across
+    the axis BEFORE the ``num_terms`` scaling; ``prior_fn`` then enters
+    once, locally (each device holds the full replicated theta) — the
+    prior must NOT ride the psum or it is counted once per device."""
     if data is None:
         term = term_fn
     else:
@@ -197,7 +203,13 @@ def _make_ghat(term_fn, num_terms: int, data):
 
     def ghat(theta, m):
         g = jax.grad(term)(theta, m)
-        return _tmap(lambda l: scale * l, g)
+        if psum_axis is not None:
+            g = jax.lax.psum(g, psum_axis)
+        g = _tmap(lambda l: scale * l, g)
+        if prior_fn is not None:
+            gp = jax.grad(prior_fn)(theta)
+            g = _tmap(jnp.add, g, gp)
+        return g
 
     return ghat
 
@@ -220,10 +232,12 @@ def _finite_select(new_tree, old_tree):
     return sel, ok
 
 
-@partial(jax.jit, static_argnames=("term_fn", "num_terms", "config"))
+@partial(jax.jit, static_argnames=("term_fn", "num_terms", "config",
+                                   "psum_axis", "prior_fn"))
 def _run_sgld_jit(key, theta0, term_fn, num_terms, config: SGLDConfig,
-                  pre=None, data=None, init_aux=None, start_step=0):
-    ghat = _make_ghat(term_fn, num_terms, data)
+                  pre=None, data=None, init_aux=None, start_step=0,
+                  psum_axis=None, prior_fn=None):
+    ghat = _make_ghat(term_fn, num_terms, data, psum_axis, prior_fn)
     rmsprop = config.preconditioner == "rmsprop"
     temp = config.temperature
     n_kept = config.num_samples // config.thin
@@ -295,10 +309,12 @@ def _run_sgld_jit(key, theta0, term_fn, num_terms, config: SGLDConfig,
     )
 
 
-@partial(jax.jit, static_argnames=("term_fn", "num_terms", "config"))
+@partial(jax.jit, static_argnames=("term_fn", "num_terms", "config",
+                                   "psum_axis", "prior_fn"))
 def _run_sghmc_jit(key, theta0, term_fn, num_terms, config: SGHMCConfig,
-                   pre=None, data=None, init_aux=None, start_step=0):
-    ghat = _make_ghat(term_fn, num_terms, data)
+                   pre=None, data=None, init_aux=None, start_step=0,
+                   psum_axis=None, prior_fn=None):
+    ghat = _make_ghat(term_fn, num_terms, data, psum_axis, prior_fn)
     eps = config.step_size
     alpha = config.friction
     temp = config.temperature

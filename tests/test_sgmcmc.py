@@ -206,6 +206,109 @@ class TestPytreeAndData:
         assert bool(np.isfinite(np.asarray(r.samples)).all())
 
 
+class TestShardedSGMCMC:
+    """chains x data mesh: the minibatch gradient is psum-completed across
+    the 'data' axis; sharded == local (same keys) up to f32 summation
+    order."""
+
+    def setup_method(self, _):
+        rng = np.random.RandomState(3)
+        self.xs = jnp.asarray(rng.randn(4, 16, 3).astype(np.float32))
+        w = np.array([1.0, -2.0, 0.5], np.float32)
+        self.ys = jnp.asarray(
+            (np.asarray(self.xs) @ w + 0.1 * rng.randn(4, 16)).astype(np.float32)
+        )
+        self.data = (self.xs, self.ys)
+
+    @staticmethod
+    def term_shard(theta, m, d):
+        xs, ys = d
+        return -0.5 * jnp.sum((xs[m] @ theta - ys[m]) ** 2)
+
+    @staticmethod
+    def log_prior(theta):
+        return -0.5 * jnp.dot(theta, theta)
+
+    def term_local(self, theta, m, d):
+        return self.term_shard(theta, m, d) + self.log_prior(theta) / 4.0
+
+    def test_sgld_sharded_matches_local(self, key):
+        from hamiltorch_tpu.parallel.sharding import make_mesh, run_sgld_sharded
+
+        cfg = SGLDConfig(num_samples=50, step_size=1e-3)
+        mesh = make_mesh(chains=2, data=4)
+        r_shard = run_sgld_sharded(key, self.term_shard, self.log_prior, 4,
+                                   jnp.zeros(3), cfg, mesh, num_chains=4,
+                                   data=self.data)
+        r_local = run_sgld_chains(key, self.term_local, 4, jnp.zeros(3), cfg,
+                                  num_chains=4, data=self.data)
+        assert r_shard.samples.shape == (4, 50, 3)
+        np.testing.assert_allclose(np.asarray(r_shard.samples),
+                                   np.asarray(r_local.samples), atol=1e-4)
+
+    def test_sghmc_sharded_matches_local(self, key):
+        from hamiltorch_tpu.parallel.sharding import make_mesh, run_sghmc_sharded
+
+        cfg = SGHMCConfig(num_samples=50, step_size=1e-3, friction=0.1)
+        mesh = make_mesh(chains=4, data=2)
+        r_shard = run_sghmc_sharded(key, self.term_shard, self.log_prior, 4,
+                                    jnp.zeros(3), cfg, mesh, num_chains=4,
+                                    data=self.data)
+        r_local = run_sghmc_chains(key, self.term_local, 4, jnp.zeros(3), cfg,
+                                   num_chains=4, data=self.data)
+        np.testing.assert_allclose(np.asarray(r_shard.samples),
+                                   np.asarray(r_local.samples), atol=1e-4)
+
+    @pytest.mark.slow
+    def test_sgld_sharded_posterior_concentrates(self, key):
+        from hamiltorch_tpu.parallel.sharding import make_mesh, run_sgld_sharded
+
+        cfg = SGLDConfig(num_samples=4000, step_size=2e-3)
+        mesh = make_mesh(chains=2, data=4)
+        r = run_sgld_sharded(key, self.term_shard, self.log_prior, 4,
+                             jnp.zeros(3), cfg, mesh, num_chains=4,
+                             data=self.data)
+        post = np.asarray(r.samples[:, 1000:]).reshape(-1, 3).mean(0)
+        np.testing.assert_allclose(post, [1.0, -2.0, 0.5], atol=0.15)
+
+    def test_pytree_theta_sharded(self, key):
+        from hamiltorch_tpu.parallel.sharding import make_mesh, run_sgld_sharded
+
+        def term_tree(theta, m, d):
+            xs, ys = d
+            return -0.5 * jnp.sum(
+                (xs[m] @ theta["w"] + theta["b"] - ys[m]) ** 2
+            )
+
+        def prior_tree(theta):
+            return -0.5 * (jnp.dot(theta["w"], theta["w"]) + theta["b"] ** 2)
+
+        cfg = SGLDConfig(num_samples=20, step_size=1e-3)
+        mesh = make_mesh(chains=2, data=4)
+        t0 = {"w": jnp.zeros(3), "b": jnp.zeros(())}
+        r = run_sgld_sharded(key, term_tree, prior_tree, 4, t0, cfg, mesh,
+                             num_chains=4, data=self.data)
+        assert r.samples["w"].shape == (4, 20, 3)
+        assert r.samples["b"].shape == (4, 20)
+
+    def test_validation(self, key):
+        from hamiltorch_tpu.parallel.sharding import make_mesh, run_sgld_sharded
+
+        cfg = SGLDConfig(num_samples=10, step_size=1e-3)
+        mesh = make_mesh(chains=2, data=4)
+        with pytest.raises(ValueError, match="not divisible"):
+            run_sgld_sharded(key, self.term_shard, self.log_prior, 4,
+                             jnp.zeros(3), cfg, mesh, num_chains=3,
+                             data=self.data)
+        with pytest.raises(ValueError, match="data is required"):
+            run_sgld_sharded(key, self.term_shard, self.log_prior, 4,
+                             jnp.zeros(3), cfg, mesh, num_chains=4, data=None)
+        bad = (self.xs[:, :15], self.ys[:, :15])
+        with pytest.raises(ValueError, match="divisible by mesh data"):
+            run_sgld_sharded(key, self.term_shard, self.log_prior, 4,
+                             jnp.zeros(3), cfg, mesh, num_chains=4, data=bad)
+
+
 class TestRobustness:
     def test_nonfinite_step_is_rejected_not_raised(self, key):
         """A term that overflows marks stats.divergent and keeps the last
