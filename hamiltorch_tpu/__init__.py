@@ -32,6 +32,7 @@ from .samplers.sgmcmc import (
 )
 from .samplers.smc import SMCConfig, run_smc, smc_posterior_sample
 from .samplers.tempering import PTConfig, run_parallel_tempering, run_pt_chains
+from .optim import MAPResult, map_estimate
 from .utils.rng import next_key, set_random_seed
 
 __all__ = [
@@ -68,6 +69,8 @@ __all__ = [
     "run_sgld_chains",
     "run_sghmc",
     "run_sghmc_chains",
+    "map_estimate",
+    "MAPResult",
     "MCMCConfig",
     "MCMCResult",
     "MCMCStats",

@@ -1384,3 +1384,117 @@ def run_chees_checkpointed(
         final_trajectory_length=jnp.exp(carry.log_t),
         final_carry=carry,
     )
+
+
+def run_sgld_checkpointed(
+    key,
+    term_fn: Callable,
+    num_terms: int,
+    theta0,
+    config,  # SGLDConfig
+    ckpt_dir: str,
+    chunk_size: int = 1000,
+    inv_mass=None,
+    data=None,
+    resume: bool = True,
+):
+    """SGLD with per-chunk checkpointing — the SG-MCMC long-run driver.
+
+    ``chunk_size`` counts TRANSITIONS (``config.num_samples`` units;
+    rounded to a ``thin`` multiple).  Per-step RNG folds the GLOBAL step
+    index, so the assembled trace is bit-identical to one straight
+    :func:`~.samplers.sgmcmc.run_sgld` call with the same key.
+    """
+    return _run_sgmcmc_checkpointed(
+        "sgld", key, term_fn, num_terms, theta0, config, ckpt_dir,
+        chunk_size, inv_mass, data, resume
+    )
+
+
+def run_sghmc_checkpointed(
+    key,
+    term_fn: Callable,
+    num_terms: int,
+    theta0,
+    config,  # SGHMCConfig
+    ckpt_dir: str,
+    chunk_size: int = 1000,
+    inv_mass=None,
+    data=None,
+    resume: bool = True,
+):
+    """SGHMC with per-chunk checkpointing (the momentum rides the state
+    file) — same contract as :func:`run_sgld_checkpointed`."""
+    return _run_sgmcmc_checkpointed(
+        "sghmc", key, term_fn, num_terms, theta0, config, ckpt_dir,
+        chunk_size, inv_mass, data, resume
+    )
+
+
+def _run_sgmcmc_checkpointed(which, key, term_fn, num_terms, theta0, config,
+                             ckpt_dir, chunk_size, inv_mass, data, resume):
+    from .samplers.sgmcmc import (
+        SGMCMCResult,
+        SGMCMCStats,
+        _prep,
+        _run_sghmc_jit,
+        _run_sgld_jit,
+    )
+
+    theta0, pre, data = _prep(
+        key, term_fn, num_terms, theta0, config, inv_mass, data,
+        f"run_{which}_checkpointed",
+    )
+    jit_fn = _run_sgld_jit if which == "sgld" else _run_sghmc_jit
+    # aux: rmsprop accumulator / momentum — zeros template; plain SGLD
+    # carries None (no leaves in the state file, structure from template)
+    if which == "sghmc" or getattr(config, "preconditioner", "none") == "rmsprop":
+        aux0 = jax.tree_util.tree_map(jnp.zeros_like, theta0)
+    else:
+        aux0 = None
+    template = (theta0, aux0)
+
+    def init_carry_fn():
+        return (theta0, aux0)
+
+    def chunk_runner(k, carry, n_done, cfg):
+        theta, aux = carry
+        result = jit_fn(k, theta, term_fn, num_terms, cfg, pre, data,
+                        aux, n_done)
+        return result, (result.final_theta, result.final_aux)
+
+    def save_chunk(result):
+        out = {"samples": result.samples}
+        out.update(
+            {f: getattr(result.stats, f) for f in SGMCMCStats._fields}
+        )
+        return out
+
+    fp = _fingerprint(config, theta0, extra=(which, num_terms))
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, fp, save_chunk,
+    )
+
+    kept = config.num_samples // max(config.thin, 1)
+
+    def cat(name):
+        if name not in zs[0].files and f"{name}__leaf_0" in zs[0].files:
+            tdef = jax.tree_util.tree_structure(carry[0])
+            leaves = [
+                jnp.asarray(
+                    np.concatenate([z[f"{name}__leaf_{i}"] for z in zs])
+                )[:kept]
+                for i in range(tdef.num_leaves)
+            ]
+            return jax.tree_util.tree_unflatten(tdef, leaves)
+        return jnp.asarray(np.concatenate([z[name] for z in zs]))[:kept]
+
+    stats = SGMCMCStats(**{f: cat(f) for f in SGMCMCStats._fields})
+    return SGMCMCResult(
+        samples=cat("samples"),
+        stats=stats,
+        final_theta=carry[0],
+        final_aux=carry[1],
+        final_step=jnp.asarray(config.num_samples, jnp.int32),
+    )

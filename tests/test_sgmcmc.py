@@ -206,6 +206,68 @@ class TestPytreeAndData:
         assert bool(np.isfinite(np.asarray(r.samples)).all())
 
 
+class TestCheckpointedSGMCMC:
+    def test_sgld_chunked_bit_exact_and_resume(self, key, tmp_path):
+        """Checkpointed == straight (global-step RNG folding), and an
+        interrupted run resumed from the state file is bitwise equal."""
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_sgld_checkpointed
+
+        cfg = SGLDConfig(num_samples=300, step_size=0.02, thin=3)
+        r = run_sgld(key, exact_term, 4, jnp.zeros(3), cfg)
+        r_ck = run_sgld_checkpointed(
+            key, exact_term, 4, jnp.zeros(3), cfg, str(tmp_path / "a"),
+            chunk_size=90,
+        )
+        np.testing.assert_array_equal(np.asarray(r.samples),
+                                      np.asarray(r_ck.samples))
+        np.testing.assert_array_equal(np.asarray(r.stats.step_size),
+                                      np.asarray(r_ck.stats.step_size))
+        half = dataclasses.replace(cfg, num_samples=120)
+        run_sgld_checkpointed(key, exact_term, 4, jnp.zeros(3), half,
+                              str(tmp_path / "b"), chunk_size=90)
+        r_res = run_sgld_checkpointed(key, exact_term, 4, jnp.zeros(3), cfg,
+                                      str(tmp_path / "b"), chunk_size=90)
+        np.testing.assert_array_equal(np.asarray(r.samples),
+                                      np.asarray(r_res.samples))
+
+    def test_psgld_pytree_checkpointed(self, key, tmp_path):
+        """The RMSProp accumulator rides the state file; pytree states
+        chunk per leaf."""
+        from hamiltorch_tpu.checkpoint import run_sgld_checkpointed
+
+        def term_tree(t, m):
+            return -0.125 * (
+                jnp.sum((t["a"] - MU[0]) ** 2) + jnp.sum((t["b"] - MU[1:]) ** 2)
+            )
+
+        t0 = {"a": jnp.zeros(()), "b": jnp.zeros(2)}
+        cfg = SGLDConfig(num_samples=200, step_size=5e-3,
+                         preconditioner="rmsprop", rmsprop_eps=1e-2)
+        r = run_sgld(key, term_tree, 4, t0, cfg)
+        r_ck = run_sgld_checkpointed(key, term_tree, 4, t0, cfg,
+                                     str(tmp_path / "t"), chunk_size=50)
+        for a, b in zip(jax.tree_util.tree_leaves(r.samples),
+                        jax.tree_util.tree_leaves(r_ck.samples)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(r.final_aux),
+                        jax.tree_util.tree_leaves(r_ck.final_aux)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_sghmc_momentum_rides_state_file(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_sghmc_checkpointed
+
+        cfg = SGHMCConfig(num_samples=200, step_size=5e-3, friction=0.1)
+        r = run_sghmc(key, exact_term, 4, MU, cfg)
+        r_ck = run_sghmc_checkpointed(key, exact_term, 4, MU, cfg,
+                                      str(tmp_path / "h"), chunk_size=60)
+        np.testing.assert_array_equal(np.asarray(r.samples),
+                                      np.asarray(r_ck.samples))
+        np.testing.assert_array_equal(np.asarray(r.final_aux),
+                                      np.asarray(r_ck.final_aux))
+
+
 class TestShardedSGMCMC:
     """chains x data mesh: the minibatch gradient is psum-completed across
     the 'data' axis; sharded == local (same keys) up to f32 summation
