@@ -32,7 +32,16 @@ from .samplers.sgmcmc import (
 )
 from .samplers.smc import SMCConfig, run_smc, smc_posterior_sample
 from .samplers.tempering import PTConfig, run_parallel_tempering, run_pt_chains
-from .optim import MAPResult, map_estimate
+from .optim import (
+    ADVIResult,
+    LaplaceResult,
+    MAPResult,
+    advi,
+    advi_sample,
+    laplace_approx,
+    laplace_sample,
+    map_estimate,
+)
 from .utils.rng import next_key, set_random_seed
 
 __all__ = [
@@ -71,6 +80,12 @@ __all__ = [
     "run_sghmc_chains",
     "map_estimate",
     "MAPResult",
+    "laplace_approx",
+    "laplace_sample",
+    "LaplaceResult",
+    "advi",
+    "advi_sample",
+    "ADVIResult",
     "MCMCConfig",
     "MCMCResult",
     "MCMCStats",

@@ -130,20 +130,28 @@ def make_metric_fn(
     log_prob_fn: Callable[[jnp.ndarray], jnp.ndarray],
     opts: RMOptions,
 ) -> Callable[[jnp.ndarray, Optional[jnp.ndarray]], MetricResult]:
-    """Build G(theta); ``jitter_u`` is the per-transition U(0,1) vector."""
+    """Build G(theta); ``jitter_u`` is the per-transition U(0,1) vector.
+
+    The metric is computed under float32 matmul precision: TPU f32
+    matmuls default to single-bf16 passes (measured on v5e to quantize
+    the Hessian of even a 2x2 quadratic to bf16 values), and a corrupted
+    G enters the STATIONARY density through its logdet — unlike gradient
+    noise, MH cannot correct it.  The per-step cost is negligible next to
+    the eigh/cholesky the metric already pays."""
 
     def metric_fn(theta: jnp.ndarray, jitter_u: Optional[jnp.ndarray]) -> MetricResult:
-        if opts.metric == Metric.JACOBIAN_DIAG:
-            g_vec = jax.grad(log_prob_fn)(theta)
-            fish = jnp.diag(g_vec * g_vec)
-        else:
-            fish = -jax.hessian(log_prob_fn)(theta)
-        if opts.jitter is not None and jitter_u is not None:
-            fish = fish + jnp.diag(jitter_u * opts.jitter)
-        if opts.metric == Metric.SOFTABS:
-            fish, abs_eigs = softabs_transform(fish, opts.softabs_const)
-            return MetricResult(fish, abs_eigs)
-        return MetricResult(fish, None)
+        with jax.default_matmul_precision("float32"):
+            if opts.metric == Metric.JACOBIAN_DIAG:
+                g_vec = jax.grad(log_prob_fn)(theta)
+                fish = jnp.diag(g_vec * g_vec)
+            else:
+                fish = -jax.hessian(log_prob_fn)(theta)
+            if opts.jitter is not None and jitter_u is not None:
+                fish = fish + jnp.diag(jitter_u * opts.jitter)
+            if opts.metric == Metric.SOFTABS:
+                fish, abs_eigs = softabs_transform(fish, opts.softabs_const)
+                return MetricResult(fish, abs_eigs)
+            return MetricResult(fish, None)
 
     return metric_fn
 

@@ -1,4 +1,4 @@
-"""MAP estimation / chain warm-starting.
+"""MAP estimation, Laplace approximation, and chain warm-starting.
 
 The reference has no optimizer in the package — its notebooks find MAP
 inits with hand-rolled torch training loops before calling ``sample_model``
@@ -118,3 +118,235 @@ def map_estimate(
         fn = log_prob_fn
     theta0 = _tmap(jnp.asarray, theta0)
     return _map_jit(theta0, fn, optimizer, num_steps, data)
+
+
+class LaplaceResult(NamedTuple):
+    """Gaussian approximation N(mean, cov) of the posterior at a mode."""
+
+    mean: jnp.ndarray  # flat (D,) mode (ravel of a pytree theta_map)
+    cov: jnp.ndarray  # (D, D) posterior covariance (PD-projected)
+    prec: jnp.ndarray  # (D, D) precision = clipped negative Hessian
+    log_evidence: jnp.ndarray  # Laplace log Z: lp(mode) + D/2 log 2pi - logdet(prec)/2
+    unravel: object  # flat -> original theta structure (None for flat modes)
+
+
+def laplace_approx(
+    log_prob_fn: Callable,
+    theta_map,
+    data=None,
+    min_eig_ratio: float = 1e-8,
+) -> LaplaceResult:
+    """Laplace (Gaussian) approximation of the posterior around a mode.
+
+    Complements :func:`map_estimate`: fit the mode, then approximate the
+    local curvature.  Three production uses —
+
+    * ``log_evidence``: the Laplace model-evidence estimate
+      ``lp(mode) + D/2 log 2pi - 0.5 logdet(-H)`` — the cheap counterpart
+      of the SMC evidence (``run_smc``) for model comparison;
+    * ``jnp.diag(cov)`` (or the dense ``cov``) as ``inv_mass`` — a
+      curvature-matched (pre)conditioner for any sampler here;
+    * :func:`laplace_sample` for instant approximate posterior draws.
+
+    The negative Hessian is symmetrized and its spectrum clipped to
+    ``min_eig_ratio * max_eig`` (a mode on a flat/indefinite direction
+    would otherwise have no Gaussian), mirroring the softabs degeneracy
+    handling in ops/metrics.py.  ``theta_map`` may be flat or a pytree
+    (``unravel`` maps draws back).  Accepts the same potential forms as
+    :func:`map_estimate`.  O(D^2) memory / O(D^3) eigh — for full-network
+    BNN posteriors prefer the samplers; this is for the low-dimensional /
+    last-layer / model-comparison regimes.
+
+    reference: no counterpart in hamiltorch; included because MAP +
+    curvature warm starts are the notebooks' manual workflow endpoint.
+    """
+    from .ops.potential import resolve_potential
+
+    if data is None:
+        fn, data = resolve_potential(log_prob_fn)
+    else:
+        fn = log_prob_fn
+    lp = fn if data is None else (lambda t: fn(t, data))
+
+    from .utils.pytree import ravel_pytree_fn
+
+    theta_map = _tmap(jnp.asarray, theta_map)
+    if hasattr(theta_map, "ndim"):
+        flat0, unravel = theta_map, None
+        lp_flat = lp
+    else:
+        flat0, unravel = ravel_pytree_fn(theta_map)
+        lp_flat = lambda v: lp(unravel(v))
+    d = int(flat0.shape[0])
+
+    # TPU f32 matmuls default to bf16 passes (~1% error) — measured to
+    # corrupt the Hessian of even a 2x2 quadratic (eigenvalues came back
+    # bf16-quantized on v5e).  Curvature is a second derivative: force
+    # float32 matmuls for the Hessian, the potential value, and the
+    # eigenvector reconstructions.
+    with jax.default_matmul_precision("float32"):
+        h = jax.hessian(lp_flat)(flat0)
+        neg_h = -0.5 * (h + h.T)  # symmetrize; precision candidate
+        eigs, vecs = jnp.linalg.eigh(neg_h)
+        floor = jnp.maximum(jnp.max(eigs), 0.0) * min_eig_ratio + 1e-30
+        eigs_c = jnp.maximum(eigs, floor)
+        mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+        prec = mm(vecs * eigs_c, vecs.T)
+        cov = mm(vecs / eigs_c, vecs.T)
+        log_det_prec = jnp.sum(jnp.log(eigs_c))
+        log_z = (
+            lp_flat(flat0)
+            + 0.5 * d * jnp.log(2.0 * jnp.pi)
+            - 0.5 * log_det_prec
+        )
+    return LaplaceResult(mean=flat0, cov=cov, prec=prec,
+                         log_evidence=log_z, unravel=unravel)
+
+
+def laplace_sample(key, result: LaplaceResult, num_samples: int):
+    """Draws from the Laplace Gaussian; pytree modes come back as stacked
+    pytrees (leading ``num_samples`` axis), flat modes as (N, D)."""
+    chol = jnp.linalg.cholesky(result.cov)
+    z = jax.random.normal(key, (num_samples, result.mean.shape[0]),
+                          result.mean.dtype)
+    flat = result.mean[None, :] + jnp.matmul(
+        z, chol.T, precision=jax.lax.Precision.HIGHEST
+    )
+    if result.unravel is None:
+        return flat
+    return jax.vmap(result.unravel)(flat)
+
+
+class ADVIResult(NamedTuple):
+    """Mean-field Gaussian fit q = N(mean, diag(exp(2 log_std)))."""
+
+    mean: jnp.ndarray  # flat (D,) variational mean
+    log_std: jnp.ndarray  # flat (D,) variational log-stddev
+    elbo_trace: jnp.ndarray  # (num_steps,) one-sample ELBO estimates
+    elbo: jnp.ndarray  # mean of the last 10% of the trace
+    unravel: object  # flat -> original theta structure (None for flat)
+
+
+@partial(jax.jit, static_argnames=("fn", "opt", "num_steps", "num_mc"))
+def _advi_jit(key, mean0, log_std0, fn, opt, num_steps, num_mc, data=None):
+    if data is None:
+        lp = fn
+    else:
+        lp = lambda t: fn(t, data)
+    d = mean0.shape[0]
+
+    def neg_elbo(params, k):
+        mean, log_std = params
+        z = jax.random.normal(k, (num_mc, d), mean.dtype)
+        theta = mean[None, :] + jnp.exp(log_std)[None, :] * z
+        e_lp = jnp.mean(jax.vmap(lp)(theta))
+        entropy = jnp.sum(log_std) + 0.5 * d * (1.0 + jnp.log(2 * jnp.pi))
+        return -(e_lp + entropy)
+
+    vg = jax.value_and_grad(neg_elbo)
+    params0 = (mean0, log_std0)
+    opt_state = opt.init(params0)
+    # tail-averaged iterates: the SGD-converged fit wanders around the
+    # optimum under MC-gradient noise; Polyak-style averaging of the last
+    # 10% of steps is the standard variance killer
+    tail = max(num_steps // 10, 1)
+    cutoff = num_steps - tail
+
+    def step(carry, i):
+        params, ostate, acc = carry
+        v, g = vg(params, jax.random.fold_in(key, i))
+        updates, ostate_new = opt.update(g, ostate, params)
+        new = _tmap(lambda p, u: p + u, params, updates)
+        ok = jnp.logical_and(
+            _all_finite(new), jnp.isfinite(v)
+        )
+        params = _tmap(lambda n, o: jnp.where(ok, n, o), new, params)
+        ostate = _tmap(lambda n, o: jnp.where(ok, n, o), ostate_new, ostate)
+        in_tail = (i >= cutoff).astype(mean0.dtype)
+        acc = _tmap(lambda a, p: a + in_tail * p, acc, params)
+        return (params, ostate, acc), -v
+
+    acc0 = _tmap(jnp.zeros_like, params0)
+    (_, _, acc), elbos = jax.lax.scan(
+        step, (params0, opt_state, acc0), jnp.arange(num_steps)
+    )
+    params = _tmap(lambda a: a / tail, acc)
+    return params[0], params[1], elbos, jnp.mean(elbos[-tail:])
+
+
+def advi(
+    log_prob_fn: Callable,
+    theta0,
+    num_steps: int = 2000,
+    learning_rate: float = 1e-2,
+    num_mc_samples: int = 4,
+    init_log_std: float = -2.0,
+    optimizer=None,
+    data=None,
+    key=None,
+) -> ADVIResult:
+    """Mean-field ADVI (Kucukelbir et al. 2017): maximize the ELBO of a
+    diagonal Gaussian q over the same potentials the samplers take.
+
+    The third rung of the approximate ladder here — MAP point
+    (:func:`map_estimate`), local curvature (:func:`laplace_approx`), and
+    this: a GLOBAL diagonal fit by stochastic optimization, robust where
+    the Hessian is indefinite or too big for eigh.  Production uses:
+    ``exp(2 * log_std)`` as the diagonal ``inv_mass`` (the same estimate
+    Stan's warmup converges to), ``mean`` as a chain init, and
+    :func:`advi_sample` for instant approximate draws.
+
+    Reparameterization gradients (``theta = mean + exp(log_std) * z``)
+    with ``num_mc_samples`` draws per step, one jitted scan, non-finite
+    steps rejected branchlessly.  ``theta0`` may be flat or a pytree.
+
+    reference: no counterpart in hamiltorch (its approximate story ends
+    at minibatch splitting); included as the standard VI baseline every
+    production PPL ships.
+    """
+    if num_steps < 1:
+        raise ValueError(f"num_steps={num_steps}; must be >= 1")
+    if num_mc_samples < 1:
+        raise ValueError(f"num_mc_samples={num_mc_samples}; must be >= 1")
+    import optax
+
+    if optimizer is None:
+        optimizer = optax.adam(learning_rate)
+    from .ops.potential import resolve_potential
+    from .utils.pytree import ravel_pytree_fn
+
+    if data is None:
+        fn, data = resolve_potential(log_prob_fn)
+    else:
+        fn = log_prob_fn
+    theta0 = _tmap(jnp.asarray, theta0)
+    if hasattr(theta0, "ndim"):
+        flat0, unravel = theta0, None
+        lp_flat = fn
+    else:
+        flat0, unravel = ravel_pytree_fn(theta0)
+        raw = fn
+        if data is None:
+            lp_flat = lambda v: raw(unravel(v))
+        else:
+            lp_flat = lambda v, d: raw(unravel(v), d)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    log_std0 = jnp.full_like(flat0, init_log_std)
+    mean, log_std, trace, elbo = _advi_jit(
+        key, flat0, log_std0, lp_flat, optimizer, num_steps,
+        num_mc_samples, data
+    )
+    return ADVIResult(mean=mean, log_std=log_std, elbo_trace=trace,
+                      elbo=elbo, unravel=unravel)
+
+
+def advi_sample(key, result: ADVIResult, num_samples: int):
+    """Draws from the fitted mean-field Gaussian; pytree fits come back
+    as stacked pytrees."""
+    z = jax.random.normal(key, (num_samples, result.mean.shape[0]),
+                          result.mean.dtype)
+    flat = result.mean[None, :] + jnp.exp(result.log_std)[None, :] * z
+    if result.unravel is None:
+        return flat
+    return jax.vmap(result.unravel)(flat)

@@ -100,3 +100,141 @@ class TestMAP:
     def test_validation(self):
         with pytest.raises(ValueError, match="num_steps"):
             map_estimate(log_prob, jnp.zeros(3), num_steps=0)
+
+
+class TestLaplace:
+    def test_gaussian_is_exact(self):
+        """For a Gaussian target the Laplace approximation is exact:
+        cov = diag(S2) and log_evidence = sum 0.5 log(2 pi s2)."""
+        from hamiltorch_tpu.optim import laplace_approx, laplace_sample
+
+        r = map_estimate(log_prob, jnp.zeros(3), num_steps=500,
+                         learning_rate=0.05)
+        lap = laplace_approx(log_prob, r.theta)
+        np.testing.assert_allclose(np.asarray(lap.cov),
+                                   np.diag(np.asarray(S2)), atol=1e-3)
+        log_z_true = float(np.sum(0.5 * np.log(2 * np.pi * np.asarray(S2))))
+        np.testing.assert_allclose(float(lap.log_evidence), log_z_true,
+                                   atol=1e-3)
+        draws = laplace_sample(jax.random.PRNGKey(0), lap, 4000)
+        np.testing.assert_allclose(draws.mean(0), np.asarray(MU), atol=0.1)
+        np.testing.assert_allclose(draws.std(0), np.sqrt(np.asarray(S2)),
+                                   rtol=0.1)
+
+    def test_evidence_matches_smc(self, key):
+        """Laplace and SMC estimate the SAME quantity on a Gaussian
+        model: log Z from two entirely different algorithms agree."""
+        from hamiltorch_tpu.optim import laplace_approx
+        from hamiltorch_tpu.samplers.smc import SMCConfig, run_smc
+
+        d, lam = 3, 4.0
+
+        def log_prior(t):
+            return -0.5 * jnp.sum(t**2) - 0.5 * d * jnp.log(2 * jnp.pi)
+
+        def log_lik(t):
+            return -0.5 * lam * jnp.sum(t**2)
+
+        log_z_true = -0.5 * d * np.log(1.0 + lam)
+        lap = laplace_approx(lambda t: log_prior(t) + log_lik(t), jnp.zeros(d))
+        np.testing.assert_allclose(float(lap.log_evidence), log_z_true,
+                                   atol=1e-4)
+        cfg = SMCConfig(num_particles=1024, num_temps=20, mcmc_steps=4,
+                        leapfrog_steps=6, step_size=0.4)
+        smc = run_smc(key, log_prior, log_lik,
+                      lambda k, n: jax.random.normal(k, (n, d)), cfg)
+        np.testing.assert_allclose(float(smc.log_evidence),
+                                   float(lap.log_evidence), atol=0.15)
+
+    def test_pytree_mode_and_draws(self):
+        from hamiltorch_tpu.optim import laplace_approx, laplace_sample
+
+        def lp(t):
+            return -0.5 * (
+                jnp.sum((t["a"] - 1.0) ** 2) + jnp.sum(4.0 * (t["b"] + 2.0) ** 2)
+            )
+
+        mode = {"a": jnp.ones(()), "b": -2.0 * jnp.ones(2)}
+        lap = laplace_approx(lp, mode)
+        assert lap.cov.shape == (3, 3)
+        draws = laplace_sample(jax.random.PRNGKey(1), lap, 1000)
+        assert draws["a"].shape == (1000,)
+        assert draws["b"].shape == (1000, 2)
+        np.testing.assert_allclose(float(draws["b"].std()), 0.5, rtol=0.15)
+
+    def test_indefinite_hessian_clipped(self):
+        """A saddle (negative curvature direction) still yields a PD
+        covariance and finite evidence."""
+        from hamiltorch_tpu.optim import laplace_approx
+
+        lp = lambda t: -0.5 * t[0] ** 2 + 0.5 * t[1] ** 2  # saddle at 0
+        lap = laplace_approx(lp, jnp.zeros(2))
+        eigs = np.linalg.eigvalsh(np.asarray(lap.cov))
+        assert (eigs > 0).all()
+        assert bool(np.isfinite(float(lap.log_evidence)))
+
+    def test_advi_exact_on_diagonal_gaussian(self, key):
+        """Mean-field VI is exact for a diagonal Gaussian: the fit
+        recovers (MU, sqrt(S2)) and the ELBO converges to log Z."""
+        from hamiltorch_tpu.optim import advi, advi_sample
+
+        r = advi(log_prob, jnp.zeros(3), num_steps=3000, learning_rate=0.02,
+                 num_mc_samples=8, key=key)
+        np.testing.assert_allclose(np.asarray(r.mean), np.asarray(MU),
+                                   atol=0.1)
+        np.testing.assert_allclose(np.exp(np.asarray(r.log_std)),
+                                   np.sqrt(np.asarray(S2)), rtol=0.15)
+        log_z_true = float(np.sum(0.5 * np.log(2 * np.pi * np.asarray(S2))))
+        np.testing.assert_allclose(float(r.elbo), log_z_true, atol=0.2)
+        draws = advi_sample(jax.random.PRNGKey(2), r, 2000)
+        np.testing.assert_allclose(draws.mean(0), np.asarray(MU), atol=0.15)
+
+    def test_advi_pytree_and_mass_seed(self, key):
+        """Pytree fit; exp(2 log_std) seeds a diagonal inv_mass."""
+        from hamiltorch_tpu.optim import advi, advi_sample
+        from hamiltorch_tpu.samplers import MCMCConfig, run_hmc
+
+        def lp(t):
+            return -0.5 * (
+                jnp.sum((t["a"] - 1.0) ** 2 / 0.25)
+                + jnp.sum((t["b"] + 2.0) ** 2 / 4.0)
+            )
+
+        t0 = {"a": jnp.zeros(()), "b": jnp.zeros(2)}
+        r = advi(lp, t0, num_steps=3000, learning_rate=0.02,
+                 num_mc_samples=8, key=key)
+        draws = advi_sample(jax.random.PRNGKey(3), r, 500)
+        assert draws["a"].shape == (500,)
+        assert draws["b"].shape == (500, 2)
+        inv_mass = jnp.exp(2.0 * r.log_std)
+        np.testing.assert_allclose(np.asarray(inv_mass),
+                                   [0.25, 4.0, 4.0], rtol=0.35)
+        out = run_hmc(key, lp, r.unravel(r.mean),
+                      MCMCConfig(num_samples=100, num_steps_per_sample=5,
+                                 step_size=0.3),
+                      inv_mass={"a": inv_mass[0], "b": inv_mass[1:]})
+        assert bool(np.isfinite(np.asarray(out.samples["a"])).all())
+
+    def test_advi_validation(self):
+        from hamiltorch_tpu.optim import advi
+
+        with pytest.raises(ValueError, match="num_steps"):
+            advi(log_prob, jnp.zeros(3), num_steps=0)
+        with pytest.raises(ValueError, match="num_mc_samples"):
+            advi(log_prob, jnp.zeros(3), num_mc_samples=0)
+
+    def test_warm_start_dense_mass(self, key):
+        """The production loop: MAP -> Laplace cov -> dense inv_mass HMC
+        on a correlated Gaussian."""
+        from hamiltorch_tpu.optim import laplace_approx
+        from hamiltorch_tpu.samplers import MCMCConfig, run_hmc
+
+        prec = jnp.asarray([[2.0, 1.8], [1.8, 2.0]])  # rho = 0.9
+        lp = lambda t: -0.5 * t @ prec @ t
+        r = map_estimate(lp, jnp.ones(2), num_steps=300, learning_rate=0.1)
+        lap = laplace_approx(lp, r.theta)
+        cfg = MCMCConfig(num_samples=500, num_steps_per_sample=5,
+                         step_size=0.5)
+        out = run_hmc(key, lp, r.theta, cfg, inv_mass=lap.cov)
+        cov_emp = np.cov(np.asarray(out.samples[100:]).T)
+        np.testing.assert_allclose(cov_emp, np.asarray(lap.cov), atol=0.35)

@@ -89,3 +89,27 @@ def test_bench_shape_chees_fits_hbm():
     jax.block_until_ready(r.samples)
     assert r.samples.shape == (chains, 300, theta0.shape[0])
     assert jnp.all(jnp.isfinite(r.samples[:, -1]))
+
+
+@pytest.mark.skipif(not ON_TPU, reason="bf16 matmul default only on TPU")
+def test_second_order_paths_are_f32_on_tpu():
+    """TPU f32 matmuls default to single-bf16 passes; second-order
+    quantities (Laplace curvature, RMHMC metric) must force float32 —
+    measured on v5e: an unguarded Hessian of a 2x2 quadratic came back
+    with bf16-quantized eigenvalues (0.203125 vs 0.2)."""
+    import numpy as np
+
+    from hamiltorch_tpu.ops.metrics import Metric, RMOptions, make_metric_fn
+    from hamiltorch_tpu.optim import laplace_approx
+
+    prec = jnp.asarray([[2.0, 1.8], [1.8, 2.0]])
+    lp = lambda t: -0.5 * t @ prec @ t
+
+    lap = laplace_approx(lp, jnp.zeros(2))
+    np.testing.assert_allclose(
+        np.asarray(lap.cov), np.linalg.inv(np.asarray(prec)), atol=1e-4
+    )
+
+    metric_fn = make_metric_fn(lp, RMOptions(metric=Metric.HESSIAN))
+    g = metric_fn(jnp.zeros(2), None).g
+    np.testing.assert_allclose(np.asarray(g), np.asarray(prec), atol=1e-5)
