@@ -1491,8 +1491,14 @@ def _run_sgmcmc_checkpointed(which, key, term_fn, num_terms, theta0, config,
         return jnp.asarray(np.concatenate([z[name] for z in zs]))[:kept]
 
     stats = SGMCMCStats(**{f: cat(f) for f in SGMCMCStats._fields})
+    # chunk files store sub-f32 arrays upcast to f32 (_np_savable); cast the
+    # assembled trace back to the chain state's leaf dtypes so a bf16-state
+    # run returns bf16 samples, bit-identical to the straight run
+    samples = jax.tree_util.tree_map(
+        lambda s, t: s.astype(t.dtype), cat("samples"), theta0
+    )
     return SGMCMCResult(
-        samples=cat("samples"),
+        samples=samples,
         stats=stats,
         final_theta=carry[0],
         final_aux=carry[1],

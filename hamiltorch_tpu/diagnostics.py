@@ -262,15 +262,10 @@ def summary_by_leaf(samples, like, energies=None) -> Dict[str, object]:
     BNN users, no manual offset bookkeeping.  ``like=theta0`` (required)
     supplies the structure and pins the trace's chain/draw axes.
     """
-    flat = summary(samples, energies=energies, like=like)
-    leaves, tdef = jax.tree_util.tree_flatten(like)
+    from .utils.pytree import unravel_last_axis_fn
 
-    def split(vec):
-        parts, off = [], 0
-        for l in leaves:
-            parts.append(vec[off : off + l.size].reshape(l.shape))
-            off += l.size
-        return jax.tree_util.tree_unflatten(tdef, parts)
+    flat = summary(samples, energies=energies, like=like)
+    split = unravel_last_axis_fn(like)
 
     return {
         k: (v if k == "e_bfmi" else split(v)) for k, v in flat.items()

@@ -92,6 +92,69 @@ def value_and_grad(log_prob_fn: LogProbFn) -> Callable[[jnp.ndarray], Tuple[jnp.
     return jax.value_and_grad(log_prob_fn)
 
 
+# Tree potentials adapt to flat (D,) samplers through a ravel boundary;
+# the adapter must be identity-stable across calls for the same reason as
+# _WRAP_CACHE above (fresh closure per call => whole-scan recompile, and
+# implicit-RMHMC compiles were measured at 2-6 min on the remote service).
+_TREE_POTENTIAL_CACHE: OrderedDict = OrderedDict()
+_TREE_POTENTIAL_CACHE_MAX = 32
+
+
+def make_flat_potential(log_prob_fn, template):
+    """Identity-stable flat-theta wrapper of a pytree potential.
+
+    ``template`` is the (unstacked) parameter pytree; the wrapper unravels
+    its flat (D,) argument back to the tree before calling
+    ``log_prob_fn``.  Repeated calls with the same (potential, leaf
+    structure/shapes/dtypes) return the SAME wrapper object so jitted
+    samplers (which take the potential as a static arg) hit their
+    compilation cache.
+
+    Honours the ``_raw_fn``/``_data`` jit-operand protocol: a dataset
+    attached by models/bnn.py stays an OPERAND through the ravel boundary
+    (baking it into the program as a closure constant overflows TPU
+    program limits); ``_data`` is refreshed from ``log_prob_fn`` on every
+    call — operands may change without recompiling.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    leaves, tdef = jax.tree_util.tree_flatten(template)
+    struct = (tdef, tuple((tuple(l.shape), str(l.dtype)) for l in leaves))
+    raw = getattr(log_prob_fn, "_raw_fn", None)
+    base = raw if raw is not None else log_prob_fn
+    try:
+        cache_key = (base, struct)
+        hit = _TREE_POTENTIAL_CACHE.get(cache_key)
+    except TypeError:  # unhashable potential: skip memoization
+        cache_key, hit = None, None
+    if hit is None:
+        _, unravel = ravel_pytree(template)
+        if raw is None:
+
+            def lp_flat(th):
+                return log_prob_fn(unravel(th))
+
+        else:
+
+            def raw_flat(th, data):
+                return raw(unravel(th), data)
+
+            def lp_flat(th):
+                return raw(unravel(th), lp_flat._data)
+
+            lp_flat._raw_fn = raw_flat
+        hit = lp_flat
+        if cache_key is not None:
+            _TREE_POTENTIAL_CACHE[cache_key] = hit
+            while len(_TREE_POTENTIAL_CACHE) > _TREE_POTENTIAL_CACHE_MAX:
+                _TREE_POTENTIAL_CACHE.popitem(last=False)
+    else:
+        _TREE_POTENTIAL_CACHE.move_to_end(cache_key)
+    if raw is not None:
+        hit._data = log_prob_fn._data  # operand refresh, not a cache key
+    return hit
+
+
 def resolve_potential(log_prob_fn, pass_grad=None):
     """Honour the ``_raw_fn``/``_data`` jit-operand protocol.
 

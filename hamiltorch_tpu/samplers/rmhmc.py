@@ -175,19 +175,22 @@ def _run_rmhmc_tree(runner, key, log_prob_fn, theta0, config, kwargs,
     The tree potential wraps as ``lp(unravel(theta))`` — evaluated once
     per Hamiltonian/gradient call, where the metric's O(D^2) AD dominates
     — and the flat (.., N, D) trace unravels back to (.., N, ...) leaves.
+    The wrapper is identity-stable (make_flat_potential memo) so repeat
+    calls reuse the compiled scan, and it preserves the ``_raw_fn/_data``
+    operand protocol so pytree-BNN datasets ride as jit operands.
     """
-    from ..utils.pytree import ravel_pytree_fn, stack_param_tree
+    from ..ops.potential import make_flat_potential
+    from ..utils.pytree import ravel_pytree_fn, stack_param_tree, unravel_last_axis_fn
 
     theta0 = jax.tree_util.tree_map(jnp.asarray, theta0)
     if num_chains is None:
         template = theta0
-        flat0, unravel = ravel_pytree_fn(template)
+        flat0, _ = ravel_pytree_fn(template)
         runner_kwargs = {}
     else:
         template, stacked = stack_param_tree(
             theta0, num_chains, stacked=theta0_is_stacked
         )
-        _, unravel = ravel_pytree_fn(template)
         # per-chain flat rows in ravel_pytree's leaf order (per-leaf
         # C-order flattens concatenated in tree order)
         flat0 = jnp.concatenate(
@@ -196,23 +199,11 @@ def _run_rmhmc_tree(runner, key, log_prob_fn, theta0, config, kwargs,
             axis=-1,
         )
         runner_kwargs = {"num_chains": num_chains}
-    lp_tree = log_prob_fn
-
-    def lp_flat(th):
-        return lp_tree(unravel(th))
+    lp_flat = make_flat_potential(log_prob_fn, template)
 
     result = runner(key, lp_flat, flat0, config, **runner_kwargs, **kwargs)
 
-    leaves, tdef = jax.tree_util.tree_flatten(template)
-    sizes = [l.size for l in leaves]
-
-    def unravel_trace(mat):
-        parts, off = [], 0
-        lead = mat.shape[:-1]
-        for l, n in zip(leaves, sizes):
-            parts.append(mat[..., off : off + n].reshape(lead + l.shape))
-            off += n
-        return jax.tree_util.tree_unflatten(tdef, parts)
+    unravel_trace = unravel_last_axis_fn(template)
 
     return result._replace(
         samples=unravel_trace(result.samples),
@@ -238,12 +229,16 @@ def run_rmhmc_chains(
     fixed_point_max_iterations: int = 1000,
     ham_func: Optional[Callable] = None,
     custom_metric: Optional[Callable] = None,
+    theta0_is_stacked: Optional[bool] = None,
 ) -> MCMCResult:
     """Vectorised independent RMHMC chains via vmap over (key, theta0).
 
     ``theta0``: (D,) broadcast to all chains, or (num_chains, D), or a
     parameter PYTREE (single state or (C, ...)-stacked leaves — ravelled
-    once at the boundary, see :func:`run_rmhmc`).  The fixed-point
+    once at the boundary, see :func:`run_rmhmc`).  When a SINGLE tree
+    state's leading leaf dim happens to equal ``num_chains``, pass
+    ``theta0_is_stacked=False`` to override the stacked auto-detection
+    (same escape hatch as the SG-MCMC chain runners).  The fixed-point
     while_loops vectorise per lane (each lane iterates until the
     batch-wide condition clears), so chains in a batch wait for the slowest
     fixed point per step — still far cheaper than sequential chains.
@@ -260,6 +255,7 @@ def run_rmhmc_chains(
                  fixed_point_max_iterations=fixed_point_max_iterations,
                  ham_func=ham_func, custom_metric=custom_metric),
             num_chains=num_chains,
+            theta0_is_stacked=theta0_is_stacked,
         )
     theta0 = jnp.asarray(theta0)
     if theta0.ndim == 1:

@@ -264,16 +264,20 @@ def _run_sgld_jit(key, theta0, term_fn, num_terms, config: SGLDConfig,
             aux_new = aux
             p_tree = pre  # None or static diagonal
         z = _leaf_noise(k_noise, theta)
+        # eps is a strong f32 scalar (the decay schedule computes in f32);
+        # the update runs in the promoted precision, then lands back in the
+        # leaf dtype so sub-f32 chain states keep their scan-carry dtype
         if p_tree is None:
             new = _tmap(
-                lambda t, gl, zl: t + 0.5 * eps * gl
-                + jnp.sqrt(eps * temp) * zl,
+                lambda t, gl, zl: (t + 0.5 * eps * gl
+                                   + jnp.sqrt(eps * temp) * zl).astype(t.dtype),
                 theta, g, z,
             )
         else:
             new = _tmap(
-                lambda t, gl, zl, pl: t + 0.5 * eps * pl * gl
-                + jnp.sqrt(eps * temp * pl) * zl,
+                lambda t, gl, zl, pl: (t + 0.5 * eps * pl * gl
+                                       + jnp.sqrt(eps * temp * pl) * zl
+                                       ).astype(t.dtype),
                 theta, g, z, p_tree,
             )
         new, ok = _finite_select(new, theta)

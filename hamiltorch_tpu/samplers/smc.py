@@ -70,10 +70,18 @@ class SMCConfig:
             raise ValueError("num_particles must be >= 2")
         if self.num_temps < 1:
             raise ValueError("num_temps must be >= 1")
+        if self.mcmc_steps < 1:
+            raise ValueError("mcmc_steps must be >= 1")
+        if self.leapfrog_steps < 1:
+            raise ValueError("leapfrog_steps must be >= 1")
+        if not self.temp_power > 0:
+            raise ValueError("temp_power must be positive")
         if not self.step_size > 0:
             raise ValueError("step_size must be positive")
         if not 0.0 <= self.resample_threshold <= 1.0:
             raise ValueError("resample_threshold must be in [0, 1]")
+        if not 0.0 < self.desired_accept_rate < 1.0:
+            raise ValueError("desired_accept_rate must be in (0, 1)")
 
 
 class SMCInfo(NamedTuple):
@@ -187,9 +195,13 @@ def _run_smc_jit(key, particles0, log_prior_fn, log_lik_fn, config: SMCConfig,
         return parts, jnp.mean(alphas)
 
     def stage(carry, xs):
-        parts, logw, log_z, eps, stage_key = carry
-        beta, beta_prev = xs
-        k_res, k_mut, k_next = jax.random.split(stage_key, 3)
+        parts, logw, log_z, eps = carry
+        k_idx, beta, beta_prev = xs
+        # per-stage RNG = fold_in(base_key, stage_index), the repo-wide
+        # convention (no carried split keys: keeps any future chunked/
+        # checkpointed SMC bit-exact against a straight run)
+        stage_key = jax.random.fold_in(key, k_idx)
+        k_res, k_mut = jax.random.split(stage_key)
 
         # --- reweight: incremental likelihood tempering -------------------
         incr = (beta - beta_prev) * lik_vec(parts)
@@ -210,6 +222,7 @@ def _run_smc_jit(key, particles0, log_prior_fn, log_lik_fn, config: SMCConfig,
 
         # --- mutate at the current temperature -----------------------------
         parts, acc = mutate(k_mut, parts, beta, eps)
+        eps_used = eps  # info records the value THIS stage mutated with
         if config.adapt_step_size:
             # Robbins-Monro toward the jittered-HMC optimal acceptance;
             # bounded multiplicative steps keep eps positive and stable
@@ -217,16 +230,17 @@ def _run_smc_jit(key, particles0, log_prior_fn, log_lik_fn, config: SMCConfig,
                 0.5 * jnp.clip(acc - config.desired_accept_rate, -0.5, 0.5)
             )
 
-        info = (ess_frac, do_resample, acc, eps)
-        return (parts, logw, log_z, eps, k_next), info
+        info = (ess_frac, do_resample, acc, eps_used)
+        return (parts, logw, log_z, eps), info
 
     logw0 = jnp.zeros((n,), dtype)
     carry0 = (
         particles0, logw0, jnp.zeros((), dtype),
-        jnp.asarray(config.step_size, dtype), key,
+        jnp.asarray(config.step_size, dtype),
     )
-    (parts, logw, log_z, _, _), (ess_f, res, accs, epss) = jax.lax.scan(
-        stage, carry0, (betas, prev_betas)
+    (parts, logw, log_z, _), (ess_f, res, accs, epss) = jax.lax.scan(
+        stage, carry0,
+        (jnp.arange(config.num_temps, dtype=jnp.int32), betas, prev_betas),
     )
     return SMCResult(
         particles=parts,

@@ -32,6 +32,27 @@ def param_shapes(params: Any) -> list[tuple]:
     return [tuple(leaf.shape) for leaf in jax.tree_util.tree_leaves(params)]
 
 
+def unravel_last_axis_fn(template: Any) -> Callable[[jnp.ndarray], Any]:
+    """Split the LAST axis of a flat-stacked array back into ``template``'s
+    leaves: the returned fn maps (..., D) -> tree of (..., *leaf.shape) in
+    ``ravel_pytree``'s leaf order (per-leaf C-order flattens, tree order).
+    The shared inverse for flat traces/statistics produced on raveled
+    states (RMHMC's boundary ravel, per-leaf diagnostics, checkpoint
+    assembly)."""
+    leaves, tdef = jax.tree_util.tree_flatten(template)
+
+    def unravel_last(mat):
+        mat = jnp.asarray(mat)
+        lead = mat.shape[:-1]
+        parts, off = [], 0
+        for l in leaves:
+            parts.append(mat[..., off : off + l.size].reshape(lead + tuple(l.shape)))
+            off += l.size
+        return jax.tree_util.tree_unflatten(tdef, parts)
+
+    return unravel_last
+
+
 def is_param_tree(theta: Any) -> bool:
     """True when ``theta`` is a structured parameter pytree, not a flat vector.
 

@@ -532,3 +532,68 @@ class TestPytreeRMHMC:
         # moments sane on the pooled trace
         pooled = np.asarray(r.samples["a"][:, 5:]).reshape(-1, 2)
         assert abs(pooled.mean()) < 0.6
+
+    def test_repeat_calls_reuse_the_compiled_scan(self, key):
+        """The boundary-ravel adapter is identity-stable: a second
+        run_rmhmc call with the same tree potential must NOT retrace the
+        scan (CLAUDE.md: potentials are static jit args; implicit-RMHMC
+        compiles were measured at minutes on the remote service)."""
+        from hamiltorch_tpu.ops.potential import make_flat_potential
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        from hamiltorch_tpu.samplers.rmhmc import _run_rmhmc_jit, run_rmhmc
+
+        def lp(t):
+            return -0.5 * jnp.sum(t["x"] ** 2)
+
+        tpl = {"x": jnp.zeros(2)}
+        assert make_flat_potential(lp, tpl) is make_flat_potential(lp, tpl)
+        cfg = MCMCConfig(num_samples=5, num_steps_per_sample=2, step_size=0.2)
+        run_rmhmc(key, lp, {"x": jnp.zeros(2)}, cfg)
+        n0 = _run_rmhmc_jit._cache_size()
+        run_rmhmc(jax.random.fold_in(key, 1), lp, {"x": jnp.zeros(2)}, cfg)
+        assert _run_rmhmc_jit._cache_size() == n0
+
+    def test_stacked_ambiguity_override(self, key):
+        """A single tree state whose leading leaf dim equals num_chains
+        broadcasts (not misreads as per-chain) under
+        theta0_is_stacked=False."""
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        from hamiltorch_tpu.samplers.rmhmc import run_rmhmc_chains
+
+        def lp(t):
+            return -0.5 * jnp.sum(t["w"] ** 2)
+
+        t0 = {"w": jnp.zeros((3, 2))}  # ONE state, first dim == num_chains
+        cfg = MCMCConfig(num_samples=6, num_steps_per_sample=2, step_size=0.2)
+        r = run_rmhmc_chains(key, lp, t0, cfg, num_chains=3,
+                             theta0_is_stacked=False)
+        assert r.samples["w"].shape == (3, 6, 3, 2)
+        # default auto-detect keeps treating the (3, ...) leaf as stacked
+        r2 = run_rmhmc_chains(key, lp, t0, cfg, num_chains=3)
+        assert r2.samples["w"].shape == (3, 6, 2)
+
+    def test_tree_bnn_data_rides_as_operand(self, key):
+        """make_flat_potential preserves the _raw_fn/_data jit-operand
+        protocol through the ravel boundary — pytree-BNN datasets must not
+        bake into the RMHMC program as closure constants (CLAUDE.md)."""
+        import torch
+
+        from hamiltorch_tpu.models.bnn import define_model_tree_log_prob
+        from hamiltorch_tpu.ops.potential import make_flat_potential
+        from hamiltorch_tpu.samplers.driver import MCMCConfig
+        from hamiltorch_tpu.samplers.rmhmc import run_rmhmc
+
+        torch.manual_seed(0)
+        net = torch.nn.Linear(2, 1)
+        x = np.random.default_rng(0).normal(size=(8, 2)).astype("float32")
+        y = (x @ [[1.0], [-1.0]]).astype("float32")
+        lp, template = define_model_tree_log_prob(net, "regression", x, y)
+        flat = make_flat_potential(lp, template)
+        assert hasattr(flat, "_raw_fn")
+        assert flat._data is lp._data
+        cfg = MCMCConfig(num_samples=5, num_steps_per_sample=2,
+                         step_size=0.05)
+        r = run_rmhmc(key, lp, template, cfg)
+        leaves = jax.tree_util.tree_leaves(r.samples)
+        assert leaves[0].shape == (5, 1, 2)  # weight leaf, draws leading
+        assert bool(np.isfinite(np.asarray(r.stats.energy_new)).all())

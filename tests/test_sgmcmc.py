@@ -255,6 +255,24 @@ class TestCheckpointedSGMCMC:
                         jax.tree_util.tree_leaves(r_ck.final_aux)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_bf16_checkpointed_matches_straight(self, key, tmp_path):
+        """Chunk files store bf16 upcast to f32 (_np_savable); the assembly
+        must cast back so a bf16-state run returns bf16 samples bit-equal
+        to the straight run."""
+        from hamiltorch_tpu.checkpoint import run_sghmc_checkpointed
+
+        cfg = SGHMCConfig(num_samples=120, step_size=5e-3, friction=0.1)
+        t0 = MU.astype(jnp.bfloat16)
+        r = run_sghmc(key, exact_term, 4, t0, cfg)
+        assert r.samples.dtype == jnp.bfloat16
+        r_ck = run_sghmc_checkpointed(key, exact_term, 4, t0, cfg,
+                                      str(tmp_path / "bf"), chunk_size=40)
+        assert r_ck.samples.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(r.samples.astype(jnp.float32)),
+            np.asarray(r_ck.samples.astype(jnp.float32)),
+        )
+
     def test_sghmc_momentum_rides_state_file(self, key, tmp_path):
         from hamiltorch_tpu.checkpoint import run_sghmc_checkpointed
 
@@ -384,6 +402,28 @@ class TestRobustness:
         assert bool(np.asarray(r.stats.divergent).any())
         assert bool(np.isfinite(np.asarray(r.samples)).all())
         assert bool(np.isfinite(np.asarray(r.final_theta)).all())
+
+    def test_sub_f32_chain_state(self, key):
+        """bf16 chain states survive the scan carry: the theta update
+        computes in the promoted precision (eps is a strong f32 scalar from
+        the decay schedule) and lands back in the leaf dtype."""
+        t0 = jnp.zeros(3, jnp.bfloat16)
+        for cfg in (
+            SGLDConfig(num_samples=20, step_size=0.01),
+            SGLDConfig(num_samples=20, step_size=0.01, decay_gamma=0.55),
+            SGLDConfig(num_samples=20, step_size=0.01,
+                       preconditioner="rmsprop"),
+        ):
+            r = run_sgld(key, exact_term, 4, t0, cfg)
+            assert r.samples.dtype == jnp.bfloat16
+            assert r.final_theta.dtype == jnp.bfloat16
+        r = run_sgld(key, exact_term, 4, t0,
+                     SGLDConfig(num_samples=20, step_size=0.01),
+                     inv_mass=jnp.ones(3))
+        assert r.samples.dtype == jnp.bfloat16
+        r = run_sghmc(key, exact_term, 4, t0,
+                      SGHMCConfig(num_samples=20, step_size=0.01))
+        assert r.samples.dtype == jnp.bfloat16
 
     def test_validation(self, key):
         with pytest.raises(ValueError, match="num_samples"):

@@ -199,3 +199,21 @@ class TestSMCMechanics:
             SMCConfig(num_particles=8, resample_threshold=1.5)
         with pytest.raises(ValueError):
             SMCConfig(num_particles=8, step_size=0.0)
+        with pytest.raises(ValueError, match="mcmc_steps"):
+            SMCConfig(num_particles=8, mcmc_steps=0)
+        with pytest.raises(ValueError, match="leapfrog_steps"):
+            SMCConfig(num_particles=8, leapfrog_steps=0)
+        with pytest.raises(ValueError, match="temp_power"):
+            SMCConfig(num_particles=8, temp_power=0.0)
+        with pytest.raises(ValueError, match="desired_accept_rate"):
+            SMCConfig(num_particles=8, desired_accept_rate=1.0)
+
+    def test_info_step_size_is_the_one_used(self, key):
+        """info.step_size[k] is the eps stage k's mutations ran with — the
+        first entry equals the configured seed value, not its
+        post-adaptation update."""
+        log_prior, log_lik, prior_sample, _, _ = gaussian_setup(d=2, lam=4.0)
+        cfg = SMCConfig(num_particles=64, num_temps=6, mcmc_steps=2,
+                        leapfrog_steps=4, step_size=0.3)
+        r = run_smc(key, log_prior, log_lik, prior_sample, cfg)
+        assert float(r.info.step_size[0]) == pytest.approx(0.3)
