@@ -32,6 +32,14 @@ from .samplers.sgmcmc import (
 )
 from .samplers.smc import SMCConfig, run_smc, smc_posterior_sample
 from .samplers.tempering import PTConfig, run_parallel_tempering, run_pt_chains
+from .samplers.ti import TIConfig, run_ti
+from .model_comparison import (
+    compare,
+    pointwise_log_lik,
+    pointwise_log_lik_from_predictions,
+    psis_loo,
+    waic,
+)
 from .optim import (
     ADVIResult,
     LaplaceResult,
@@ -72,6 +80,13 @@ __all__ = [
     "SMCConfig",
     "run_smc",
     "smc_posterior_sample",
+    "TIConfig",
+    "run_ti",
+    "waic",
+    "psis_loo",
+    "compare",
+    "pointwise_log_lik",
+    "pointwise_log_lik_from_predictions",
     "SGLDConfig",
     "SGHMCConfig",
     "run_sgld",

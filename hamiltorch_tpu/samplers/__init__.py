@@ -21,6 +21,7 @@ from .sgmcmc import (
 from .smc import SMCConfig, SMCResult, run_smc, smc_posterior_sample
 from .splitting import run_split_hmc, run_split_hmc_chains, run_split_hmc_stacked
 from .tempering import PTConfig, PTResult, run_parallel_tempering, run_pt_chains
+from .ti import TIConfig, TIResult, evidence_from_loglik_draws, run_ti
 
 __all__ = [
     "ChainState",
@@ -56,6 +57,10 @@ __all__ = [
     "SMCResult",
     "run_smc",
     "smc_posterior_sample",
+    "TIConfig",
+    "TIResult",
+    "run_ti",
+    "evidence_from_loglik_draws",
     "SGLDConfig",
     "SGHMCConfig",
     "SGMCMCResult",
