@@ -45,6 +45,7 @@ from .optim import (
     LaplaceResult,
     MAPResult,
     advi,
+    advi_cov,
     advi_sample,
     laplace_approx,
     laplace_sample,
@@ -99,6 +100,7 @@ __all__ = [
     "laplace_sample",
     "LaplaceResult",
     "advi",
+    "advi_cov",
     "advi_sample",
     "ADVIResult",
     "MCMCConfig",

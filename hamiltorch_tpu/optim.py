@@ -218,13 +218,30 @@ def laplace_sample(key, result: LaplaceResult, num_samples: int):
 
 
 class ADVIResult(NamedTuple):
-    """Mean-field Gaussian fit q = N(mean, diag(exp(2 log_std)))."""
+    """Gaussian variational fit.
+
+    Mean-field: q = N(mean, diag(exp(2 log_std))), ``scale_tril`` None.
+    Full-rank: q = N(mean, L L^T) with ``scale_tril = L`` (lower
+    triangular; ``log_std`` then holds ``log(diag(L))`` so the diagonal
+    reading stays meaningful either way).
+    """
 
     mean: jnp.ndarray  # flat (D,) variational mean
-    log_std: jnp.ndarray  # flat (D,) variational log-stddev
+    log_std: jnp.ndarray  # flat (D,) variational log-stddev / log diag(L)
     elbo_trace: jnp.ndarray  # (num_steps,) one-sample ELBO estimates
     elbo: jnp.ndarray  # mean of the last 10% of the trace
     unravel: object  # flat -> original theta structure (None for flat)
+    scale_tril: object = None  # (D, D) lower-triangular L (full-rank only)
+
+
+def advi_cov(result: ADVIResult) -> jnp.ndarray:
+    """The fitted covariance — ``diag(exp(2 log_std))`` (mean-field) or
+    ``L L^T`` (full-rank).  Feed the diagonal (or the dense matrix) to a
+    sampler's ``inv_mass`` for a VI-preconditioned chain."""
+    if result.scale_tril is None:
+        return jnp.diag(jnp.exp(2.0 * result.log_std))
+    l_mat = result.scale_tril
+    return jnp.matmul(l_mat, l_mat.T, precision=jax.lax.Precision.HIGHEST)
 
 
 @partial(jax.jit, static_argnames=("fn", "opt", "num_steps", "num_mc"))
@@ -274,6 +291,52 @@ def _advi_jit(key, mean0, log_std0, fn, opt, num_steps, num_mc, data=None):
     return params[0], params[1], elbos, jnp.mean(elbos[-tail:])
 
 
+@partial(jax.jit, static_argnames=("fn", "opt", "num_steps", "num_mc"))
+def _advi_fullrank_jit(key, mean0, log_std0, fn, opt, num_steps, num_mc,
+                       data=None):
+    if data is None:
+        lp = fn
+    else:
+        lp = lambda t: fn(t, data)
+    d = mean0.shape[0]
+
+    def build_l(log_diag, low):
+        return jnp.tril(low, -1) + jnp.diag(jnp.exp(log_diag))
+
+    def neg_elbo(params, k):
+        mean, log_diag, low = params
+        z = jax.random.normal(k, (num_mc, d), mean.dtype)
+        theta = mean[None, :] + z @ build_l(log_diag, low).T
+        e_lp = jnp.mean(jax.vmap(lp)(theta))
+        entropy = jnp.sum(log_diag) + 0.5 * d * (1.0 + jnp.log(2 * jnp.pi))
+        return -(e_lp + entropy)
+
+    vg = jax.value_and_grad(neg_elbo)
+    params0 = (mean0, log_std0, jnp.zeros((d, d), mean0.dtype))
+    opt_state = opt.init(params0)
+    tail = max(num_steps // 10, 1)
+    cutoff = num_steps - tail
+
+    def step(carry, i):
+        params, ostate, acc = carry
+        v, g = vg(params, jax.random.fold_in(key, i))
+        updates, ostate_new = opt.update(g, ostate, params)
+        new = _tmap(lambda p, u: p + u, params, updates)
+        ok = jnp.logical_and(_all_finite(new), jnp.isfinite(v))
+        params = _tmap(lambda n, o: jnp.where(ok, n, o), new, params)
+        ostate = _tmap(lambda n, o: jnp.where(ok, n, o), ostate_new, ostate)
+        in_tail = (i >= cutoff).astype(mean0.dtype)
+        acc = _tmap(lambda a, p: a + in_tail * p, acc, params)
+        return (params, ostate, acc), -v
+
+    acc0 = _tmap(jnp.zeros_like, params0)
+    (_, _, acc), elbos = jax.lax.scan(
+        step, (params0, opt_state, acc0), jnp.arange(num_steps)
+    )
+    mean, log_diag, low = _tmap(lambda a: a / tail, acc)
+    return mean, log_diag, build_l(log_diag, low), elbos, jnp.mean(elbos[-tail:])
+
+
 def advi(
     log_prob_fn: Callable,
     theta0,
@@ -284,21 +347,31 @@ def advi(
     optimizer=None,
     data=None,
     key=None,
+    method: str = "meanfield",
 ) -> ADVIResult:
-    """Mean-field ADVI (Kucukelbir et al. 2017): maximize the ELBO of a
-    diagonal Gaussian q over the same potentials the samplers take.
+    """ADVI (Kucukelbir et al. 2017): maximize the ELBO of a Gaussian q
+    over the same potentials the samplers take.
 
     The third rung of the approximate ladder here — MAP point
     (:func:`map_estimate`), local curvature (:func:`laplace_approx`), and
-    this: a GLOBAL diagonal fit by stochastic optimization, robust where
-    the Hessian is indefinite or too big for eigh.  Production uses:
-    ``exp(2 * log_std)`` as the diagonal ``inv_mass`` (the same estimate
-    Stan's warmup converges to), ``mean`` as a chain init, and
-    :func:`advi_sample` for instant approximate draws.
+    this: a GLOBAL fit by stochastic optimization, robust where the
+    Hessian is indefinite or too big for eigh.  Production uses:
+    ``exp(2 * log_std)`` (or :func:`advi_cov`) as the sampler
+    ``inv_mass`` (the same estimate Stan's warmup converges to), ``mean``
+    as a chain init, and :func:`advi_sample` for instant approximate
+    draws.
 
-    Reparameterization gradients (``theta = mean + exp(log_std) * z``)
-    with ``num_mc_samples`` draws per step, one jitted scan, non-finite
-    steps rejected branchlessly.  ``theta0`` may be flat or a pytree.
+    ``method="meanfield"`` fits a diagonal Gaussian;
+    ``method="fullrank"`` fits N(mean, L L^T) with a lower-triangular
+    scale — exact on correlated Gaussians where the mean-field fit
+    underestimates every marginal variance, at O(D^2) parameters (use it
+    in the same low-dimensional regimes as :func:`laplace_approx`; the
+    tail-averaged L is returned as ``scale_tril`` and ``advi_cov`` gives
+    the dense ``inv_mass``).
+
+    Reparameterization gradients (``theta = mean + scale @ z``) with
+    ``num_mc_samples`` draws per step, one jitted scan, non-finite steps
+    rejected branchlessly.  ``theta0`` may be flat or a pytree.
 
     reference: no counterpart in hamiltorch (its approximate story ends
     at minibatch splitting); included as the standard VI baseline every
@@ -308,6 +381,10 @@ def advi(
         raise ValueError(f"num_steps={num_steps}; must be >= 1")
     if num_mc_samples < 1:
         raise ValueError(f"num_mc_samples={num_mc_samples}; must be >= 1")
+    if method not in ("meanfield", "fullrank"):
+        raise ValueError(
+            f"method={method!r}; must be 'meanfield' or 'fullrank'"
+        )
     import optax
 
     if optimizer is None:
@@ -333,6 +410,13 @@ def advi(
     if key is None:
         key = jax.random.PRNGKey(0)
     log_std0 = jnp.full_like(flat0, init_log_std)
+    if method == "fullrank":
+        mean, log_std, l_mat, trace, elbo = _advi_fullrank_jit(
+            key, flat0, log_std0, lp_flat, optimizer, num_steps,
+            num_mc_samples, data
+        )
+        return ADVIResult(mean=mean, log_std=log_std, elbo_trace=trace,
+                          elbo=elbo, unravel=unravel, scale_tril=l_mat)
     mean, log_std, trace, elbo = _advi_jit(
         key, flat0, log_std0, lp_flat, optimizer, num_steps,
         num_mc_samples, data
@@ -342,11 +426,16 @@ def advi(
 
 
 def advi_sample(key, result: ADVIResult, num_samples: int):
-    """Draws from the fitted mean-field Gaussian; pytree fits come back
-    as stacked pytrees."""
+    """Draws from the fitted Gaussian (diagonal or full-rank); pytree
+    fits come back as stacked pytrees."""
     z = jax.random.normal(key, (num_samples, result.mean.shape[0]),
                           result.mean.dtype)
-    flat = result.mean[None, :] + jnp.exp(result.log_std)[None, :] * z
+    if result.scale_tril is None:
+        flat = result.mean[None, :] + jnp.exp(result.log_std)[None, :] * z
+    else:
+        flat = result.mean[None, :] + jnp.matmul(
+            z, result.scale_tril.T, precision=jax.lax.Precision.HIGHEST
+        )
     if result.unravel is None:
         return flat
     return jax.vmap(result.unravel)(flat)

@@ -215,6 +215,52 @@ class TestLaplace:
                       inv_mass={"a": inv_mass[0], "b": inv_mass[1:]})
         assert bool(np.isfinite(np.asarray(out.samples["a"])).all())
 
+    def test_fullrank_advi_exact_on_correlated_gaussian(self, key):
+        """Full-rank VI is exact for ANY Gaussian: L L^T recovers the full
+        covariance of a rho=0.8 target, where the mean-field fit cannot
+        represent the off-diagonal at all (and its marginal variances
+        shrink toward the conditional ones)."""
+        from hamiltorch_tpu.optim import advi, advi_cov, advi_sample
+
+        rho = 0.8
+        cov = np.array([[1.0, rho], [rho, 1.0]])
+        prec = jnp.asarray(np.linalg.inv(cov).astype(np.float32))
+        mu = jnp.array([1.0, -1.0])
+        lp = lambda t: -0.5 * (t - mu) @ prec @ (t - mu)
+
+        r = advi(lp, jnp.zeros(2), num_steps=4000, learning_rate=0.02,
+                 num_mc_samples=8, key=key, method="fullrank")
+        assert r.scale_tril is not None and r.scale_tril.shape == (2, 2)
+        fit_cov = np.asarray(advi_cov(r))
+        np.testing.assert_allclose(fit_cov, cov, atol=0.15)
+        np.testing.assert_allclose(np.asarray(r.mean), np.asarray(mu),
+                                   atol=0.1)
+        # its ELBO beats the mean-field fit's (KL gap of the diagonal q)
+        r_mf = advi(lp, jnp.zeros(2), num_steps=4000, learning_rate=0.02,
+                    num_mc_samples=8, key=key)
+        assert float(r.elbo) > float(r_mf.elbo) + 0.1
+        # draws carry the correlation; dense cov seeds an inv_mass
+        draws = np.asarray(advi_sample(jax.random.PRNGKey(5), r, 4000))
+        emp = np.cov(draws.T)
+        np.testing.assert_allclose(emp, cov, atol=0.2)
+
+    def test_fullrank_dense_mass_seed(self, key):
+        """advi_cov(fullrank) as the dense inv_mass of an HMC run."""
+        from hamiltorch_tpu.optim import advi, advi_cov
+        from hamiltorch_tpu.samplers import MCMCConfig, run_hmc
+
+        prec = jnp.asarray(
+            np.linalg.inv([[1.0, 0.9], [0.9, 1.0]]).astype(np.float32)
+        )
+        lp = lambda t: -0.5 * t @ prec @ t
+        r = advi(lp, jnp.zeros(2), num_steps=3000, learning_rate=0.02,
+                 num_mc_samples=8, key=key, method="fullrank")
+        out = run_hmc(key, lp, r.mean,
+                      MCMCConfig(num_samples=300, num_steps_per_sample=5,
+                                 step_size=0.5),
+                      inv_mass=advi_cov(r))
+        assert float(jnp.mean(out.stats.accepted)) > 0.6
+
     def test_advi_validation(self):
         from hamiltorch_tpu.optim import advi
 
@@ -222,6 +268,8 @@ class TestLaplace:
             advi(log_prob, jnp.zeros(3), num_steps=0)
         with pytest.raises(ValueError, match="num_mc_samples"):
             advi(log_prob, jnp.zeros(3), num_mc_samples=0)
+        with pytest.raises(ValueError, match="method"):
+            advi(log_prob, jnp.zeros(3), method="structured")
 
     def test_warm_start_dense_mass(self, key):
         """The production loop: MAP -> Laplace cov -> dense inv_mass HMC
