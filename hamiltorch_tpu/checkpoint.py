@@ -1504,3 +1504,83 @@ def _run_sgmcmc_checkpointed(which, key, term_fn, num_terms, theta0, config,
         final_aux=carry[1],
         final_step=jnp.asarray(config.num_samples, jnp.int32),
     )
+
+
+def run_ti_checkpointed(
+    key,
+    log_prior_fn: Callable,
+    log_lik_fn: Callable,
+    theta0,
+    config,  # TIConfig
+    ckpt_dir: str,
+    chunk_size: int = 500,
+    data=None,
+    resume: bool = True,
+):
+    """Thermodynamic integration with per-chunk checkpointing.
+
+    Evidence ladders are long by construction (the stepping-stone error
+    shrinks only with draws); this makes them preemption-safe.  The
+    per-rung dual-averaging state and replica positions ride the state
+    file; per-draw RNG folds the GLOBAL draw index, so the assembled
+    result is bit-identical to a straight :func:`~.samplers.ti.run_ti`
+    run with the same key, and an interrupted run resumes exactly.
+    The evidence estimators run once at assembly over the concatenated
+    post-burn log-likelihood trace.
+    """
+    from .samplers.adaptation import DualAveragingState
+    from .samplers.ti import _run_ti_jit, assemble_ti_result, stack_ti_rungs
+
+    if config.burn >= config.num_samples:
+        raise RuntimeError("burn must be less than num_samples.")
+    theta0s = stack_ti_rungs(theta0, config)
+    lik, data_r = resolve_potential(log_lik_fn, None)
+    if data is None:
+        data = data_r
+    leaves0 = jax.tree_util.tree_leaves(theta0s)
+    k_temps, dtype = leaves0[0].shape[0], leaves0[0].dtype
+    eps0 = jnp.full((k_temps,), config.step_size, dtype)
+    da0 = DualAveragingState(
+        step_size=eps0,
+        log_eps_bar=jnp.zeros((k_temps,), dtype),
+        h_t=jnp.zeros((k_temps,), dtype),
+        mu=jnp.log(10.0 * eps0),
+    )
+    template = (theta0s, da0)
+
+    def init_carry_fn():
+        return (theta0s, da0)
+
+    def chunk_runner(k, carry, n_done, cfg):
+        thetas, da = carry
+        out = _run_ti_jit(k, thetas, log_prior_fn, lik, cfg, data=data,
+                          init_da=da, start_iter=n_done)
+        return out, (out[6], out[7])
+
+    def save_chunk(out):
+        cold, llik_tr, alphas, swaps = out[0], out[1], out[2], out[3]
+        return {"cold": cold, "llik": llik_tr, "alphas": alphas,
+                "swaps": swaps}
+
+    fp = _fingerprint(config, theta0s)
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, fp, save_chunk,
+    )
+
+    def cat(name):
+        if name not in zs[0].files and f"{name}__leaf_0" in zs[0].files:
+            tdef = jax.tree_util.tree_structure(carry[0])
+            leaves = [
+                jnp.asarray(np.concatenate([z[f"{name}__leaf_{i}"] for z in zs]))
+                for i in range(tdef.num_leaves)
+            ]
+            return jax.tree_util.tree_unflatten(tdef, leaves)
+        return jnp.asarray(np.concatenate([z[name] for z in zs]))
+
+    from .samplers.ti import ti_ladder
+
+    betas = ti_ladder(config.num_temps, config.schedule_power, dtype)
+    out = (cat("cold"), cat("llik"), cat("alphas"), cat("swaps"), betas,
+           carry[1].step_size)
+    return assemble_ti_result(out, config)

@@ -1125,3 +1125,74 @@ def run_sghmc_sharded(
         _run_sghmc_jit, key, term_shard_fn, log_prior_fn, num_terms, theta0,
         config, mesh, num_chains, data, inv_mass, "run_sghmc_sharded"
     )
+
+
+def run_ti_sharded(
+    key,
+    log_prior_fn: Callable,
+    loglik_shard_fn: Callable,
+    x,
+    y,
+    theta0,
+    config,  # TIConfig
+    mesh: Mesh,
+):
+    """Thermodynamic integration with the LIKELIHOOD sharded over 'data'.
+
+    Evidence runs are exactly where data-parallel likelihoods pay: every
+    rung's HMC consumes full-dataset gradients, K rungs per draw.  Each
+    device runs the IDENTICAL replica ladder (rung coupling — the swaps —
+    stays local; RNG and ladder state replicate deterministically), and
+    only the per-rung log-likelihood value/gradient pairs psum over the
+    'data' axis (``make_psum_log_prob``'s custom_vjp pairing — the naive
+    psum has the wrong shard_map transpose).
+
+    ``loglik_shard_fn(theta, x_shard, y_shard)`` returns the device's
+    SLICE of the total log likelihood; ``log_prior_fn(theta)`` enters
+    once, locally, not through the psum.  Returns the same
+    :class:`~..samplers.ti.TIResult` as the local ``run_ti``; matches a
+    local run on the gathered data up to f32 summation order.
+    """
+    from ..samplers.ti import _run_ti_jit, assemble_ti_result, stack_ti_rungs
+
+    if config.burn >= config.num_samples:
+        raise RuntimeError("burn must be less than num_samples.")
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    theta0s = stack_ti_rungs(theta0, config)
+    n_data_shards = mesh.shape["data"]
+    if x.shape[0] % n_data_shards:
+        raise ValueError(
+            f"data length {x.shape[0]} not divisible by mesh "
+            f"data={n_data_shards}"
+        )
+
+    def local(key_l, thetas_l, x_shard, y_shard):
+        # zero prior -> make_psum_log_prob reduces to the psum-completed
+        # total log LIKELIHOOD; the real prior enters inside _run_ti_jit
+        lik = make_psum_log_prob(
+            loglik_shard_fn, lambda t: 0.0, x_shard, y_shard
+        )
+        return _run_ti_jit(key_l, thetas_l, log_prior_fn, lik, config)
+
+    theta_specs = jax.tree_util.tree_map(lambda _: P(), theta0s)
+
+    def probe(key_l, thetas_l, x_shard, y_shard):
+        # psum-free twin of `local` (a collective cannot trace outside
+        # shard_map); output SHAPES are identical, which is all specs need
+        lik = lambda t: loglik_shard_fn(t, x_shard, y_shard)
+        return _run_ti_jit(key_l, thetas_l, log_prior_fn, lik, config)
+
+    out_shape = jax.eval_shape(
+        probe, key, theta0s, x[: x.shape[0] // n_data_shards],
+        y[: y.shape[0] // n_data_shards],
+    )
+    out_specs = jax.tree_util.tree_map(lambda _: P(), out_shape)
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), theta_specs, P("data"), P("data")),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    out = jax.jit(shard)(key, theta0s, x, y)
+    return assemble_ti_result(out, config)

@@ -114,7 +114,12 @@ def ti_ladder(num_temps: int, power: float, dtype=jnp.float32) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("log_prior_fn", "log_lik_fn", "config"))
 def _run_ti_jit(key, theta0s, log_prior_fn, log_lik_fn, config: TIConfig,
-                data=None):
+                data=None, init_da=None, start_iter=0):
+    """One compiled TI scan of ``config.num_samples`` draws.
+
+    ``init_da``/``start_iter`` let chunked (checkpoint/resume) runs
+    continue the per-rung adaptation and RNG stream exactly where a
+    previous chunk stopped (per-draw RNG folds the GLOBAL draw index)."""
     lik = log_lik_fn if data is None else (lambda t: log_lik_fn(t, data))
     _l0 = jax.tree_util.tree_leaves(theta0s)[0]
     k_temps, dtype = _l0.shape[0], _l0.dtype
@@ -147,7 +152,7 @@ def _run_ti_jit(key, theta0s, log_prior_fn, log_lik_fn, config: TIConfig,
         partner_odd = partner_odd.at[-1].set(k_temps - 1)
 
     eps0 = jnp.full((k_temps,), config.step_size, dtype)
-    da0 = DualAveragingState(
+    da0 = init_da if init_da is not None else DualAveragingState(
         step_size=eps0,
         log_eps_bar=jnp.zeros((k_temps,), dtype),
         h_t=jnp.zeros((k_temps,), dtype),
@@ -242,9 +247,9 @@ def _run_ti_jit(key, theta0s, log_prior_fn, log_lik_fn, config: TIConfig,
         )
 
     (thetas_f, da_f), (cold, llik_tr, alphas, swaps) = jax.lax.scan(
-        step, (theta0s, da0), jnp.arange(config.num_samples)
+        step, (theta0s, da0), start_iter + jnp.arange(config.num_samples)
     )
-    return cold, llik_tr, alphas, swaps, betas, da_f.step_size
+    return cold, llik_tr, alphas, swaps, betas, da_f.step_size, thetas_f, da_f
 
 
 def evidence_from_loglik_draws(llik: jnp.ndarray, betas: jnp.ndarray):
@@ -294,32 +299,41 @@ def run_ti(
     ``samples`` trace is the beta=1 rung — a valid posterior chain, so a
     TI run doubles as a sampling run.
     """
-    from ..utils.pytree import is_param_tree, stack_param_tree
-
     if config.burn >= config.num_samples:
         raise RuntimeError("burn must be less than num_samples.")
-    if is_param_tree(theta0):
-        _, theta0s = stack_param_tree(theta0, config.num_temps)
-    else:
-        theta0 = jnp.asarray(theta0)
-        if theta0.ndim == 1:
-            theta0s = jnp.broadcast_to(
-                theta0, (config.num_temps,) + theta0.shape
-            )
-        else:
-            if theta0.shape[0] != config.num_temps:
-                raise ValueError(
-                    f"theta0 provides {theta0.shape[0]} rungs but "
-                    f"config.num_temps={config.num_temps}"
-                )
-            theta0s = theta0
+    theta0s = stack_ti_rungs(theta0, config)
     lik, data_r = resolve_potential(log_lik_fn, None)
     if data is None:
         data = data_r
-    cold, llik_tr, alphas, swaps, betas, eps_f = _run_ti_jit(
-        key, theta0s, log_prior_fn, lik, config, data=data
-    )
-    burn = max(config.burn, 0)
+    out = _run_ti_jit(key, theta0s, log_prior_fn, lik, config, data=data)
+    return assemble_ti_result(out, config)
+
+
+def stack_ti_rungs(theta0, config: TIConfig):
+    """One initial state broadcast to every rung (or per-rung leaves with
+    a leading ``num_temps`` axis) — shared by the local, sharded and
+    checkpointed runners."""
+    from ..utils.pytree import is_param_tree, stack_param_tree
+
+    if is_param_tree(theta0):
+        _, theta0s = stack_param_tree(theta0, config.num_temps)
+        return theta0s
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        return jnp.broadcast_to(theta0, (config.num_temps,) + theta0.shape)
+    if theta0.shape[0] != config.num_temps:
+        raise ValueError(
+            f"theta0 provides {theta0.shape[0]} rungs but "
+            f"config.num_temps={config.num_temps}"
+        )
+    return theta0
+
+
+def assemble_ti_result(out, config: TIConfig, burn=None) -> TIResult:
+    """Burn-slice a (possibly chunk-concatenated) TI trajectory and run the
+    evidence estimators — shared by all the runners."""
+    cold, llik_tr, alphas, swaps, betas, eps_f = out[:6]
+    burn = max(config.burn if burn is None else burn, 0)
     llik_post = llik_tr[burn:]
     ss, corr, plain = evidence_from_loglik_draws(llik_post, betas)
     return TIResult(

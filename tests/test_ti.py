@@ -166,3 +166,59 @@ class TestTIMechanics:
         # posterior for the slope concentrates near 2
         assert abs(float(jnp.mean(r.samples)) - 2.0) < 0.2
         assert np.isfinite(float(r.log_evidence))
+
+
+class TestTICheckpoint:
+    def test_chunked_bit_exact_and_resume(self, key, tmp_path):
+        """Checkpointed TI == straight run (global-draw RNG folding, DA
+        state in the carry), and an interrupted run resumes bit-exactly."""
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_ti_checkpointed
+
+        log_prior, log_lik, lz = gaussian_setup(d=2, lam=4.0)
+        cfg = TIConfig(num_samples=120, num_steps_per_sample=4,
+                       step_size=0.4, num_temps=6, burn=40)
+        r = run_ti(key, log_prior, log_lik, jnp.zeros(2), cfg)
+        r_ck = run_ti_checkpointed(key, log_prior, log_lik, jnp.zeros(2),
+                                   cfg, str(tmp_path / "a"), chunk_size=50)
+        np.testing.assert_array_equal(np.asarray(r.samples),
+                                      np.asarray(r_ck.samples))
+        np.testing.assert_array_equal(np.asarray(r.loglik_draws),
+                                      np.asarray(r_ck.loglik_draws))
+        assert float(r.log_evidence) == pytest.approx(
+            float(r_ck.log_evidence), abs=1e-6
+        )
+        np.testing.assert_array_equal(np.asarray(r.info.step_sizes),
+                                      np.asarray(r_ck.info.step_sizes))
+        # interrupt after 60 draws, then resume to completion
+        half = dataclasses.replace(cfg, num_samples=60)
+        run_ti_checkpointed(key, log_prior, log_lik, jnp.zeros(2), half,
+                            str(tmp_path / "b"), chunk_size=50)
+        r_res = run_ti_checkpointed(key, log_prior, log_lik, jnp.zeros(2),
+                                    cfg, str(tmp_path / "b"), chunk_size=50)
+        np.testing.assert_array_equal(np.asarray(r.samples),
+                                      np.asarray(r_res.samples))
+
+    def test_pytree_checkpointed(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_ti_checkpointed
+
+        def log_prior(t):
+            return (-0.5 * (jnp.sum(t["a"] ** 2) + jnp.sum(t["b"] ** 2))
+                    - 1.5 * jnp.log(2 * jnp.pi))
+
+        def log_lik(t):
+            return -2.0 * (jnp.sum(t["a"] ** 2) + jnp.sum(t["b"] ** 2))
+
+        t0 = {"a": jnp.zeros(1), "b": jnp.zeros(2)}
+        cfg = TIConfig(num_samples=90, num_steps_per_sample=4,
+                       step_size=0.4, num_temps=6, burn=30)
+        r = run_ti(key, log_prior, log_lik, t0, cfg)
+        r_ck = run_ti_checkpointed(key, log_prior, log_lik, t0, cfg,
+                                   str(tmp_path / "t"), chunk_size=40)
+        for a, b in zip(jax.tree_util.tree_leaves(r.samples),
+                        jax.tree_util.tree_leaves(r_ck.samples)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert float(r.log_evidence) == pytest.approx(
+            float(r_ck.log_evidence), abs=1e-6
+        )
