@@ -1,6 +1,7 @@
 from .bnn import (
     build_model,
     define_model_log_prob,
+    define_model_prior_and_lik,
     define_model_tree_log_prob,
     define_split_model_log_prob,
     gaussian_prior_log_prob,
@@ -13,6 +14,7 @@ from .bnn import (
 __all__ = [
     "build_model",
     "define_model_log_prob",
+    "define_model_prior_and_lik",
     "define_model_tree_log_prob",
     "define_split_model_log_prob",
     "gaussian_prior_log_prob",

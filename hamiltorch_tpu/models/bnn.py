@@ -100,22 +100,28 @@ def _normal_log_prob(w: jnp.ndarray, tau) -> jnp.ndarray:
     return 0.5 * n * jnp.log(tau) - 0.5 * n * math.log(2 * math.pi) - 0.5 * tau * jnp.sum(w * w)
 
 
+def _resolve_taus(num_leaves: int, tau_list) -> list:
+    """One prior precision per parameter leaf: ``tau_list`` may be None
+    (tau=1 everywhere), a scalar, or one entry per leaf in pytree order."""
+    if tau_list is None:
+        return [1.0] * num_leaves
+    if isinstance(tau_list, (int, float)) or (
+        hasattr(tau_list, "ndim") and getattr(tau_list, "ndim", 1) == 0
+    ):
+        return [tau_list] * num_leaves
+    taus = list(tau_list)
+    if len(taus) != num_leaves:
+        raise ValueError(
+            f"tau_list has {len(taus)} entries but the model has {num_leaves} parameter leaves"
+        )
+    return taus
+
+
 def gaussian_prior_log_prob(params, tau_list) -> jnp.ndarray:
     """Per-leaf Gaussian prior; ``tau_list`` is one precision per leaf (in
     pytree-leaf order) or a scalar applied to every leaf."""
     leaves = jax.tree_util.tree_leaves(params)
-    if tau_list is None:
-        taus = [1.0] * len(leaves)
-    elif isinstance(tau_list, (int, float)) or (
-        hasattr(tau_list, "ndim") and getattr(tau_list, "ndim", 1) == 0
-    ):
-        taus = [tau_list] * len(leaves)
-    else:
-        taus = list(tau_list)
-        if len(taus) != len(leaves):
-            raise ValueError(
-                f"tau_list has {len(taus)} entries but the model has {len(leaves)} parameter leaves"
-            )
+    taus = _resolve_taus(len(leaves), tau_list)
     lp = jnp.zeros((), leaves[0].dtype if leaves else jnp.float32)
     for w, tau in zip(leaves, taus):
         lp = lp + _normal_log_prob(w, tau)
@@ -208,6 +214,80 @@ def define_model_log_prob(
     log_prob_func._data = data
 
     return log_prob_func, flat_init, unravel
+
+
+def define_model_prior_and_lik(
+    model,
+    model_loss,
+    x,
+    y,
+    tau_list=None,
+    tau_out: float = 1.0,
+    x_example=None,
+    params_template=None,
+    bridge_method: str = "auto",
+):
+    """(log_prior_fn, log_lik_fn, prior_sample_fn, template) — the
+    prior/likelihood SPLIT the evidence machinery needs.
+
+    ``run_ti`` and ``run_smc`` temper only the LIKELIHOOD along the
+    prior-to-posterior path, so they cannot consume the summed potential
+    ``define_model_(tree_)log_prob`` returns.  This factory exposes the
+    same per-leaf Gaussian priors (reference: hamiltorch/samplers.py:
+    1141-1157) and likelihood zoo, with two evidence-specific choices:
+
+    * the likelihood is the NORMALIZED per-observation density summed
+      (``model_comparison.pointwise_log_lik_from_predictions``) — the
+      sampling-time forms may drop theta-constants (the regression
+      branch's Gaussian normalisation), which cancel inside one model's
+      MCMC but shift log Z between models with different ``tau_out``;
+    * ``prior_sample_fn(key, n)`` draws (n, ...)-leaf parameter stacks
+      from the exact prior — ``run_smc``'s initial population.
+
+    ``log_lik_fn`` carries the ``_raw_fn``/``_data`` operand protocol
+    (the dataset rides as a jit operand); all three functions consume /
+    produce the parameter PYTREE ``template`` (``run_ti``/``run_smc``
+    take tree states directly).
+    """
+    from ..model_comparison import pointwise_log_lik_from_predictions
+
+    apply_fn, template = build_model(
+        model, x_example=x_example if x_example is not None else x,
+        params_template=params_template, bridge_method=bridge_method,
+    )
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+
+    def log_prior_fn(params):
+        return gaussian_prior_log_prob(params, tau_list)
+
+    def raw_lik(params, data):
+        x_, y_ = data
+        out = apply_fn(params, x_)
+        return jnp.sum(
+            pointwise_log_lik_from_predictions(out[None], y_, model_loss,
+                                               tau_out)[0]
+        )
+
+    def log_lik_fn(params, data=None):
+        return raw_lik(params, (x, y) if data is None else data)
+
+    log_lik_fn._raw_fn = raw_lik
+    log_lik_fn._data = (x, y)
+
+    leaves, tdef = jax.tree_util.tree_flatten(template)
+    taus = _resolve_taus(len(leaves), tau_list)
+
+    def prior_sample_fn(key, n):
+        keys = jax.random.split(key, len(leaves))
+        outs = [
+            jax.random.normal(k, (n,) + l.shape, l.dtype)
+            / jnp.sqrt(jnp.asarray(t, l.dtype))
+            for k, l, t in zip(keys, leaves, taus)
+        ]
+        return jax.tree_util.tree_unflatten(tdef, outs)
+
+    return log_prior_fn, log_lik_fn, prior_sample_fn, template
 
 
 def define_model_tree_log_prob(

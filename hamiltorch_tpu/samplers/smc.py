@@ -275,6 +275,8 @@ def run_smc(
     the ``log_evidence`` estimate of log p(data) — the quantity MCMC
     chains cannot produce — and per-stage diagnostics.
     """
+    from ..ops.potential import resolve_potential
+
     k_init, key = jax.random.split(key)
     particles0 = prior_sample_fn(k_init, config.num_particles)
     leaves = jax.tree_util.tree_leaves(particles0)
@@ -283,7 +285,12 @@ def run_smc(
             "prior_sample_fn must return leaves with a leading "
             f"num_particles={config.num_particles} axis"
         )
-    return _run_smc_jit(key, particles0, log_prior_fn, log_lik_fn, config,
+    # honour the _raw_fn/_data operand protocol (define_model_prior_and_lik
+    # attaches the dataset): it must ride as a jit operand, not a closure
+    lik, data_r = resolve_potential(log_lik_fn, None)
+    if data is None:
+        data = data_r
+    return _run_smc_jit(key, particles0, log_prior_fn, lik, config,
                         data=data)
 
 
