@@ -1559,8 +1559,12 @@ def run_ti_checkpointed(
 
     def save_chunk(out):
         cold, llik_tr, alphas, swaps = out[0], out[1], out[2], out[3]
+        # betas ride the chunk file: the estimator must see the SAME ladder
+        # the jitted scan used (XLA constant-folds ti_ladder at compile
+        # time; an eager recompute differs by ulps on TPU, which moves
+        # log_evidence off the straight run's)
         return {"cold": cold, "llik": llik_tr, "alphas": alphas,
-                "swaps": swaps}
+                "swaps": swaps, "betas": out[4]}
 
     fp = _fingerprint(config, theta0s)
     zs, carry = _checkpoint_loop(
@@ -1568,19 +1572,38 @@ def run_ti_checkpointed(
         chunk_size, resume, fp, save_chunk,
     )
 
+    # truncate to config.num_samples: num_samples is a cosmetic fingerprint
+    # field, so resuming a directory left by a longer completed run must
+    # return exactly the requested draws (the _assemble_mcmc [:kept] rule)
+    kept = config.num_samples
+
     def cat(name):
         if name not in zs[0].files and f"{name}__leaf_0" in zs[0].files:
             tdef = jax.tree_util.tree_structure(carry[0])
             leaves = [
-                jnp.asarray(np.concatenate([z[f"{name}__leaf_{i}"] for z in zs]))
+                jnp.asarray(
+                    np.concatenate([z[f"{name}__leaf_{i}"] for z in zs])
+                )[:kept]
                 for i in range(tdef.num_leaves)
             ]
             return jax.tree_util.tree_unflatten(tdef, leaves)
-        return jnp.asarray(np.concatenate([z[name] for z in zs]))
+        return jnp.asarray(np.concatenate([z[name] for z in zs]))[:kept]
 
-    from .samplers.ti import ti_ladder
+    # constant per chunk — read from the first file, never recomputed
+    # (and never concatenated: cat()'s [:kept] is for time axes); older
+    # directories predating the betas field fall back to the eager ladder
+    if "betas" in zs[0].files:
+        betas = jnp.asarray(zs[0]["betas"]).astype(dtype)
+    else:
+        from .samplers.ti import ti_ladder
 
-    betas = ti_ladder(config.num_temps, config.schedule_power, dtype)
-    out = (cat("cold"), cat("llik"), cat("alphas"), cat("swaps"), betas,
-           carry[1].step_size)
+        betas = ti_ladder(config.num_temps, config.schedule_power, dtype)
+    # chunk files store sub-f32 arrays upcast to f32 (_np_savable); restore
+    # the chain-state leaf dtypes so a bf16-state run's llik trace — hence
+    # log_evidence — is bit-identical to the straight run
+    cold = jax.tree_util.tree_map(
+        lambda s, t: s.astype(t.dtype), cat("cold"), theta0s
+    )
+    out = (cold, cat("llik").astype(dtype), cat("alphas").astype(dtype),
+           cat("swaps"), betas, carry[1].step_size)
     return assemble_ti_result(out, config)

@@ -164,7 +164,15 @@ def _run_ti_jit(key, theta0s, log_prior_fn, log_lik_fn, config: TIConfig,
         # fresh tempered value/grad at the slot's OWN beta — includes any
         # state moved here by last draw's swap (see module docstring)
         (vals, lliks), grads = vg(thetas, betas)
-        eps_k = da.step_size if config.adapt_step_size else eps0
+        if config.adapt_step_size:
+            # every estimator-visible draw (n >= burn, feeding alphas[burn:]
+            # and llik_tr[burn:]) runs at the dual-averaged step size;
+            # log_eps_bar is frozen post-burn, so this is chunk-stable
+            eps_k = jnp.where(
+                n >= config.burn, jnp.exp(da.log_eps_bar), da.step_size
+            )
+        else:
+            eps_k = eps0
         kn = jax.random.fold_in(key, n)
         k_mom, k_mh, k_swap = jax.random.split(kn, 3)
 

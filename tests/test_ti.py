@@ -200,6 +200,59 @@ class TestTICheckpoint:
         np.testing.assert_array_equal(np.asarray(r.samples),
                                       np.asarray(r_res.samples))
 
+    def test_resume_from_longer_completed_run_truncates(self, key, tmp_path):
+        """num_samples is a cosmetic fingerprint field: pointing a SHORTER
+        request at a directory left by a longer completed run must return
+        exactly the requested draws (and evidence over them), not the
+        longer run's."""
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_ti_checkpointed
+
+        log_prior, log_lik, _ = gaussian_setup(d=2, lam=4.0)
+        cfg = TIConfig(num_samples=120, num_steps_per_sample=4,
+                       step_size=0.4, num_temps=6, burn=40)
+        run_ti_checkpointed(key, log_prior, log_lik, jnp.zeros(2), cfg,
+                            str(tmp_path / "long"), chunk_size=50)
+        short = dataclasses.replace(cfg, num_samples=80)
+        r_short = run_ti_checkpointed(key, log_prior, log_lik, jnp.zeros(2),
+                                      short, str(tmp_path / "long"),
+                                      chunk_size=50)
+        r_ref = run_ti(key, log_prior, log_lik, jnp.zeros(2), short)
+        assert r_short.samples.shape == r_ref.samples.shape == (40, 2)
+        np.testing.assert_array_equal(np.asarray(r_short.samples),
+                                      np.asarray(r_ref.samples))
+        np.testing.assert_array_equal(np.asarray(r_short.loglik_draws),
+                                      np.asarray(r_ref.loglik_draws))
+        assert float(r_short.log_evidence) == pytest.approx(
+            float(r_ref.log_evidence), abs=1e-6
+        )
+
+    def test_bf16_state_bit_exact(self, key, tmp_path):
+        """Chunk files upcast sub-f32 arrays to f32 on disk; the assembled
+        result must restore the chain-state dtype so a bf16-state run is
+        bit-identical to the straight run (incl. log_evidence)."""
+        from hamiltorch_tpu.checkpoint import run_ti_checkpointed
+
+        log_prior, log_lik, _ = gaussian_setup(d=2, lam=4.0)
+        cfg = TIConfig(num_samples=90, num_steps_per_sample=4,
+                       step_size=0.4, num_temps=6, burn=30)
+        t0 = jnp.zeros(2, jnp.bfloat16)
+        r = run_ti(key, log_prior, log_lik, t0, cfg)
+        r_ck = run_ti_checkpointed(key, log_prior, log_lik, t0, cfg,
+                                   str(tmp_path / "bf"), chunk_size=40)
+        assert r_ck.samples.dtype == r.samples.dtype == jnp.bfloat16
+        assert r_ck.loglik_draws.dtype == r.loglik_draws.dtype
+        np.testing.assert_array_equal(
+            np.asarray(r.samples, np.float32),
+            np.asarray(r_ck.samples, np.float32),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r.loglik_draws, np.float32),
+            np.asarray(r_ck.loglik_draws, np.float32),
+        )
+        assert float(r.log_evidence) == float(r_ck.log_evidence)
+
     def test_pytree_checkpointed(self, key, tmp_path):
         from hamiltorch_tpu.checkpoint import run_ti_checkpointed
 
