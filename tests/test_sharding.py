@@ -497,9 +497,9 @@ class TestRMHMCSharding:
 
 
 class TestMultihostHelpers:
-    """Single-process-exercisable surface of parallel/multihost.py (the
-    jax.distributed wiring itself needs a real pod; the mesh/geometry logic
-    runs on the virtual backend)."""
+    """Single-process surface of parallel/multihost.py.  The actual
+    jax.distributed wiring is exercised on a real 2-process localhost
+    cluster in tests/test_multihost.py."""
 
     def test_initialize_single_process_noop(self):
         from hamiltorch_tpu.parallel.multihost import initialize_multihost
