@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
+from _smoke_budget import budget
+
 import hamiltorch_tpu as hamiltorch
 
 hamiltorch.set_random_seed(0)
@@ -34,12 +36,13 @@ tau_list = [1.0, 1.0]  # per-layer prior precision (kernel, bias)
 # --- HMC (notebook cell 8: 300 samples, L=20) ---
 params_hmc = hamiltorch.sample_model(
     Net(), x, y, model_loss="multi_class_linear_output",
-    num_samples=300, num_steps_per_sample=20, step_size=0.01,
+    num_samples=budget(300, 20), num_steps_per_sample=budget(20, 5),
+    step_size=0.01,
     tau_out=1.0, tau_list=tau_list, key=jax.random.key(1),
 )
 
 pred, log_probs = hamiltorch.predict_model(
-    Net(), params_hmc[100:], x=x, y=y,
+    Net(), params_hmc[budget(100, 5):], x=x, y=y,
     model_loss="multi_class_linear_output", tau_out=1.0, tau_list=tau_list,
 )
 acc = float((pred.mean(0).argmax(-1) == y).mean())

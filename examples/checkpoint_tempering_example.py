@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _smoke_budget import budget
+
 from hamiltorch_tpu import NUTSConfig, PTConfig, run_parallel_tempering
 from hamiltorch_tpu.checkpoint import run_nuts_checkpointed
 from hamiltorch_tpu.samplers.nuts import run_nuts
@@ -37,14 +39,16 @@ key = jax.random.key(0)
 scales = jnp.asarray([0.1, 1.0, 10.0])
 log_prob = lambda t: -0.5 * jnp.sum((t / scales) ** 2)
 
-full = NUTSConfig(num_samples=600, step_size=0.5, burn=400, adapt_mass=True)
-half = NUTSConfig(num_samples=250, step_size=0.5, burn=400, adapt_mass=True)
+n_full, n_half, n_burn = budget(600, 120), budget(250, 50), budget(400, 80)
+chunk = budget(100, 25)
+full = NUTSConfig(num_samples=n_full, step_size=0.5, burn=n_burn, adapt_mass=True)
+half = NUTSConfig(num_samples=n_half, step_size=0.5, burn=n_burn, adapt_mass=True)
 
 ckpt = tempfile.mkdtemp()
-print("running 250/600 draws, then 'crashing' ...")
-run_nuts_checkpointed(key, log_prob, jnp.zeros(3), half, ckpt, chunk_size=100)
-print("resuming to 600 ...")
-resumed = run_nuts_checkpointed(key, log_prob, jnp.zeros(3), full, ckpt, chunk_size=100)
+print(f"running {n_half}/{n_full} draws, then 'crashing' ...")
+run_nuts_checkpointed(key, log_prob, jnp.zeros(3), half, ckpt, chunk_size=chunk)
+print(f"resuming to {n_full} ...")
+resumed = run_nuts_checkpointed(key, log_prob, jnp.zeros(3), full, ckpt, chunk_size=chunk)
 direct, _ = run_nuts(key, log_prob, jnp.zeros(3), full)
 inv_res = np.asarray(resumed.final_warm[1])
 inv_dir = np.asarray(direct.final_warm[1])
@@ -53,14 +57,15 @@ print(f"direct  adapted inverse-mass diag:  {inv_dir.round(3)}")
 print(f"target variances:                   {np.asarray(scales)**2}")
 print(f"resumed/direct final step size: {float(resumed.final_step_size):.4f} / "
       f"{float(direct.final_step_size):.4f}")
-kept = np.asarray(resumed.samples[400:])
+kept = np.asarray(resumed.samples[n_burn:])
 print(f"post-burn stds: {kept.std(0).round(2)}  (expect {np.asarray(scales)})")
 shutil.rmtree(ckpt)
 
 # --- 2. adaptive-ladder parallel tempering --------------------------------
 heavy = lambda t: -2.5 * jnp.sum(jnp.log1p(t**2 / 3.0))
-base = dict(num_samples=2000, num_steps_per_sample=5, step_size=0.25,
-            num_temps=6, max_temp=100.0, burn=1000)
+base = dict(num_samples=budget(2000, 200), num_steps_per_sample=5,
+            step_size=0.25, num_temps=budget(6, 4), max_temp=100.0,
+            burn=budget(1000, 100))
 
 r_static = run_parallel_tempering(key, heavy, jnp.zeros(1), PTConfig(**base))
 r_adapt = run_parallel_tempering(

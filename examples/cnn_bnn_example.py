@@ -11,6 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
+from _smoke_budget import budget
+
 import hamiltorch_tpu as hamiltorch
 
 
@@ -27,17 +29,20 @@ class ConvNet(nn.Module):
 # synthetic 8x8 images: 3 classes with distinct spatial patterns
 rng = np.random.RandomState(0)
 templates = rng.randn(3, 8, 8, 1).astype(np.float32)
-labels = rng.randint(0, 3, 120)
-x = jnp.asarray(templates[labels] + 0.4 * rng.randn(120, 8, 8, 1).astype(np.float32))
+n_img = budget(120, 48)
+labels = rng.randint(0, 3, n_img)
+x = jnp.asarray(templates[labels]
+                + 0.4 * rng.randn(n_img, 8, 8, 1).astype(np.float32))
 y = jnp.asarray(labels)
 
 samples = hamiltorch.sample_model(
     ConvNet(), x, y, model_loss="multi_class_linear_output",
-    num_samples=200, num_steps_per_sample=15, step_size=0.003,
-    key=jax.random.key(0), verbose=False,
+    num_samples=budget(200, 12), num_steps_per_sample=budget(15, 5),
+    step_size=0.003, key=jax.random.key(0), verbose=False,
 )
 preds, _ = hamiltorch.predict_model(
-    ConvNet(), samples[50:], x=x, y=y, model_loss="multi_class_linear_output",
+    ConvNet(), samples[budget(50, 3):], x=x, y=y,
+    model_loss="multi_class_linear_output",
 )
 acc = float((preds.mean(0).argmax(-1) == y).mean())
 print(f"CNN BNN: {samples.shape[1]:,} params, posterior-mean train accuracy {acc:.3f}")
@@ -53,8 +58,8 @@ try:
     x_nchw = jnp.transpose(x, (0, 3, 1, 2))
     s2 = hamiltorch.sample_model(
         tnet, x_nchw, y, model_loss="multi_class_linear_output",
-        num_samples=100, num_steps_per_sample=10, step_size=0.003,
-        key=jax.random.key(1), verbose=False,
+        num_samples=budget(100, 8), num_steps_per_sample=budget(10, 3),
+        step_size=0.003, key=jax.random.key(1), verbose=False,
     )
     print(f"torch Conv2d via interop: sampled {s2.shape[0]} draws of {s2.shape[1]:,} params")
 except ImportError:

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
+from _smoke_budget import budget
+
 import hamiltorch_tpu as hamiltorch
 
 
@@ -26,11 +28,12 @@ class Net(nn.Module):
 
 # MNIST-shaped synthetic data: 10 classes, 6000 images of 784 pixels
 rng = np.random.RandomState(0)
+n_img = budget(6000, 600)
 prototypes = rng.randn(10, 784).astype(np.float32)
-labels = rng.randint(0, 10, 6000)
-x = (prototypes[labels] + 0.5 * rng.randn(6000, 784)).astype(np.float32)
+labels = rng.randint(0, 10, n_img)
+x = (prototypes[labels] + 0.5 * rng.randn(n_img, 784)).astype(np.float32)
 
-num_splits = 6
+num_splits = budget(6, 3)
 batches = [
     (x[i::num_splits], labels[i::num_splits].astype(np.float32))
     for i in range(num_splits)
@@ -38,21 +41,24 @@ batches = [
 
 # The parity entry point (one-line port of the reference's
 # sample_split_model call):
+n_draws = budget(100, 6)
 samples = hamiltorch.sample_split_model(
     Net(), batches, num_splits=num_splits,
     model_loss="multi_class_linear_output",
-    num_samples=100, num_steps_per_sample=10, step_size=2e-4,
+    num_samples=n_draws, num_steps_per_sample=budget(10, 3), step_size=2e-4,
     tau_out=1.0, key=jax.random.key(0), verbose=False,
 )
 print(f"split HMC, {samples.shape[1]:,}-param BNN, {num_splits} splits of "
       f"{x.shape[0] // num_splits} images")
 
+n_eval = budget(1000, 200)
 preds, _ = hamiltorch.predict_model(
-    Net(), samples[20:], x=jnp.asarray(x[:1000]), y=jnp.asarray(labels[:1000]),
+    Net(), samples[budget(20, 2):], x=jnp.asarray(x[:n_eval]),
+    y=jnp.asarray(labels[:n_eval]),
     model_loss="multi_class_linear_output",
 )
-acc = float((preds.mean(0).argmax(-1) == jnp.asarray(labels[:1000])).mean())
-print(f"  posterior-mean accuracy on 1000 train images: {acc:.3f}")
+acc = float((preds.mean(0).argmax(-1) == jnp.asarray(labels[:n_eval])).mean())
+print(f"  posterior-mean accuracy on {n_eval} train images: {acc:.3f}")
 
 # --- steady-state timing, flat vs pytree chain state ----------------------
 # Timing rules that matter on the remote TPU service: build each potential
@@ -69,7 +75,8 @@ from hamiltorch_tpu.models.bnn import (
 from hamiltorch_tpu.samplers.driver import MCMCConfig
 from hamiltorch_tpu.samplers.splitting import run_split_hmc_stacked
 
-cfg = MCMCConfig(num_samples=100, num_steps_per_sample=10, step_size=2e-4)
+cfg = MCMCConfig(num_samples=n_draws, num_steps_per_sample=budget(10, 3),
+                 step_size=2e-4)
 nonce = int(time.time_ns() % (1 << 30))  # defeat the service result cache
 
 term_flat, m_terms, flat0, _, data_f = define_split_model_log_prob(
@@ -82,11 +89,11 @@ term_tree, _, template, data_t = define_split_model_tree_log_prob(
 def steady(run_once):
     run_once(nonce)  # compile + warm up
     times = []
-    for rep in range(3):
+    for rep in range(budget(3, 1)):
         t0 = time.perf_counter()
         run_once(nonce + rep + 1)
         times.append(time.perf_counter() - t0)
-    return 100 / float(np.median(times))
+    return n_draws / float(np.median(times))
 
 def run_flat(seed):
     r = run_split_hmc_stacked(jax.random.key(seed), term_flat, m_terms,

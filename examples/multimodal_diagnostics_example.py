@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _smoke_budget import budget
+
 from hamiltorch_tpu.diagnostics import summary
 from hamiltorch_tpu.samplers.driver import MCMCConfig
 from hamiltorch_tpu.samplers.hmc import run_hmc_chains
@@ -38,7 +40,8 @@ def main():
     key = jax.random.key(0)
 
     # --- 1. plain HMC: each chain is trapped in its starting mode ---------
-    cfg = MCMCConfig(num_samples=1000, num_steps_per_sample=8, step_size=0.25)
+    cfg = MCMCConfig(num_samples=budget(1000, 100), num_steps_per_sample=8,
+                     step_size=0.25)
     starts = jnp.asarray([[3.0, 3.0], [3.0, 3.0], [-3.0, -3.0], [-3.0, -3.0]])
     r = run_hmc_chains(key, mixture_log_prob, starts, cfg, num_chains=4)
     s = summary(r.samples)
@@ -47,8 +50,9 @@ def main():
           " <- far above 1.01: chains never mixed between modes")
 
     # --- 2. ensemble parallel tempering crosses the barrier ---------------
-    pt_cfg = PTConfig(num_samples=1500, num_steps_per_sample=8, step_size=0.25,
-                      num_temps=6, max_temp=60.0, burn=300, adapt_ladder=True)
+    pt_cfg = PTConfig(num_samples=budget(1500, 150), num_steps_per_sample=8,
+                      step_size=0.25, num_temps=budget(6, 4), max_temp=60.0,
+                      burn=budget(300, 40), adapt_ladder=True)
     rp = run_pt_chains(key, mixture_log_prob, jnp.zeros(2), pt_cfg,
                        num_ensembles=4)
     sp = summary(rp.samples)
@@ -64,14 +68,15 @@ def main():
     cov = 0.95 * jnp.ones((4, 4)) + 0.05 * jnp.eye(4)
     prec = jnp.linalg.inv(cov)
     corr_lp = lambda t: -0.5 * t @ prec @ t
+    n_nuts, b_nuts = budget(1200, 150), budget(500, 60)
     rd, infod = run_nuts(key, corr_lp, jnp.zeros(4),
-                         NUTSConfig(num_samples=1200, step_size=0.2, burn=500,
-                                    adapt_mass="dense"))
+                         NUTSConfig(num_samples=n_nuts, step_size=0.2,
+                                    burn=b_nuts, adapt_mass="dense"))
     rg, infog = run_nuts(key, corr_lp, jnp.zeros(4),
-                         NUTSConfig(num_samples=1200, step_size=0.2, burn=500,
-                                    adapt_mass=True))
-    ld = float(jnp.mean(infod.num_leapfrogs[500:]))
-    lg = float(jnp.mean(infog.num_leapfrogs[500:]))
+                         NUTSConfig(num_samples=n_nuts, step_size=0.2,
+                                    burn=b_nuts, adapt_mass=True))
+    ld = float(jnp.mean(infod.num_leapfrogs[b_nuts:]))
+    lg = float(jnp.mean(infog.num_leapfrogs[b_nuts:]))
     print("\ndense vs diagonal metric on a rho=0.95 Gaussian:")
     print(f"  leapfrogs/draw: dense={ld:.1f}  diag={lg:.1f}"
           f"  ({lg / ld:.1f}x fewer gradient evaluations)")

@@ -10,6 +10,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from _smoke_budget import budget
+
 import hamiltorch_tpu as hamiltorch
 from hamiltorch_tpu.diagnostics import summary
 from hamiltorch_tpu.parallel.chains import multi_chain, setup_chain
@@ -22,8 +24,9 @@ def log_prob(omega):
     return jnp.sum(-0.5 * (omega / stddev) ** 2)
 
 
+n_draws = budget(400, 60)
 kwargs = dict(
-    log_prob_func=log_prob, num_samples=400, step_size=0.3,
+    log_prob_func=log_prob, num_samples=n_draws, step_size=0.3,
     num_steps_per_sample=5, verbose=False,
 )
 
@@ -31,13 +34,14 @@ kwargs = dict(
 prior = lambda key: jax.random.normal(key, (3,))
 chain = setup_chain(hamiltorch.sample, prior, kwargs)
 t0 = time.time()
-results = multi_chain(chain, num_workers=4, seeds=list(range(8)))
+results = multi_chain(chain, num_workers=4, seeds=list(range(budget(8, 4))))
 print(f"8 sequential chains: {time.time() - t0:.2f}s")
 
 # --- TPU-native: one vmapped program (timed warm: the sequential loop
 # above reuses one compiled program 8 times, so a fair comparison gives
 # the vmapped program its one compile too) ---
-config = hamiltorch.MCMCConfig(num_samples=400, num_steps_per_sample=5, step_size=0.3)
+config = hamiltorch.MCMCConfig(num_samples=n_draws, num_steps_per_sample=5,
+                               step_size=0.3)
 jax.block_until_ready(hamiltorch.run_hmc_chains(
     jax.random.key(0), log_prob, jnp.zeros(3), config, num_chains=8
 ).samples)

@@ -10,6 +10,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from _smoke_budget import budget
+
 import hamiltorch_tpu as hamiltorch
 
 hamiltorch.set_random_seed(123)
@@ -26,8 +28,8 @@ def analytic_grad(omega):
 
 
 common = dict(
-    params_init=jnp.zeros(3), num_samples=400, step_size=0.1,
-    num_steps_per_sample=20, verbose=False, key=jax.random.key(0),
+    params_init=jnp.zeros(3), num_samples=budget(400, 60), step_size=0.1,
+    num_steps_per_sample=budget(20, 5), verbose=False, key=jax.random.key(0),
 )
 
 
@@ -49,7 +51,8 @@ t_pass, s_pass = timed_warm(
                               pass_grad=analytic_grad, **common)
 )
 
-print(f"autograd : {t_auto:.3f}s  emp std {jnp.std(s_auto[50:], axis=0)}")
-print(f"pass_grad: {t_pass:.3f}s  emp std {jnp.std(s_pass[50:], axis=0)}")
+tail = budget(50, 10)
+print(f"autograd : {t_auto:.3f}s  emp std {jnp.std(s_auto[tail:], axis=0)}")
+print(f"pass_grad: {t_pass:.3f}s  emp std {jnp.std(s_pass[tail:], axis=0)}")
 print("identical keys -> identical chains:",
       bool(jnp.allclose(s_auto, s_pass, atol=1e-5)))

@@ -10,16 +10,11 @@ exact full-batch log-posterior — full-batch HMC on datasets larger than one
 device's memory.
 """
 
-import os
-
-# Honour a requested virtual CPU mesh even under site hooks that force a
-# TPU platform (only jax.config.update wins over those; see CLAUDE.md).
-_want_cpu = os.environ.get("JAX_PLATFORMS", "") == "cpu"
-
 import jax
 
-if _want_cpu:
-    jax.config.update("jax_platforms", "cpu")
+# _smoke_budget honours a requested JAX_PLATFORMS=cpu even under site hooks
+# that force a TPU platform (only jax.config.update wins; see CLAUDE.md).
+from _smoke_budget import budget
 
 if len(jax.devices()) == 1:
     print(
@@ -55,12 +50,13 @@ def log_prior(theta):
 mesh = make_mesh(chains=2, data=len(jax.devices()) // 2)
 print("mesh:", dict(mesh.shape))
 
-config = MCMCConfig(num_samples=500, num_steps_per_sample=10, step_size=0.0008)
+config = MCMCConfig(num_samples=budget(500, 80), num_steps_per_sample=10,
+                    step_size=0.0008)
 result = sample_chains_sharded(
     jax.random.key(0), loglik_shard, log_prior, x, y,
     jnp.zeros(d), config, mesh, num_chains=8,
 )
-stats = summary(result.samples[:, 100:])
+stats = summary(result.samples[:, budget(100, 20):])
 err = float(jnp.max(jnp.abs(stats["mean"] - jnp.asarray(w_true))))
 print(f"posterior mean vs true weights: max abs error {err:.4f}")
 print("split R-hat:", np.asarray(stats["r_hat"]).round(3))

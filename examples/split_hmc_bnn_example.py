@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
+from _smoke_budget import budget
+
 import hamiltorch_tpu as hamiltorch
 
 hamiltorch.set_random_seed(0)
@@ -30,11 +32,12 @@ tau_out = 100.0
 # --- full-batch HMC (notebook cell 14) ---
 params_full = hamiltorch.sample_model(
     MLP(), jnp.asarray(x), jnp.asarray(y), model_loss="regression",
-    num_samples=200, num_steps_per_sample=30, step_size=0.0005,
+    num_samples=budget(200, 12), num_steps_per_sample=budget(30, 5),
+    step_size=0.0005,
     tau_out=tau_out, key=jax.random.key(0),
 )
 pred_full, _ = hamiltorch.predict_model(
-    MLP(), params_full[50:], x=jnp.asarray(x), y=jnp.asarray(y),
+    MLP(), params_full[budget(50, 3):], x=jnp.asarray(x), y=jnp.asarray(y),
     model_loss="regression", tau_out=tau_out,
 )
 rmse = float(jnp.sqrt(jnp.mean((pred_full.mean(0) - y) ** 2)))
@@ -49,12 +52,13 @@ for integ in (
 ):
     params_split = hamiltorch.sample_split_model(
         MLP(), batches, num_splits=4, model_loss="regression",
-        num_samples=100, num_steps_per_sample=30, step_size=0.0005,
+        num_samples=budget(100, 8), num_steps_per_sample=budget(30, 5),
+        step_size=0.0005,
         integrator=integ, tau_out=tau_out, key=jax.random.key(1),
         verbose=False,
     )
     pred, _ = hamiltorch.predict_model(
-        MLP(), params_split[20:], x=jnp.asarray(x), y=jnp.asarray(y),
+        MLP(), params_split[budget(20, 2):], x=jnp.asarray(x), y=jnp.asarray(y),
         model_loss="regression", tau_out=tau_out,
     )
     rmse = float(jnp.sqrt(jnp.mean((pred.mean(0) - y) ** 2)))

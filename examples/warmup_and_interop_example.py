@@ -19,6 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _smoke_budget import budget
+
 from hamiltorch_tpu.samplers.driver import MCMCConfig
 from hamiltorch_tpu.samplers.hmc import run_hmc
 
@@ -29,13 +31,16 @@ def main():
     # --- 1. windowed diagonal warmup on a badly scaled Gaussian -----------
     scales = jnp.array([0.05, 20.0])
     lp = lambda t: -0.5 * jnp.sum((t / scales) ** 2)
-    base = dict(num_samples=1500, step_size=0.5, burn=700, num_steps_per_sample=8)
+    n_hmc, b_hmc = budget(1500, 200), budget(700, 100)
+    base = dict(num_samples=n_hmc, step_size=0.5, burn=b_hmc,
+                num_steps_per_sample=8)
     r_plain = run_hmc(key, lp, jnp.zeros(2), MCMCConfig(**base))
     r_warm = run_hmc(key, lp, jnp.zeros(2), MCMCConfig(**base, adapt_mass=True))
+    tail = (n_hmc + b_hmc) // 2
     print("badly scaled Gaussian, true stds [0.05, 20]:")
-    print("  fixed unit metric :", np.asarray(r_plain.samples[800:]).std(0).round(3),
+    print("  fixed unit metric :", np.asarray(r_plain.samples[tail:]).std(0).round(3),
           " <- wide direction frozen")
-    print("  adapt_mass=True   :", np.asarray(r_warm.samples[800:]).std(0).round(3))
+    print("  adapt_mass=True   :", np.asarray(r_warm.samples[tail:]).std(0).round(3))
     print("  learned inv_mass  :", np.asarray(r_warm.final_warm[1]).round(4),
           " (~ the marginal variances)")
 
@@ -45,7 +50,7 @@ def main():
     lp_corr = lambda t: -0.5 * t @ prec @ t
     r_dense = run_hmc(
         key, lp_corr, jnp.zeros(2),
-        MCMCConfig(num_samples=1500, step_size=0.2, burn=700,
+        MCMCConfig(num_samples=n_hmc, step_size=0.2, burn=b_hmc,
                    num_steps_per_sample=8, adapt_mass="dense",
                    adapt_step_size=True),
     )
@@ -74,12 +79,13 @@ def main():
     ylab = (x.sum((1, 2)) > 0).astype(np.int64)
     samples = sample_model(
         cnn, jnp.asarray(x), jnp.asarray(ylab),
-        model_loss="multi_class_linear_output", num_samples=150,
-        num_steps_per_sample=10, step_size=0.01, key=jax.random.key(2),
+        model_loss="multi_class_linear_output", num_samples=budget(150, 12),
+        num_steps_per_sample=budget(10, 3), step_size=0.01,
+        key=jax.random.key(2),
         verbose=False,
     )
     preds, _ = predict_model(
-        cnn, samples[50:], x=jnp.asarray(x), y=jnp.asarray(ylab),
+        cnn, samples[budget(50, 3):], x=jnp.asarray(x), y=jnp.asarray(ylab),
         model_loss="multi_class_linear_output",
     )
     acc = float(jnp.mean(preds.mean(0).argmax(-1) == jnp.asarray(ylab)))
@@ -104,10 +110,11 @@ def main():
     yg = (xg @ w[:, None] + 0.05 * rs.randn(32, 1)).astype(np.float32)
     sg = sample_model(
         Gated().eval(), jnp.asarray(xg), jnp.asarray(yg),
-        model_loss="regression", num_samples=150, num_steps_per_sample=10,
+        model_loss="regression", num_samples=budget(150, 12),
+        num_steps_per_sample=budget(10, 3),
         step_size=0.002, tau_out=100.0, key=jax.random.key(3), verbose=False,
     )
-    post = np.asarray(sg[50:]).mean(0)
+    post = np.asarray(sg[budget(50, 3):]).mean(0)
     print("concrete-trace forward, posterior weights:", post[:2].round(3),
           "(true", w, ")")
 
