@@ -301,3 +301,151 @@ def summary(samples, energies=None, like=None) -> Dict[str, jnp.ndarray]:
     if energies is not None:
         out["e_bfmi"] = e_bfmi(energies)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ArviZ export
+# ---------------------------------------------------------------------------
+
+def _leaf_var_name(path) -> str:
+    """Dotted variable name from a tree_flatten_with_path key path."""
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:  # pragma: no cover - future key types
+            parts.append(str(p))
+    return ".".join(parts) or "theta"
+
+
+def _posterior_vars(samples, chains_first: bool) -> Dict[str, "jnp.ndarray"]:
+    """{var_name: (C, N, *shape) array} from an array or pytree trace.
+
+    ``chains_first=False`` marks a single-chain trace (leaves (N, *shape));
+    a leading chain axis of 1 is added so every exported variable is
+    ArviZ's canonical (chain, draw, *shape).
+    """
+    import numpy as np
+
+    if hasattr(samples, "ndim"):
+        arr = np.asarray(samples)
+        return {"theta": arr if chains_first else arr[None]}
+    flat, _ = jax.tree_util.tree_flatten_with_path(samples)
+    out = {}
+    for path, leaf in flat:
+        arr = np.asarray(leaf)
+        out[_leaf_var_name(path)] = arr if chains_first else arr[None]
+    return out
+
+
+def to_inference_dict(result, like=None, info=None) -> Dict[str, Dict]:
+    """``{"posterior": ..., "sample_stats": ...}`` in ArviZ's from_dict
+    layout — every array (chain, draw, *shape) — from any sampler result.
+
+    Accepted ``result`` forms:
+
+    - ``MCMCResult`` from ``run_hmc``/``run_rmhmc``/``run_split_hmc``/…
+      (single chain) or their ``*_chains`` runners;
+    - the ``(MCMCResult, NUTSInfo)`` tuple ``run_nuts``/``run_nuts_chains``
+      return (or pass the info separately via ``info=``);
+    - ``ChEESResult`` (``run_chees``);
+    - ``PTResult`` (``run_parallel_tempering``/``run_pt_chains``) — the
+      posterior is the cold (beta=1) chain; per-draw stats are the cold
+      replica's, aligned to the post-burn draws the result keeps.
+
+    ``like=theta0`` is accepted for interface symmetry with ``summary``
+    but the chain/draw split comes from the result's own stats shapes.
+    Sample-stat names follow ArviZ conventions: ``diverging``,
+    ``acceptance_rate``, ``energy``, ``step_size`` (+ ``tree_depth``/
+    ``n_steps`` for NUTS, ``trajectory_length`` for ChEES).  The
+    ``energy`` series is the E-BFMI one (trajectory-start Hamiltonian
+    with fresh momentum — see :func:`e_bfmi`).
+    """
+    import numpy as np
+
+    del like  # the stats shapes disambiguate; kept for API symmetry
+
+    # run_nuts / run_nuts_chains return a plain (result, info) tuple
+    if (not hasattr(result, "samples") and isinstance(result, tuple)
+            and len(result) == 2):
+        result, info = result
+
+    def _cn(x, chains_first):
+        arr = np.asarray(x)
+        return arr if chains_first else arr[None]
+
+    if hasattr(result, "final_trajectory_length"):  # ChEESResult
+        info = result.info
+        post = _posterior_vars(result.samples, chains_first=True)
+        c, n = next(iter(post.values())).shape[:2]
+        # ChEESInfo is draw-major (N, C); global scalars broadcast to (C, N)
+        stats = {
+            "acceptance_rate": np.asarray(info.accept_prob).T,
+            "diverging": np.asarray(info.divergent).T,
+            "step_size": np.broadcast_to(np.asarray(info.step_size), (c, n)),
+            "trajectory_length": np.broadcast_to(
+                np.asarray(info.trajectory_length), (c, n)
+            ),
+        }
+        return {"posterior": post, "sample_stats": stats}
+
+    if hasattr(result, "replica_samples"):  # PTResult
+        info = result.info
+        acc = np.asarray(info.accept_prob)
+        ensemble = acc.ndim == 3  # (E, N, K) from run_pt_chains
+        post = _posterior_vars(result.samples, chains_first=ensemble)
+        n_kept = next(iter(post.values())).shape[1]
+        cold_acc = acc[..., -n_kept:, 0]  # stats include burn; samples don't
+        return {
+            "posterior": post,
+            "sample_stats": {
+                "acceptance_rate": _cn(cold_acc, ensemble),
+            },
+        }
+
+    # MCMCResult (optionally with a NUTSInfo)
+    stats_src = info if info is not None else result.stats
+    acc = np.asarray(stats_src.accept_prob)
+    chains_first = acc.ndim == 2
+    post = _posterior_vars(result.samples, chains_first=chains_first)
+    if info is not None:  # NUTS
+        stats = {
+            "acceptance_rate": _cn(info.accept_prob, chains_first),
+            "diverging": _cn(info.divergent, chains_first),
+            "energy": _cn(info.energy, chains_first),
+            "step_size": _cn(info.step_size, chains_first),
+            "tree_depth": _cn(info.tree_depth, chains_first),
+            "n_steps": _cn(info.num_leapfrogs, chains_first),
+        }
+    else:
+        s = result.stats
+        stats = {
+            "acceptance_rate": _cn(s.accept_prob, chains_first),
+            "diverging": _cn(s.divergent, chains_first),
+            "energy": _cn(s.energy_old, chains_first),
+            "step_size": _cn(s.step_size, chains_first),
+        }
+    return {"posterior": post, "sample_stats": stats}
+
+
+def to_arviz(result, like=None, info=None):
+    """ArviZ ``InferenceData`` (posterior + sample_stats) from any sampler
+    result — the modern equivalent of the reference notebooks' hand-rolled
+    trace plotting (reference: hamiltorch notebooks; the reference library
+    itself ships no diagnostics, util.py:25-89).  Requires the optional
+    ``arviz`` dependency; see :func:`to_inference_dict` for the accepted
+    result forms and the raw-dict export that needs no extra dependency.
+    """
+    try:
+        import arviz
+    except ImportError as e:  # pragma: no cover - depends on environment
+        raise ImportError(
+            "to_arviz requires the optional dependency arviz "
+            "(pip install arviz); to_inference_dict gives the same "
+            "layout as plain dicts without it"
+        ) from e
+    return arviz.from_dict(**to_inference_dict(result, like=like, info=info))

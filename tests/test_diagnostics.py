@@ -542,3 +542,118 @@ class TestSummaryByLeaf:
         # sanity: the wide-prior leaf reports the wider posterior std
         assert float(np.asarray(s_leaf["std"]["b"]).mean()) > \
             float(np.asarray(s_leaf["std"]["w"]).mean())
+
+
+class TestArvizExport:
+    """to_inference_dict / to_arviz: every result family lands in ArviZ's
+    (chain, draw, *shape) from_dict layout."""
+
+    def _lp(self, t):
+        return -0.5 * jnp.sum(t**2)
+
+    def test_hmc_single_chain(self, key):
+        from hamiltorch_tpu.diagnostics import to_inference_dict
+        from hamiltorch_tpu.samplers.hmc import run_hmc
+
+        r = run_hmc(key, self._lp, jnp.zeros(3),
+                    MCMCConfig(num_samples=20, num_steps_per_sample=3,
+                               step_size=0.3))
+        d = to_inference_dict(r)
+        assert d["posterior"]["theta"].shape == (1, 20, 3)
+        for name in ("acceptance_rate", "diverging", "energy", "step_size"):
+            assert d["sample_stats"][name].shape == (1, 20), name
+        assert d["sample_stats"]["diverging"].dtype == bool
+
+    def test_hmc_chains_pytree(self, key):
+        from hamiltorch_tpu.diagnostics import to_inference_dict
+        from hamiltorch_tpu.samplers.hmc import run_hmc_chains
+
+        theta0 = {"a": jnp.zeros(2), "b": {"c": jnp.zeros((2, 2))}}
+
+        def lp(t):
+            return -0.5 * sum(jnp.sum(l**2)
+                              for l in jax.tree_util.tree_leaves(t))
+
+        r = run_hmc_chains(key, lp, theta0,
+                           MCMCConfig(num_samples=10, num_steps_per_sample=3,
+                                      step_size=0.3), num_chains=4)
+        d = to_inference_dict(r)
+        assert d["posterior"]["a"].shape == (4, 10, 2)
+        assert d["posterior"]["b.c"].shape == (4, 10, 2, 2)
+        assert d["sample_stats"]["energy"].shape == (4, 10)
+
+    def test_nuts_tuple(self, key):
+        from hamiltorch_tpu.diagnostics import to_inference_dict
+        from hamiltorch_tpu.samplers.nuts import NUTSConfig, run_nuts
+
+        out = run_nuts(key, self._lp, jnp.zeros(3),
+                       NUTSConfig(num_samples=15, step_size=0.5, burn=5))
+        d = to_inference_dict(out)  # the (result, info) tuple directly
+        assert d["posterior"]["theta"].shape == (1, 15, 3)
+        for name in ("tree_depth", "n_steps", "energy"):
+            assert d["sample_stats"][name].shape == (1, 15), name
+
+    def test_chees(self, key):
+        from hamiltorch_tpu.diagnostics import to_inference_dict
+        from hamiltorch_tpu.samplers.chees import ChEESConfig, run_chees
+
+        r = run_chees(key, self._lp, jnp.zeros(3),
+                      ChEESConfig(num_samples=12, step_size=0.3, burn=6),
+                      num_chains=4)
+        d = to_inference_dict(r)
+        assert d["posterior"]["theta"].shape == (4, 12, 3)
+        # ChEESInfo is draw-major (N, C); export must transpose
+        assert d["sample_stats"]["acceptance_rate"].shape == (4, 12)
+        assert d["sample_stats"]["trajectory_length"].shape == (4, 12)
+
+    def test_pt_single_and_ensemble(self, key):
+        from hamiltorch_tpu.diagnostics import to_inference_dict
+        from hamiltorch_tpu.samplers.tempering import (
+            PTConfig,
+            run_parallel_tempering,
+            run_pt_chains,
+        )
+
+        cfg = PTConfig(num_samples=16, num_steps_per_sample=3, step_size=0.3,
+                       num_temps=3, max_temp=10.0, burn=4)
+        r1 = run_parallel_tempering(key, self._lp, jnp.zeros(2), cfg)
+        d1 = to_inference_dict(r1)
+        assert d1["posterior"]["theta"].shape == (1, 12, 2)
+        assert d1["sample_stats"]["acceptance_rate"].shape == (1, 12)
+
+        r2 = run_pt_chains(key, self._lp, jnp.zeros(2), cfg, num_ensembles=3)
+        d2 = to_inference_dict(r2)
+        assert d2["posterior"]["theta"].shape == (3, 12, 2)
+        assert d2["sample_stats"]["acceptance_rate"].shape == (3, 12)
+
+    def test_arviz_round_trip(self, key):
+        arviz = pytest.importorskip("arviz")
+        from hamiltorch_tpu.diagnostics import to_arviz
+        from hamiltorch_tpu.samplers.hmc import run_hmc_chains
+
+        r = run_hmc_chains(key, self._lp, jnp.zeros(3),
+                           MCMCConfig(num_samples=10, num_steps_per_sample=3,
+                                      step_size=0.3), num_chains=4)
+        idata = to_arviz(r)
+        assert idata.posterior["theta"].sizes["chain"] == 4
+        assert idata.posterior["theta"].sizes["draw"] == 10
+        assert bool(np.isfinite(
+            arviz.ess(idata, var_names=["theta"]).theta
+        ).all())
+
+    def test_to_arviz_without_arviz_raises(self, key, monkeypatch):
+        import builtins
+        import sys
+
+        if "arviz" in sys.modules or __import__("importlib").util.find_spec(
+            "arviz"
+        ):
+            pytest.skip("arviz installed; the ImportError path is moot")
+        from hamiltorch_tpu.diagnostics import to_arviz
+        from hamiltorch_tpu.samplers.hmc import run_hmc
+
+        r = run_hmc(key, self._lp, jnp.zeros(2),
+                    MCMCConfig(num_samples=5, num_steps_per_sample=2,
+                               step_size=0.3))
+        with pytest.raises(ImportError, match="arviz"):
+            to_arviz(r)
