@@ -23,8 +23,11 @@ from .samplers.chees import ChEESConfig, ChEESResult, run_chees
 from .samplers.nuts import NUTSConfig, run_nuts, run_nuts_chains, run_nuts_ensemble
 from .samplers.rmhmc import run_rmhmc, run_rmhmc_chains
 from .samplers.sgmcmc import (
+    CSGMCMCConfig,
     SGHMCConfig,
     SGLDConfig,
+    run_csgmcmc,
+    run_csgmcmc_chains,
     run_sghmc,
     run_sghmc_chains,
     run_sgld,
@@ -90,6 +93,9 @@ __all__ = [
     "pointwise_log_lik_from_predictions",
     "SGLDConfig",
     "SGHMCConfig",
+    "CSGMCMCConfig",
+    "run_csgmcmc",
+    "run_csgmcmc_chains",
     "run_sgld",
     "run_sgld_chains",
     "run_sghmc",

@@ -508,3 +508,255 @@ def run_sghmc_chains(key, term_fn, num_terms, theta0, config: SGHMCConfig,
     return _run_chains(_run_sghmc_jit, key, term_fn, num_terms, theta0,
                        config, inv_mass, data, num_chains,
                        theta0_is_stacked, "run_sghmc_chains")
+
+
+# ---------------------------------------------------------------------------
+# Cyclical SG-MCMC (cSGLD / cSGHMC)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CSGMCMCConfig:
+    """Static configuration for :func:`run_csgmcmc` (Zhang et al. 2020,
+    "Cyclical Stochastic Gradient MCMC for Bayesian Deep Learning").
+
+    The run is ``num_cycles`` cycles of ``cycle_length`` steps under the
+    cosine step-size schedule
+
+        eps_t = (step_size / 2) * (cos(pi * (t mod L) / L) + 1),  L = cycle_length
+
+    Each cycle starts hot (eps ~ step_size: big jumps that relocate the
+    chain to a new mode) and cools to ~0.  The first
+    ``exploration_frac`` of every cycle is the EXPLORATION stage — pure
+    preconditioned stochastic gradient ascent, no noise injection, no
+    samples kept; the remainder is the SAMPLING stage, running the chosen
+    base dynamics (``base="sgld"`` or ``"sghmc"``) with every ``thin``-th
+    state kept as a snapshot.  Snapshots from different cycles land in
+    different modes of a multimodal posterior — feed them to
+    ``diagnostics.summary`` / ``model_comparison`` the same way as any
+    chain trace.
+
+    ``num_samples`` is implied: ``num_cycles * sampling_steps / thin``
+    snapshots, ``sampling_steps = cycle_length - exploration_steps``.
+    """
+
+    num_cycles: int
+    cycle_length: int
+    step_size: float
+    exploration_frac: float = 0.8
+    thin: int = 1
+    temperature: float = 1.0
+    base: str = "sgld"  # "sgld" | "sghmc"
+    friction: float = 0.05  # sghmc base only
+
+    def __post_init__(self):
+        if self.num_cycles < 1 or self.cycle_length < 2:
+            raise ValueError(
+                f"num_cycles={self.num_cycles} (>=1) and cycle_length="
+                f"{self.cycle_length} (>=2) required"
+            )
+        if not self.step_size > 0:
+            raise ValueError("step_size must be positive")
+        if not 0.0 <= self.exploration_frac < 1.0:
+            raise ValueError("exploration_frac must be in [0, 1)")
+        if self.base not in ("sgld", "sghmc"):
+            raise ValueError(f"base={self.base!r}; must be 'sgld' or 'sghmc'")
+        if not 0.0 < self.friction <= 1.0:
+            raise ValueError("friction must be in (0, 1]")
+        if not self.temperature > 0:
+            raise ValueError("temperature must be positive")
+        if self.thin < 1:
+            raise ValueError("thin must be >= 1")
+        # exploration_steps floors, so exploration_frac < 1 always leaves
+        # >= 1 sampling step — no empty-sampling-stage case to guard
+        if self.sampling_steps % self.thin:
+            raise ValueError(
+                f"sampling steps per cycle ({self.sampling_steps}) must be "
+                f"divisible by thin={self.thin}"
+            )
+
+    @property
+    def exploration_steps(self) -> int:
+        return int(self.exploration_frac * self.cycle_length)
+
+    @property
+    def sampling_steps(self) -> int:
+        return self.cycle_length - self.exploration_steps
+
+
+class CSGMCMCResult(NamedTuple):
+    samples: jnp.ndarray  # (K, ...) snapshots, K = num_cycles * kept/cycle
+    cycle: jnp.ndarray  # (K,) int32 — which cycle each snapshot came from
+    stats: SGMCMCStats  # per-snapshot (step_size at kept step, grad norm, div)
+    final_theta: object
+    final_aux: object  # momentum (sghmc) or None
+
+
+@partial(jax.jit, static_argnames=("term_fn", "num_terms", "config",
+                                   "psum_axis", "prior_fn"))
+def _run_csgmcmc_jit(key, theta0, term_fn, num_terms, config: CSGMCMCConfig,
+                     pre=None, data=None, psum_axis=None, prior_fn=None):
+    ghat = _make_ghat(term_fn, num_terms, data, psum_axis, prior_fn)
+    ell = config.cycle_length
+    temp = config.temperature
+    alpha = config.friction
+    sghmc = config.base == "sghmc"
+    kept_per_cycle = config.sampling_steps // config.thin
+
+    def eps_at(t):
+        pos = jnp.mod(t, ell).astype(jnp.float32)
+        return (config.step_size / 2.0) * (jnp.cos(jnp.pi * pos / ell) + 1.0)
+
+    def one_step(carry, g_idx, with_noise):
+        """One update at global step g_idx; with_noise is STATIC (the
+        exploration stage is deterministic ascent — Zhang et al. §3.2)."""
+        theta, v, div = carry
+        k = jax.random.fold_in(key, g_idx)
+        k_batch, k_noise = jax.random.split(k)
+        m = jax.random.randint(k_batch, (), 0, num_terms)
+        g = ghat(theta, m)
+        gnorm2 = sum(jnp.sum(l.astype(jnp.float32) ** 2)
+                     for l in jax.tree_util.tree_leaves(g))
+        eps = eps_at(g_idx)
+        z = (_leaf_noise(k_noise, theta) if with_noise
+             else _tmap(jnp.zeros_like, theta))
+
+        def _p(leaf_fn_nopre, leaf_fn_pre, *trees):
+            if pre is None:
+                return _tmap(leaf_fn_nopre, *trees)
+            return _tmap(leaf_fn_pre, *trees, pre)
+
+        if sghmc:
+            ns = jnp.sqrt(2.0 * alpha * eps * temp)
+            v_new = _p(
+                lambda vl, gl, zl: (1.0 - alpha) * vl + eps * gl + ns * zl,
+                lambda vl, gl, zl, pl: ((1.0 - alpha) * vl + eps * pl * gl
+                                        + ns * jnp.sqrt(pl) * zl),
+                v, g, z,
+            )
+            t_new = _tmap(
+                lambda t, vl: (t + vl).astype(t.dtype), theta, v_new
+            )
+            (t_new, v_new), ok = _finite_select((t_new, v_new), (theta, v))
+        else:
+            t_new = _p(
+                lambda t, gl, zl: (t + 0.5 * eps * gl
+                                   + jnp.sqrt(eps * temp) * zl).astype(t.dtype),
+                lambda t, gl, zl, pl: (t + 0.5 * eps * pl * gl
+                                       + jnp.sqrt(eps * temp * pl) * zl
+                                       ).astype(t.dtype),
+                theta, g, z,
+            )
+            t_new, ok = _finite_select(t_new, theta)
+            v_new = v
+        return ((t_new, v_new, jnp.logical_or(div, ~ok)),
+                (eps, jnp.sqrt(gnorm2)))
+
+    def one_cycle(carry, c_idx):
+        base_step = c_idx * ell
+
+        # exploration stage: deterministic ascent, nothing collected
+        def explore_body(i, c):
+            c2, _ = one_step(c, base_step + i, with_noise=False)
+            return c2
+
+        carry = jax.lax.fori_loop(0, config.exploration_steps, explore_body,
+                                  carry)
+
+        # sampling stage: base dynamics with noise, keep every thin-th
+        def kept_draw(c, b):
+            theta, v, _ = c
+            inner0 = (theta, v, jnp.asarray(False))
+            gs = (base_step + config.exploration_steps + b * config.thin
+                  + jnp.arange(config.thin))
+
+            def body(i, c_and_last):
+                cc, _ = c_and_last
+                c2, out = one_step(cc, gs[i], with_noise=True)
+                return c2, out
+
+            (theta, v, div), (eps, gn) = jax.lax.fori_loop(
+                0, config.thin, body,
+                (inner0,
+                 (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))),
+            )
+            stats = SGMCMCStats(step_size=eps, grad_norm=gn, divergent=div)
+            return (theta, v, jnp.asarray(False)), (theta, stats)
+
+        carry, (snaps, stats) = jax.lax.scan(
+            kept_draw, carry, jnp.arange(kept_per_cycle)
+        )
+        return carry, (snaps, stats, jnp.full((kept_per_cycle,), c_idx,
+                                              jnp.int32))
+
+    carry0 = (theta0, _tmap(jnp.zeros_like, theta0), jnp.asarray(False))
+    (thetaF, vF, _), (samples, stats, cycles) = jax.lax.scan(
+        one_cycle, carry0, jnp.arange(config.num_cycles)
+    )
+
+    # (num_cycles, kept, ...) -> (num_cycles * kept, ...) snapshot axis
+    def _merge(l):
+        return l.reshape((l.shape[0] * l.shape[1],) + l.shape[2:])
+
+    return CSGMCMCResult(
+        samples=_tmap(_merge, samples),
+        cycle=_merge(cycles),
+        stats=_tmap(_merge, stats),
+        final_theta=thetaF,
+        final_aux=vF if sghmc else None,
+    )
+
+
+def run_csgmcmc(
+    key: jax.Array,
+    term_fn: Callable,
+    num_terms: int,
+    theta0,
+    config: CSGMCMCConfig,
+    inv_mass=None,
+    data=None,
+) -> CSGMCMCResult:
+    """Cyclical SG-MCMC (cSGLD / cSGHMC) over a term-decomposed target.
+
+    Same ``term_fn(theta, m[, data])`` protocol as :func:`run_sgld` /
+    split HMC (``define_split_model_log_prob`` feeds it directly), so a
+    workload moves between constant-step SG-MCMC and the cyclical
+    schedule by swapping the runner.  No reference counterpart (the
+    reference's minibatch story stops at split HMC); the cyclical
+    schedule is the standard recipe for MULTIMODAL BNN posteriors —
+    each cycle's hot restart relocates the chain, each cool-down collects
+    locally mixed snapshots (Zhang et al. 2020).
+    """
+    theta0, pre, data = _prep(
+        key, term_fn, num_terms, theta0, config, inv_mass, data,
+        "run_csgmcmc",
+    )
+    return _run_csgmcmc_jit(key, theta0, term_fn, num_terms, config, pre,
+                            data)
+
+
+def run_csgmcmc_chains(key, term_fn, num_terms, theta0,
+                       config: CSGMCMCConfig, num_chains: int, inv_mass=None,
+                       data=None, theta0_is_stacked=None) -> CSGMCMCResult:
+    """Vectorised independent cyclical SG-MCMC chains (vmap over keys /
+    initial states; samples and stats gain a leading (num_chains,) axis)."""
+    from ..utils.pytree import is_param_tree, stack_param_tree
+
+    if is_param_tree(theta0):
+        template, theta0 = stack_param_tree(
+            theta0, num_chains, stacked=theta0_is_stacked
+        )
+    else:
+        theta0 = jnp.asarray(theta0)
+        template = theta0 if theta0.ndim == 1 else theta0[0]
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    _, pre, data = _prep(
+        key, term_fn, num_terms, template, config, inv_mass, data,
+        "run_csgmcmc_chains",
+    )
+    keys = jax.random.split(key, num_chains)
+    return jax.vmap(
+        lambda k, t: _run_csgmcmc_jit(k, t, term_fn, num_terms, config, pre,
+                                      data),
+        in_axes=(0, 0),
+    )(keys, theta0)

@@ -448,3 +448,105 @@ class TestRobustness:
             run_sgld(key, exact_term, 4, jnp.zeros(3),
                      SGLDConfig(num_samples=10, step_size=0.1),
                      inv_mass=jnp.ones(4))
+
+
+class TestCyclicalSGMCMC:
+    """cSGLD/cSGHMC (Zhang et al. 2020): cosine cycles, exploration stage,
+    snapshot collection, and the multimodal capability the constant-step
+    samplers lack."""
+
+    @pytest.mark.slow
+    def test_csgld_gaussian_recovery(self, key):
+        from hamiltorch_tpu.samplers.sgmcmc import (
+            CSGMCMCConfig,
+            run_csgmcmc_chains,
+        )
+
+        cfg = CSGMCMCConfig(num_cycles=4, cycle_length=1000, step_size=0.05,
+                            exploration_frac=0.2, thin=4)
+        r = run_csgmcmc_chains(key, exact_term, 4, MU, cfg, num_chains=8,
+                               inv_mass=S2)
+        kept = 4 * cfg.sampling_steps // 4
+        assert r.samples.shape == (8, kept, 3)
+        assert r.cycle.shape == (8, kept)
+        assert int(r.cycle.max()) == 3 and int(r.cycle.min()) == 0
+        pooled = np.asarray(r.samples).reshape(-1, 3)
+        np.testing.assert_allclose(pooled.mean(0), np.asarray(MU), atol=0.15)
+        np.testing.assert_allclose(
+            pooled.std(0), np.sqrt(np.asarray(S2)), rtol=0.15
+        )
+        assert not bool(np.asarray(r.stats.divergent).any())
+
+    @pytest.mark.slow
+    def test_csgld_crosses_modes_where_constant_step_cannot(self, key):
+        """The capability claim: on a +-4 mixture with minibatch gradient
+        noise (zero-sum per-term tilts), cyclical hot restarts relocate
+        every chain across the barrier while constant-step SGLD started in
+        one mode never leaves it."""
+        from hamiltorch_tpu.samplers.sgmcmc import (
+            CSGMCMCConfig,
+            run_csgmcmc_chains,
+        )
+
+        c_tilt = jnp.array([2.0, -2.0, 1.0, -1.0])
+
+        def mix_term(t, m):
+            lp = jnp.logaddexp(-0.5 * jnp.sum((t - 4.0) ** 2),
+                               -0.5 * jnp.sum((t + 4.0) ** 2))
+            return 0.25 * lp + c_tilt[m] * jnp.sum(t)
+
+        start = jnp.full((1,), 4.0)
+        ccfg = CSGMCMCConfig(num_cycles=8, cycle_length=300, step_size=1.0,
+                             exploration_frac=0.6, thin=2)
+        rc = run_csgmcmc_chains(key, mix_term, 4, start, ccfg, num_chains=8)
+        frac_pos = float((np.asarray(rc.samples)[..., 0] > 0).mean())
+        assert 0.2 < frac_pos < 0.8, frac_pos
+        # every chain individually visited both modes
+        per_chain = (np.asarray(rc.samples)[..., 0] > 0).mean(axis=1)
+        assert (per_chain > 0.05).all() and (per_chain < 0.95).all()
+
+        scfg = SGLDConfig(num_samples=2400, step_size=0.02, thin=2)
+        rs = run_sgld_chains(key, mix_term, 4, start, scfg, num_chains=8)
+        assert float((np.asarray(rs.samples)[..., 0] > 0).mean()) > 0.99
+
+    def test_csghmc_runs_and_keeps_shapes(self, key):
+        from hamiltorch_tpu.samplers.sgmcmc import CSGMCMCConfig, run_csgmcmc
+
+        cfg = CSGMCMCConfig(num_cycles=3, cycle_length=40, step_size=0.02,
+                            exploration_frac=0.5, thin=2, base="sghmc",
+                            friction=0.1)
+        r = run_csgmcmc(key, exact_term, 4, MU, cfg)
+        assert r.samples.shape == (3 * 10, 3)
+        assert r.final_aux is not None  # sghmc momentum carried out
+        # cosine schedule: kept-step eps values live in (0, step_size]
+        eps = np.asarray(r.stats.step_size)
+        assert (eps > 0).all() and (eps <= cfg.step_size + 1e-7).all()
+
+    def test_pytree_state_and_data_operand(self, key):
+        from hamiltorch_tpu.samplers.sgmcmc import CSGMCMCConfig, run_csgmcmc
+
+        data = jnp.arange(4.0)
+
+        def term(t, m, d):
+            return (-0.25 * jnp.sum((t["a"] - 1.0) ** 2)
+                    - 0.25 * jnp.sum(t["b"] ** 2) + 0.0 * d[m])
+
+        cfg = CSGMCMCConfig(num_cycles=2, cycle_length=30, step_size=0.05,
+                            exploration_frac=0.5, thin=3)
+        r = run_csgmcmc(key, term, 4, {"a": jnp.zeros(2), "b": jnp.zeros(3)},
+                        cfg, data=data)
+        assert r.samples["a"].shape == (2 * 5, 2)
+        assert r.samples["b"].shape == (2 * 5, 3)
+
+    def test_config_validation(self):
+        from hamiltorch_tpu.samplers.sgmcmc import CSGMCMCConfig
+
+        with pytest.raises(ValueError, match="base"):
+            CSGMCMCConfig(num_cycles=2, cycle_length=10, step_size=0.1,
+                          base="nuts")
+        with pytest.raises(ValueError, match="divisible"):
+            CSGMCMCConfig(num_cycles=2, cycle_length=10, step_size=0.1,
+                          exploration_frac=0.5, thin=3)
+        with pytest.raises(ValueError, match="exploration_frac"):
+            CSGMCMCConfig(num_cycles=2, cycle_length=10, step_size=0.1,
+                          exploration_frac=1.0)
