@@ -1196,3 +1196,30 @@ def run_ti_sharded(
     )
     out = jax.jit(shard)(key, theta0s, x, y)
     return assemble_ti_result(out, config)
+
+
+def run_csgmcmc_sharded(
+    key,
+    term_shard_fn: Callable,
+    log_prior_fn: Callable,
+    num_terms: int,
+    theta0,
+    config,  # CSGMCMCConfig
+    mesh: Mesh,
+    num_chains: int,
+    data,
+    inv_mass=None,
+):
+    """Cyclical SG-MCMC chains sharded over 'chains' x data-parallel
+    minibatch gradients — the same contract as :func:`run_sgld_sharded`
+    (one gradient-tree psum per step rides ICI; the prior enters once,
+    locally).  The multimodal-BNN use case is exactly where this pays:
+    each cycle's hot exploration consumes full minibatch gradients over
+    the sharded dataset."""
+    from ..samplers.sgmcmc import _csgmcmc_sharded_adapter
+
+    return _run_sgmcmc_sharded(
+        _csgmcmc_sharded_adapter, key, term_shard_fn, log_prior_fn,
+        num_terms, theta0, config, mesh, num_chains, data, inv_mass,
+        "run_csgmcmc_sharded",
+    )

@@ -760,3 +760,19 @@ def run_csgmcmc_chains(key, term_fn, num_terms, theta0,
                                       data),
         in_axes=(0, 0),
     )(keys, theta0)
+
+
+def _csgmcmc_sharded_adapter(key, theta0, term_fn, num_terms, config, pre=None,
+                             data=None, init_aux=None, start_step=0,
+                             psum_axis=None, prior_fn=None):
+    """Arity adapter for parallel.sharding._run_sgmcmc_sharded, which
+    threads (init_aux, start_step) resume slots the cyclical sampler does
+    not have (a cycle's exploration stage re-derives its state; there is
+    no chunked-resume contract)."""
+    if init_aux is not None or start_step:
+        raise ValueError(
+            "cyclical SG-MCMC has no chunked-resume contract "
+            "(init_aux/start_step unsupported)"
+        )
+    return _run_csgmcmc_jit(key, theta0, term_fn, num_terms, config, pre,
+                            data, psum_axis, prior_fn)

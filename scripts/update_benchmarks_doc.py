@@ -70,9 +70,9 @@ def render(artifact_name: str) -> str:
         lines.append(chees + ").")
     if data.get("rmhmc_grad_steps_per_sec"):
         lines.append(
-            f"- Batched softabs RMHMC (64 chains, D=64): "
-            f"**{data['rmhmc_grad_steps_per_sec']:,.1f} implicit-leapfrog"
-            f" grad-steps/sec**."
+            f"- Batched softabs RMHMC (64 chains, D=64, non-constant"
+            f" curvature): **{data['rmhmc_grad_steps_per_sec']:,.1f}"
+            f" implicit-leapfrog grad-steps/sec**."
         )
     if data.get("compile_s"):
         comp = ", ".join(

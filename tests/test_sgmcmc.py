@@ -550,3 +550,48 @@ class TestCyclicalSGMCMC:
         with pytest.raises(ValueError, match="exploration_frac"):
             CSGMCMCConfig(num_cycles=2, cycle_length=10, step_size=0.1,
                           exploration_frac=1.0)
+
+
+class TestShardedCyclicalSGMCMC:
+    """chains x data mesh for the cyclical sampler: sharded == local."""
+
+    def test_csgld_sharded_matches_local(self, key):
+        from hamiltorch_tpu.parallel.sharding import (
+            make_mesh,
+            run_csgmcmc_sharded,
+        )
+        from hamiltorch_tpu.samplers.sgmcmc import (
+            CSGMCMCConfig,
+            run_csgmcmc_chains,
+        )
+
+        rng = np.random.RandomState(3)
+        xs = jnp.asarray(rng.randn(4, 16, 3).astype(np.float32))
+        w = np.array([1.0, -2.0, 0.5], np.float32)
+        ys = jnp.asarray(
+            (np.asarray(xs) @ w + 0.1 * rng.randn(4, 16)).astype(np.float32)
+        )
+        data = (xs, ys)
+
+        def term_shard(theta, m, d):
+            x_s, y_s = d
+            return -0.5 * jnp.sum((x_s[m] @ theta - y_s[m]) ** 2)
+
+        log_prior = lambda t: -0.5 * jnp.dot(t, t)
+
+        def term_local(theta, m, d):
+            return term_shard(theta, m, d) + log_prior(theta) / 4.0
+
+        cfg = CSGMCMCConfig(num_cycles=2, cycle_length=30, step_size=1e-3,
+                            exploration_frac=0.5, thin=3)
+        mesh = make_mesh(chains=2, data=4)
+        r_shard = run_csgmcmc_sharded(key, term_shard, log_prior, 4,
+                                      jnp.zeros(3), cfg, mesh, num_chains=4,
+                                      data=data)
+        r_local = run_csgmcmc_chains(key, term_local, 4, jnp.zeros(3), cfg,
+                                     num_chains=4, data=data)
+        assert r_shard.samples.shape == (4, 10, 3)
+        np.testing.assert_allclose(np.asarray(r_shard.samples),
+                                   np.asarray(r_local.samples), atol=1e-4)
+        np.testing.assert_array_equal(np.asarray(r_shard.cycle),
+                                      np.asarray(r_local.cycle))
