@@ -55,10 +55,15 @@ def main():
         "chees_p10_ess_per_sec": None,
         "chees_acc_rate": None,
         "scan_rel_spread": None,
-        "chees_rel_spread": None,
+        "chees_wall_rel_spread": None,
+        "chees_ess_seed_spread": None,
+        "rmhmc_grad_steps_per_sec": None,
+        "rmhmc_rel_spread": None,
+        "compile_s": {},
         "errors": {},
     }
     t_start = time.time()
+    compile_s = out["compile_s"]  # per-phase: first-call wall - median steady rep
 
     def mark(phase):  # stderr breadcrumbs so a timeout is diagnosable
         print(f"# [{time.time() - t_start:6.1f}s] {phase}", file=sys.stderr,
@@ -112,7 +117,9 @@ def main():
             _hard_sync(result.samples)
             return result
 
+        t_c = time.perf_counter()
         run(jax.random.key(nonce))  # compile + warm up
+        first_call = time.perf_counter() - t_c
         # median of 3 nonce-varied reps: single-rep numbers swung ~25%
         # between rounds (BENCH_r01 vs r02); report the spread alongside
         scan_times = []
@@ -121,6 +128,7 @@ def main():
             result = run(jax.random.key(nonce + rep + 1))
             scan_times.append(time.perf_counter() - t0)
         dt = float(np.median(scan_times))
+        compile_s["scan"] = round(max(first_call - dt, 0.0), 1)
         grad_steps = num_chains * num_samples * num_steps
         rate = grad_steps / dt
         tflops = rate * flagship_flops_per_grad_step(num_chains) / num_chains / 1e12
@@ -209,7 +217,9 @@ def main():
                         num_steps=num_steps, step_size=2e-4, tau=10.0)
             _hard_sync(o)
 
+        t_c = time.perf_counter()
         run_fused(nonce)  # compile + warm (nonce: defeat the result cache)
+        first_call = time.perf_counter() - t_c
         times = []
         for rep in range(3):
             t1 = time.perf_counter()
@@ -218,6 +228,7 @@ def main():
         out["fused_kernel_grad_steps_per_sec"] = round(
             num_chains * 50 * num_steps / float(np.median(times)), 1
         )
+        compile_s["fused"] = round(max(first_call - float(np.median(times)), 0.0), 1)
         del xb, yb, w1, b1, w2, b2
         gc.collect()
         mark("fused phase done")
@@ -263,12 +274,28 @@ def main():
         cf_s, ef_s = schedule_flags(chees_cfg.burn, 600, 300)
 
         # the 600-draw warmup runs ONCE (~50 s on chip); the timed metric is
-        # the STEADY-STATE sampling phase — 3 key-varied 300-draw unthinned
-        # chunks from the shared adapted carry, min-ESS / sampling wall.
+        # the STEADY-STATE sampling phase — min-ESS / sampling-chunk wall.
         # (Rounds 1-3 folded the warmup into the denominator; steady-state
         # sampling efficiency is the figure a long production run sees, and
         # it keeps the whole bench inside the driver's time budget.)
-        k_init, key_w = jax.random.split(jax.random.key(nonce))
+        #
+        # PAIRED-SEED design (round 5): the round-4 headline swung 27%
+        # between the driver capture and the judge rerun because min-ESS is
+        # an extremal statistic over ~100 noisy per-direction estimates and
+        # the adaptation outcome varies per seed.  The two noise sources are
+        # now split and pinned separately:
+        #   - the numerator (ESS) comes from FIXED-seed chunks (fixed init,
+        #     fixed warmup, fixed sampling keys) — bit-identical math across
+        #     captures, so its only cross-capture variance is hardware
+        #     nondeterminism (none observed on v5e); reported seed-to-seed
+        #     spread over 3 fixed seeds is chees_ess_seed_spread.
+        #   - the denominator (wall) comes from 3 SEPARATE nonce-varied
+        #     chunks (the axon service caches execution results for repeated
+        #     (program, inputs), so fixed-seed runs cannot be timed
+        #     honestly); its spread is chees_wall_rel_spread.
+        # The fixed-seed runs are NOT timed, so the result cache serving
+        # them on a repeat capture is harmless (correct outputs, free).
+        k_init, key_w = jax.random.split(jax.random.key(20260819))
         thetas0 = theta0[None, :] + 0.01 * jax.random.normal(
             k_init, (num_chains, theta0.shape[0]), theta0.dtype
         )
@@ -289,34 +316,100 @@ def main():
             _hard_sync(r.samples)
             return r
 
+        t_c = time.perf_counter()
         r = run_chees_sampling(nonce)  # compile + warm up
-        # median-of-3 on the DERIVED metric (min-ESS/sec): both the wall
-        # time and the ESS itself vary per seed, so de-noise their ratio
-        chees_rates, chees_p10_rates, chees_accs = [], [], []
-        for rep in range(3):
-            del r
-            gc.collect()
-            t1 = time.perf_counter()
-            r = run_chees_sampling(nonce + rep + 1)
-            dt_chees = time.perf_counter() - t1
-            e_min, e_p10 = ess_quantiles(r.samples)  # all 300 rows post-burn
-            chees_rates.append(e_min / dt_chees)
-            chees_p10_rates.append(e_p10 / dt_chees)
-            chees_accs.append(float(jnp.mean(r.info.accept_prob)))
-        chees_rate = float(np.median(chees_rates))
-        mark("chees phase done")
-        out.update(
-            chees_min_ess_per_sec=round(chees_rate, 1),
-            chees_p10_ess_per_sec=round(float(np.median(chees_p10_rates)), 1),
-            chees_acc_rate=round(float(np.median(chees_accs)), 3),
-            chees_rel_spread=round(
-                (max(chees_rates) - min(chees_rates)) / chees_rate, 3
-            ),
-        )
+        first_call = time.perf_counter() - t_c
         del r
         gc.collect()
+        # denominator: median wall of 3 nonce-varied chunks (timed honestly)
+        chees_walls = []
+        for rep in range(3):
+            t1 = time.perf_counter()
+            r = run_chees_sampling(nonce + rep + 1)
+            chees_walls.append(time.perf_counter() - t1)
+            del r
+            gc.collect()
+        dt_chees = float(np.median(chees_walls))
+        compile_s["chees_sampling"] = round(max(first_call - dt_chees, 0.0), 1)
+        mark("chees timed chunks done")
+        # numerator: min/p10 ESS from 3 FIXED-seed chunks (untimed)
+        chees_mins, chees_p10s, chees_accs = [], [], []
+        for seed in (101, 202, 303):
+            r = run_chees_sampling(seed)
+            e_min, e_p10 = ess_quantiles(r.samples)  # all 300 rows post-burn
+            chees_mins.append(e_min)
+            chees_p10s.append(e_p10)
+            chees_accs.append(float(jnp.mean(r.info.accept_prob)))
+            del r
+            gc.collect()
+        ess_min = float(np.median(chees_mins))
+        mark("chees phase done")
+        out.update(
+            chees_min_ess_per_sec=round(ess_min / dt_chees, 1),
+            chees_p10_ess_per_sec=round(float(np.median(chees_p10s)) / dt_chees, 1),
+            chees_acc_rate=round(float(np.median(chees_accs)), 3),
+            chees_wall_rel_spread=round(
+                (max(chees_walls) - min(chees_walls)) / dt_chees, 3
+            ),
+            chees_ess_seed_spread=round(
+                (max(chees_mins) - min(chees_mins)) / ess_min, 3
+            ),
+        )
     except Exception as e:  # noqa: BLE001
         out["errors"]["chees"] = f"{type(e).__name__}: {e}"
+
+    # ---- secondary: batched softabs RMHMC throughput ----------------------
+    # VERDICT r4 item 3: the RMHMC batch-scale number the head-to-head
+    # table lacked.  64 implicit-leapfrog softabs chains on a D=64
+    # correlated Gaussian (condition number 100) PLUS a quartic term: on a
+    # pure quadratic the Hessian is constant and XLA hoists the ENTIRE
+    # metric pipeline (hessian -> softabs eigh -> cholesky) out of the
+    # trajectory loops, so the number would measure a metric-free program
+    # (measured 60x too fast).  scripts/profile_rmhmc.py holds the per-op
+    # breakdown and the Pallas-kernel verdict in docs/BENCHMARKS.md.
+    try:
+        from hamiltorch_tpu.enums import Metric
+        from hamiltorch_tpu.samplers.driver import MCMCConfig as _Cfg
+        from hamiltorch_tpu.samplers.rmhmc import run_rmhmc_chains
+
+        d_rm, chains_rm, n_rm, l_rm = 64, 64, 20, 5
+        qr_src = jax.random.normal(jax.random.key(3), (d_rm, d_rm))
+        q_rot, _ = jnp.linalg.qr(qr_src)
+        eigs_rm = jnp.logspace(-1.0, 1.0, d_rm)
+        prec_rm = (q_rot * eigs_rm[None, :]) @ q_rot.T
+
+        def lp_rm(theta):
+            return (-0.5 * theta @ prec_rm @ theta
+                    - 0.025 * jnp.sum(theta**4))
+
+        cfg_rm = _Cfg(num_samples=n_rm, num_steps_per_sample=l_rm,
+                      step_size=0.1)
+
+        def run_rm(seed):
+            r = run_rmhmc_chains(
+                jax.random.key(seed), lp_rm, jnp.zeros(d_rm), cfg_rm,
+                num_chains=chains_rm, metric=Metric.SOFTABS,
+                softabs_const=1e3, fixed_point_max_iterations=50,
+            )
+            _hard_sync(r.samples)
+
+        t_c = time.perf_counter()
+        run_rm(nonce)  # compile + warm
+        first_call = time.perf_counter() - t_c
+        rm_times = []
+        for rep in range(3):
+            t1 = time.perf_counter()
+            run_rm(nonce + rep + 1)
+            rm_times.append(time.perf_counter() - t1)
+        dt_rm = float(np.median(rm_times))
+        compile_s["rmhmc"] = round(max(first_call - dt_rm, 0.0), 1)
+        out.update(
+            rmhmc_grad_steps_per_sec=round(chains_rm * n_rm * l_rm / dt_rm, 1),
+            rmhmc_rel_spread=round((max(rm_times) - min(rm_times)) / dt_rm, 3),
+        )
+        mark("rmhmc phase done")
+    except Exception as e:  # noqa: BLE001
+        out["errors"]["rmhmc"] = f"{type(e).__name__}: {e}"
 
     if not out["errors"]:
         del out["errors"]

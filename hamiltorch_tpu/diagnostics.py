@@ -355,7 +355,11 @@ def to_inference_dict(result, like=None, info=None) -> Dict[str, Dict]:
     - ``ChEESResult`` (``run_chees``);
     - ``PTResult`` (``run_parallel_tempering``/``run_pt_chains``) — the
       posterior is the cold (beta=1) chain; per-draw stats are the cold
-      replica's, aligned to the post-burn draws the result keeps.
+      replica's, aligned to the post-burn draws the result keeps;
+    - ``SGMCMCResult`` / ``CSGMCMCResult`` (``run_sgld``/``run_sghmc``/
+      ``run_csgmcmc`` and their ``_chains`` runners) — stats carry
+      ``grad_norm`` instead of energies (SG-MCMC has no Hamiltonian),
+      and cyclical results add a per-snapshot ``cycle`` tag.
 
     ``like=theta0`` is accepted for interface symmetry with ``summary``
     but the chain/draw split comes from the result's own stats shapes.
@@ -391,6 +395,19 @@ def to_inference_dict(result, like=None, info=None) -> Dict[str, Dict]:
                 np.asarray(info.trajectory_length), (c, n)
             ),
         }
+        return {"posterior": post, "sample_stats": stats}
+
+    if hasattr(result, "final_theta"):  # SGMCMCResult / CSGMCMCResult
+        s = result.stats
+        chains_first = np.asarray(s.step_size).ndim == 2
+        post = _posterior_vars(result.samples, chains_first=chains_first)
+        stats = {
+            "diverging": _cn(s.divergent, chains_first),
+            "step_size": _cn(s.step_size, chains_first),
+            "grad_norm": _cn(s.grad_norm, chains_first),
+        }
+        if hasattr(result, "cycle"):  # cyclical: tag each snapshot's cycle
+            stats["cycle"] = _cn(result.cycle, chains_first)
         return {"posterior": post, "sample_stats": stats}
 
     if hasattr(result, "replica_samples"):  # PTResult

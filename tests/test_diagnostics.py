@@ -657,3 +657,27 @@ class TestArvizExport:
                                step_size=0.3))
         with pytest.raises(ImportError, match="arviz"):
             to_arviz(r)
+
+    def test_sgmcmc_and_cyclical(self, key):
+        from hamiltorch_tpu.diagnostics import to_inference_dict
+        from hamiltorch_tpu.samplers.sgmcmc import (
+            CSGMCMCConfig,
+            SGLDConfig,
+            run_csgmcmc_chains,
+            run_sgld,
+        )
+
+        term = lambda t, m: -0.125 * jnp.sum(t**2)
+        r = run_sgld(key, term, 4, jnp.zeros(3),
+                     SGLDConfig(num_samples=20, step_size=1e-3))
+        d = to_inference_dict(r)
+        assert d["posterior"]["theta"].shape == (1, 20, 3)
+        assert d["sample_stats"]["grad_norm"].shape == (1, 20)
+
+        cfg = CSGMCMCConfig(num_cycles=2, cycle_length=20, step_size=1e-3,
+                            exploration_frac=0.5, thin=2)
+        rc = run_csgmcmc_chains(key, term, 4, jnp.zeros(3), cfg, num_chains=3)
+        dc = to_inference_dict(rc)
+        assert dc["posterior"]["theta"].shape == (3, 10, 3)
+        assert dc["sample_stats"]["cycle"].shape == (3, 10)
+        assert int(dc["sample_stats"]["cycle"].max()) == 1
