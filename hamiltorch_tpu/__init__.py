@@ -54,6 +54,7 @@ from .optim import (
     laplace_sample,
     map_estimate,
 )
+from .svgd import SVGDConfig, SVGDResult, run_svgd
 from .utils.rng import next_key, set_random_seed
 
 __all__ = [
@@ -109,6 +110,9 @@ __all__ = [
     "advi_cov",
     "advi_sample",
     "ADVIResult",
+    "SVGDConfig",
+    "SVGDResult",
+    "run_svgd",
     "MCMCConfig",
     "MCMCResult",
     "MCMCStats",

@@ -15,7 +15,7 @@ NATIVE_NAMES = [
     "run_hmc", "run_hmc_chains", "run_nuts", "run_nuts_chains", "run_rmhmc",
     "run_chees", "run_parallel_tempering",
     "MCMCConfig", "MCMCResult", "MCMCStats", "NUTSConfig", "ChEESConfig",
-    "PTConfig", "next_key",
+    "PTConfig", "next_key", "run_svgd", "SVGDConfig", "SVGDResult",
 ]
 
 
@@ -52,6 +52,7 @@ def test_submodule_surfaces():
     assert callable(sharding.sample_chains_sharded)
     assert callable(sharding.run_hmc_chains_sharded)
     assert callable(sharding.run_nuts_chains_sharded)
+    assert callable(sharding.run_svgd_sharded)
     assert callable(multihost.initialize_multihost)
     assert callable(profiling.throughput)
     assert callable(cache.enable_compilation_cache)
