@@ -393,9 +393,22 @@ def main():
             )
             _hard_sync(r.samples)
 
-        t_c = time.perf_counter()
-        run_rm(nonce)  # compile + warm
-        first_call = time.perf_counter() - t_c
+        # the axon worker can throw a TRANSIENT FailedPrecondition on the
+        # first heavy 3rd-order-AD program after a long run (observed
+        # once, 2026-08-19; the identical program succeeded standalone
+        # seconds later at the steady 519 steps/s) — retry the warm-up
+        # call once before declaring the phase failed
+        first_call = None
+        for attempt in (0, 1):
+            try:
+                t_c = time.perf_counter()
+                run_rm(nonce + 100 * attempt)  # compile + warm
+                first_call = time.perf_counter() - t_c
+                break
+            except Exception:  # noqa: BLE001
+                if attempt:
+                    raise
+                mark("rmhmc warm-up failed; retrying once")
         rm_times = []
         for rep in range(3):
             t1 = time.perf_counter()

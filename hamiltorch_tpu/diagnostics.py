@@ -359,7 +359,16 @@ def to_inference_dict(result, like=None, info=None) -> Dict[str, Dict]:
     - ``SGMCMCResult`` / ``CSGMCMCResult`` (``run_sgld``/``run_sghmc``/
       ``run_csgmcmc`` and their ``_chains`` runners) — stats carry
       ``grad_norm`` instead of energies (SG-MCMC has no Hamiltonian),
-      and cyclical results add a per-snapshot ``cycle`` tag.
+      and cyclical results add a per-snapshot ``cycle`` tag;
+    - ``TIResult`` (``run_ti``/``run_ti_sharded``) — the posterior is
+      the beta=1 rung's chain (a valid posterior sample); per-draw
+      stats are that rung's acceptance and its adjacent-swap outcomes;
+    - ``SMCResult`` (``run_smc``) — the final-stage particles export as
+      one "chain" of draws with their normalised ``log_weight`` as a
+      sample stat: they are WEIGHTED (resample with
+      ``smc_posterior_sample`` first for equal-weight draws; this
+      export keeps the weights visible instead of silently dropping
+      them).
 
     ``like=theta0`` is accepted for interface symmetry with ``summary``
     but the chain/draw split comes from the result's own stats shapes.
@@ -409,6 +418,27 @@ def to_inference_dict(result, like=None, info=None) -> Dict[str, Dict]:
         if hasattr(result, "cycle"):  # cyclical: tag each snapshot's cycle
             stats["cycle"] = _cn(result.cycle, chains_first)
         return {"posterior": post, "sample_stats": stats}
+
+    if hasattr(result, "loglik_draws"):  # TIResult
+        info = result.info
+        post = _posterior_vars(result.samples, chains_first=False)
+        return {
+            "posterior": post,
+            "sample_stats": {
+                # the kept samples are the beta=1 (last) rung's
+                "acceptance_rate": _cn(info.accept_prob[:, -1], False),
+                "swap_accepted": _cn(info.swap_accept[:, -1], False),
+            },
+        }
+
+    if hasattr(result, "log_weights"):  # SMCResult (weighted particles)
+        post = _posterior_vars(result.particles, chains_first=False)
+        return {
+            "posterior": post,
+            "sample_stats": {
+                "log_weight": _cn(result.log_weights, False),
+            },
+        }
 
     if hasattr(result, "replica_samples"):  # PTResult
         info = result.info

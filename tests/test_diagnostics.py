@@ -658,6 +658,37 @@ class TestArvizExport:
         with pytest.raises(ImportError, match="arviz"):
             to_arviz(r)
 
+    def test_ti_posterior_rung(self, key):
+        from hamiltorch_tpu.diagnostics import to_inference_dict
+        from hamiltorch_tpu.samplers.ti import TIConfig, run_ti
+
+        log_prior = lambda t: -0.5 * jnp.sum(t**2)
+        log_lik = lambda t: -0.5 * jnp.sum((t - 1.0) ** 2)
+        cfg = TIConfig(num_samples=30, num_steps_per_sample=3,
+                       step_size=0.3, num_temps=4, burn=10)
+        r = run_ti(key, log_prior, log_lik, jnp.zeros(2), cfg)
+        d = to_inference_dict(r)
+        assert d["posterior"]["theta"].shape == (1, 20, 2)
+        assert d["sample_stats"]["acceptance_rate"].shape == (1, 20)
+        assert d["sample_stats"]["swap_accepted"].shape == (1, 20)
+
+    def test_smc_weighted_particles(self, key):
+        from hamiltorch_tpu.diagnostics import to_inference_dict
+        from hamiltorch_tpu.samplers.smc import SMCConfig, run_smc
+
+        log_prior = lambda t: -0.5 * jnp.sum(t**2)
+        log_lik = lambda t: -0.5 * jnp.sum((t - 1.0) ** 2)
+        prior_sample = lambda k, n: jax.random.normal(k, (n, 2))
+        cfg = SMCConfig(num_particles=64, num_temps=5, mcmc_steps=2,
+                        leapfrog_steps=3, step_size=0.5)
+        r = run_smc(key, log_prior, log_lik, prior_sample, cfg)
+        d = to_inference_dict(r)
+        assert d["posterior"]["theta"].shape == (1, 64, 2)
+        assert d["sample_stats"]["log_weight"].shape == (1, 64)
+        # normalised weights: logsumexp == 0
+        lw = d["sample_stats"]["log_weight"][0]
+        assert abs(float(jax.scipy.special.logsumexp(jnp.asarray(lw)))) < 1e-3
+
     def test_sgmcmc_and_cyclical(self, key):
         from hamiltorch_tpu.diagnostics import to_inference_dict
         from hamiltorch_tpu.samplers.sgmcmc import (
