@@ -25,7 +25,11 @@ R batched-leapfrog mutations).  Resampling is a gather — data-dependent
 indices but static shapes.  The mutation step size adapts across stages
 by a Robbins-Monro update toward the jittered-HMC optimum, and trajectory
 lengths are jittered per stage (shared across particles, the ChEES
-convention — lanes never diverge).
+convention — lanes never diverge).  With ``adapt_trajectory=True`` the
+trajectory TIME additionally follows the ChEES criterion across every
+mutation (ChEES-SMC, arXiv:2504.02627): the particle population plays
+the role of the chain ensemble, so the criterion's cross-chain mean is
+free — no extra collective, no extra gradient evaluations.
 
 Particles may be flat (N, D) blocks or parameter PYTREES with (N, ...)
 leaves; the hot loops reuse the ChEES batched-leapfrog kernels, so the
@@ -64,6 +68,18 @@ class SMCConfig:
     # jittered-HMC optimum (Hoffman et al. 2021)
     adapt_step_size: bool = True
     desired_accept_rate: float = 0.651
+    # ChEES trajectory-length adaptation (the retrieved ChEES-SMC paper,
+    # arXiv:2504.02627, puts the ChEES criterion inside an SMC sampler):
+    # the trajectory TIME T follows Adam on the ChEES gradient computed
+    # from the particle population at every mutation, and each mutation
+    # runs ceil(u * T / eps) leapfrog steps (u ~ U(0,1) shared across
+    # particles) capped at ``leapfrog_steps``.  Off by default: the fixed
+    # randint-jittered lengths above stay bit-identical.
+    adapt_trajectory: bool = False
+    # initial trajectory time T_0; None = step_size * leapfrog_steps / 2
+    # (the midpoint of the fixed-jitter scheme's range)
+    init_trajectory_length: float | None = None
+    adam_lr: float = 0.025  # ChEESConfig's default
 
     def __post_init__(self):
         if self.num_particles < 2:
@@ -82,6 +98,12 @@ class SMCConfig:
             raise ValueError("resample_threshold must be in [0, 1]")
         if not 0.0 < self.desired_accept_rate < 1.0:
             raise ValueError("desired_accept_rate must be in (0, 1)")
+        if self.init_trajectory_length is not None and not (
+            self.init_trajectory_length > 0
+        ):
+            raise ValueError("init_trajectory_length must be positive")
+        if not self.adam_lr > 0:
+            raise ValueError("adam_lr must be positive")
 
 
 class SMCInfo(NamedTuple):
@@ -90,6 +112,9 @@ class SMCInfo(NamedTuple):
     resampled: jnp.ndarray  # (K,) bool
     accept_prob: jnp.ndarray  # (K,) mean mutation acceptance per stage
     step_size: jnp.ndarray  # (K,) step size used at each stage
+    # (K,) ChEES trajectory time T each stage mutated with (exp(log_t) at
+    # stage entry); constant at T_0 unless config.adapt_trajectory
+    trajectory_length: jnp.ndarray
 
 
 class SMCResult(NamedTuple):
@@ -138,8 +163,25 @@ def _run_smc_jit(key, particles0, log_prior_fn, log_lik_fn, config: SMCConfig,
 
     lf = _batched_leapfrog_tree if is_tree else _batched_leapfrog
 
-    def mutate(key, parts, beta, eps):
-        """R jittered-HMC transitions targeting prior * lik^beta."""
+    def dot_n(a, b):
+        """Per-particle inner product over all leaves: (N,)."""
+        terms = [
+            jnp.sum((al * bl).reshape(n, -1), axis=-1)
+            for al, bl in zip(
+                jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+            )
+        ]
+        return sum(terms)
+
+    def mutate(key, parts, beta, eps, traj):
+        """R jittered-HMC transitions targeting prior * lik^beta.
+
+        ``traj = (log_t, adam_m, adam_v, adam_t)`` is the ChEES
+        trajectory-adaptation state; it rides unchanged unless
+        ``config.adapt_trajectory`` (arXiv:2504.02627's criterion, the
+        same gradient as samplers/chees.py with the particle population
+        as the chain ensemble and an identity mass).
+        """
 
         def tempered(t):
             return log_prior_fn(t) + beta * lik(t)
@@ -150,14 +192,11 @@ def _run_smc_jit(key, particles0, log_prior_fn, log_lik_fn, config: SMCConfig,
             return p
 
         def kinetic(p):
-            parts_k = [
-                jnp.sum((pl * pl).reshape(n, -1), axis=-1)
-                for pl in jax.tree_util.tree_leaves(p)
-            ]
-            return 0.5 * sum(parts_k)
+            return 0.5 * dot_n(p, p)
 
         def one_step(carry, k_step):
-            parts, logps, grads = carry
+            parts, logps, grads, traj = carry
+            log_t, adam_m, adam_v, adam_t = traj
             k_mom, k_jit, k_mh = jax.random.split(k_step, 3)
             p_leaves, p_tdef = jax.tree_util.tree_flatten(parts)
             mom_keys = jax.random.split(k_mom, len(p_leaves))
@@ -167,9 +206,17 @@ def _run_smc_jit(key, particles0, log_prior_fn, log_lik_fn, config: SMCConfig,
             ])
             # shared jittered trajectory length (the ChEES convention:
             # every particle runs the same L, lanes never diverge)
-            num_steps = 1 + (
-                jax.random.randint(k_jit, (), 0, config.leapfrog_steps)
-            )
+            if config.adapt_trajectory:
+                u = jax.random.uniform(k_jit, (), dtype)
+                traj_t = u * jnp.exp(log_t)
+                num_steps = jnp.minimum(
+                    jnp.maximum(1, jnp.ceil(traj_t / eps).astype(jnp.int32)),
+                    config.leapfrog_steps,
+                )
+            else:
+                num_steps = 1 + (
+                    jax.random.randint(k_jit, (), 0, config.leapfrog_steps)
+                )
             h0 = -logps + kinetic(ps)
             th, p1, logp1, grad1 = lf(
                 vg, velocity, parts, ps, logps, grads, eps, num_steps,
@@ -182,20 +229,50 @@ def _run_smc_jit(key, particles0, log_prior_fn, log_lik_fn, config: SMCConfig,
             accept = finite & (
                 jnp.log(jax.random.uniform(k_mh, (n,), dtype)) < log_ratio
             )
-            parts = where_n(accept, th, parts)
-            logps = jnp.where(accept, logp1, logps)
-            grads = where_n(accept, grad1, grads)
-            return (parts, logps, grads), jnp.mean(alpha)
+            parts_out = where_n(accept, th, parts)
+            logps_out = jnp.where(accept, logp1, logps)
+            grads_out = where_n(accept, grad1, grads)
+
+            if config.adapt_trajectory:
+                # ChEES gradient wrt log T, exactly the ensemble criterion
+                # in samplers/chees.py:429-458 with N particles as the
+                # chain axis and identity mass (v_end = p1): proposals vs
+                # previous states around the post-accept population centre,
+                # alpha-weighted, non-finite contributions masked, total
+                # bounded (the criterion is fourth order in theta)
+                mu = _tmap(lambda l: jnp.mean(l, axis=0), parts_out)
+                diff_new = _tmap(lambda a, m_: a - m_, th, mu)
+                diff_old = _tmap(lambda a, m_: a - m_, parts, mu)
+                per = (dot_n(diff_new, diff_new) - dot_n(diff_old, diff_old)
+                       ) * dot_n(diff_new, p1)
+                w = alpha / jnp.maximum(jnp.sum(alpha), 1e-6)
+                contrib = jnp.where(finite, w * per, 0.0)
+                contrib = jnp.where(jnp.isfinite(contrib), contrib, 0.0)
+                grad_log_t = jnp.clip(traj_t * jnp.sum(contrib), -1e6, 1e6)
+                t1 = (adam_t + 1).astype(dtype)
+                adam_m = 0.9 * adam_m + 0.1 * grad_log_t
+                adam_v = 0.999 * adam_v + 0.001 * grad_log_t**2
+                m_hat = adam_m / (1.0 - 0.9**t1)
+                v_hat = adam_v / (1.0 - 0.999**t1)
+                log_t = log_t + config.adam_lr * m_hat / (
+                    jnp.sqrt(v_hat) + 1e-8
+                )
+                # keep trajectories sane: T in [eps, eps * leapfrog_steps]
+                log_t = jnp.clip(
+                    log_t, jnp.log(eps), jnp.log(eps * config.leapfrog_steps)
+                )
+                traj = (log_t, adam_m, adam_v, adam_t + 1)
+            return (parts_out, logps_out, grads_out, traj), jnp.mean(alpha)
 
         logps, grads = vg(parts)
-        (parts, _, _), alphas = jax.lax.scan(
-            one_step, (parts, logps, grads),
+        (parts, _, _, traj), alphas = jax.lax.scan(
+            one_step, (parts, logps, grads, traj),
             jax.random.split(key, config.mcmc_steps),
         )
-        return parts, jnp.mean(alphas)
+        return parts, jnp.mean(alphas), traj
 
     def stage(carry, xs):
-        parts, logw, log_z, eps = carry
+        parts, logw, log_z, eps, traj = carry
         k_idx, beta, beta_prev = xs
         # per-stage RNG = fold_in(base_key, stage_index), the repo-wide
         # convention (no carried split keys: keeps any future chunked/
@@ -221,7 +298,8 @@ def _run_smc_jit(key, particles0, log_prior_fn, log_lik_fn, config: SMCConfig,
         logw = jnp.where(do_resample, jnp.zeros_like(logw), logw)
 
         # --- mutate at the current temperature -----------------------------
-        parts, acc = mutate(k_mut, parts, beta, eps)
+        t_used = jnp.exp(traj[0])  # the T THIS stage's mutations start at
+        parts, acc, traj = mutate(k_mut, parts, beta, eps, traj)
         eps_used = eps  # info records the value THIS stage mutated with
         if config.adapt_step_size:
             # Robbins-Monro toward the jittered-HMC optimal acceptance;
@@ -230,15 +308,25 @@ def _run_smc_jit(key, particles0, log_prior_fn, log_lik_fn, config: SMCConfig,
                 0.5 * jnp.clip(acc - config.desired_accept_rate, -0.5, 0.5)
             )
 
-        info = (ess_frac, do_resample, acc, eps_used)
-        return (parts, logw, log_z, eps), info
+        info = (ess_frac, do_resample, acc, eps_used, t_used)
+        return (parts, logw, log_z, eps, traj), info
 
     logw0 = jnp.zeros((n,), dtype)
+    t0 = (
+        config.init_trajectory_length
+        if config.init_trajectory_length is not None
+        else config.step_size * config.leapfrog_steps / 2.0
+    )
+    traj0 = (
+        jnp.log(jnp.asarray(t0, dtype)),
+        jnp.zeros((), dtype), jnp.zeros((), dtype),
+        jnp.zeros((), jnp.int32),
+    )
     carry0 = (
         particles0, logw0, jnp.zeros((), dtype),
-        jnp.asarray(config.step_size, dtype),
+        jnp.asarray(config.step_size, dtype), traj0,
     )
-    (parts, logw, log_z, _), (ess_f, res, accs, epss) = jax.lax.scan(
+    (parts, logw, log_z, _, _), (ess_f, res, accs, epss, ts) = jax.lax.scan(
         stage, carry0,
         (jnp.arange(config.num_temps, dtype=jnp.int32), betas, prev_betas),
     )
@@ -248,7 +336,7 @@ def _run_smc_jit(key, particles0, log_prior_fn, log_lik_fn, config: SMCConfig,
         log_evidence=log_z,
         info=SMCInfo(
             betas=betas, ess_fraction=ess_f, resampled=res,
-            accept_prob=accs, step_size=epss,
+            accept_prob=accs, step_size=epss, trajectory_length=ts,
         ),
     )
 

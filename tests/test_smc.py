@@ -208,6 +208,17 @@ class TestSMCMechanics:
         with pytest.raises(ValueError, match="desired_accept_rate"):
             SMCConfig(num_particles=8, desired_accept_rate=1.0)
 
+    def test_default_path_has_constant_trajectory_info(self, key):
+        """adapt_trajectory defaults off: info.trajectory_length rides at
+        T0 = step_size * leapfrog_steps / 2 for every stage (and the
+        randint-jittered mutation lengths are untouched)."""
+        log_prior, log_lik, prior_sample, _, _ = gaussian_setup(d=2, lam=4.0)
+        cfg = SMCConfig(num_particles=64, num_temps=6, mcmc_steps=2,
+                        leapfrog_steps=4, step_size=0.3)
+        r = run_smc(key, log_prior, log_lik, prior_sample, cfg)
+        ts = np.asarray(r.info.trajectory_length)
+        np.testing.assert_allclose(ts, 0.3 * 4 / 2, rtol=1e-6)
+
     def test_info_step_size_is_the_one_used(self, key):
         """info.step_size[k] is the eps stage k's mutations ran with — the
         first entry equals the configured seed value, not its
@@ -217,3 +228,74 @@ class TestSMCMechanics:
                         leapfrog_steps=4, step_size=0.3)
         r = run_smc(key, log_prior, log_lik, prior_sample, cfg)
         assert float(r.info.step_size[0]) == pytest.approx(0.3)
+
+
+class TestChEESSMC:
+    """ChEES-SMC (arXiv:2504.02627): the ChEES criterion adapts the
+    mutation trajectory time inside the SMC sampler, with the particle
+    population as the chain ensemble."""
+
+    def test_trajectory_adapts_and_estimates_hold(self, key):
+        log_prior, log_lik, prior_sample, log_z_true, post_std = \
+            gaussian_setup()
+        cfg = SMCConfig(num_particles=2048, num_temps=25, mcmc_steps=5,
+                        leapfrog_steps=16, step_size=0.5,
+                        adapt_trajectory=True)
+        r = run_smc(key, log_prior, log_lik, prior_sample, cfg)
+        ts = np.asarray(r.info.trajectory_length)
+        assert ts.shape == (25,)
+        # stage 0 mutates at the seed T0 = eps * L / 2
+        assert float(ts[0]) == pytest.approx(0.5 * 16 / 2)
+        assert not np.allclose(ts, ts[0])  # the criterion moved T
+        assert np.all(ts > 0) and np.all(np.isfinite(ts))
+        # estimator quality is preserved under adaptation
+        np.testing.assert_allclose(float(r.log_evidence), log_z_true,
+                                   atol=0.15)
+        draws = np.asarray(smc_posterior_sample(jax.random.key(9), r))
+        np.testing.assert_allclose(draws.std(0), post_std, rtol=0.12)
+
+    def test_grows_trajectories_seeded_too_short(self, key):
+        """Seed T far below the target scale: the ChEES gradient must push
+        trajectories longer (the criterion rewards proposals that move
+        squared distance from the population centre)."""
+        log_prior, log_lik, prior_sample, _, _ = gaussian_setup(d=3, lam=4.0)
+        cfg = SMCConfig(num_particles=1024, num_temps=30, mcmc_steps=5,
+                        leapfrog_steps=32, step_size=0.1,
+                        adapt_trajectory=True, init_trajectory_length=0.05)
+        r = run_smc(key, log_prior, log_lik, prior_sample, cfg)
+        ts = np.asarray(r.info.trajectory_length)
+        assert ts[-1] > 3.0 * ts[0], ts
+        # and T respects the [eps, eps * L] sanity clip
+        eps = np.asarray(r.info.step_size)
+        assert np.all(ts[1:] <= eps[:-1].max() * cfg.leapfrog_steps * 1.01)
+
+    def test_pytree_particles_adapt_too(self, key):
+        lam = 4.0
+
+        def log_prior(t):
+            return -0.5 * (jnp.sum(t["a"] ** 2) + jnp.sum(t["b"] ** 2)) \
+                - 0.5 * 3 * jnp.log(2 * jnp.pi)
+
+        def log_lik(t):
+            return -0.5 * lam * (jnp.sum(t["a"] ** 2) + jnp.sum(t["b"] ** 2))
+
+        def prior_sample(k, n):
+            k1, k2 = jax.random.split(k)
+            return {"a": jax.random.normal(k1, (n, 1)),
+                    "b": jax.random.normal(k2, (n, 2, 1))}
+
+        cfg = SMCConfig(num_particles=2048, num_temps=25, mcmc_steps=5,
+                        leapfrog_steps=16, step_size=0.5,
+                        adapt_trajectory=True)
+        r = run_smc(key, log_prior, log_lik, prior_sample, cfg)
+        ts = np.asarray(r.info.trajectory_length)
+        assert not np.allclose(ts, ts[0])
+        np.testing.assert_allclose(
+            float(r.log_evidence), -0.5 * 3 * np.log(1 + lam), atol=0.15
+        )
+
+    def test_config_validation(self):
+        with pytest.raises(ValueError, match="init_trajectory_length"):
+            SMCConfig(num_particles=8, init_trajectory_length=0.0)
+        with pytest.raises(ValueError, match="adam_lr"):
+            SMCConfig(num_particles=8, adam_lr=0.0)
