@@ -363,6 +363,10 @@ def to_inference_dict(result, like=None, info=None) -> Dict[str, Dict]:
     - ``TIResult`` (``run_ti``/``run_ti_sharded``) — the posterior is
       the beta=1 rung's chain (a valid posterior sample); per-draw
       stats are that rung's acceptance and its adjacent-swap outcomes;
+    - ``MCLMCResult`` (``run_mclmc``/``run_mclmc_chains``) — unadjusted,
+      so there is no acceptance series; stats carry the per-draw
+      ``energy_change`` plus the tuned per-chain ``step_size`` /
+      ``trajectory_length`` broadcast over draws;
     - ``SMCResult`` (``run_smc``) — the final-stage particles export as
       one "chain" of draws with their normalised ``log_weight`` as a
       sample stat: they are WEIGHTED (resample with
@@ -402,6 +406,27 @@ def to_inference_dict(result, like=None, info=None) -> Dict[str, Dict]:
             "step_size": np.broadcast_to(np.asarray(info.step_size), (c, n)),
             "trajectory_length": np.broadcast_to(
                 np.asarray(info.trajectory_length), (c, n)
+            ),
+        }
+        return {"posterior": post, "sample_stats": stats}
+
+    if hasattr(result, "final_u"):  # MCLMCResult (before the final_theta
+        # check: MCLMC results carry final_theta too, but their stats have
+        # no grad_norm/step_size series — eps/L are per-run scalars)
+        s = result.stats
+        chains_first = np.asarray(s.energy_change).ndim == 2
+        post = _posterior_vars(result.samples, chains_first=chains_first)
+        shape = np.asarray(_cn(s.energy_change, chains_first)).shape
+        stats = {
+            "diverging": _cn(s.divergent, chains_first),
+            "energy_change": _cn(s.energy_change, chains_first),
+            # per-chain tuned scalars broadcast over draws
+            "step_size": np.broadcast_to(
+                np.reshape(np.asarray(result.step_size), (-1, 1)), shape
+            ),
+            "trajectory_length": np.broadcast_to(
+                np.reshape(np.asarray(result.trajectory_length), (-1, 1)),
+                shape,
             ),
         }
         return {"posterior": post, "sample_stats": stats}

@@ -2,6 +2,7 @@ from .adaptation import DualAveragingState, da_init, da_update
 from .chees import ChEESConfig, ChEESResult, run_chees
 from .driver import ChainState, MCMCConfig, MCMCResult, MCMCStats, run_mcmc
 from .hmc import hmc_transition, run_hmc, run_hmc_chains, run_hmc_host_offload
+from .mclmc import MCLMCConfig, MCLMCResult, MCLMCStats, run_mclmc, run_mclmc_chains
 from .nuts import NUTSConfig, NUTSInfo, run_nuts, run_nuts_chains, run_nuts_ensemble
 from .offload import (
     run_nuts_host_offload,
@@ -57,6 +58,11 @@ __all__ = [
     "SMCResult",
     "run_smc",
     "smc_posterior_sample",
+    "MCLMCConfig",
+    "MCLMCResult",
+    "MCLMCStats",
+    "run_mclmc",
+    "run_mclmc_chains",
     "TIConfig",
     "TIResult",
     "run_ti",
