@@ -59,6 +59,9 @@ def main():
         "chees_ess_seed_spread": None,
         "rmhmc_grad_steps_per_sec": None,
         "rmhmc_rel_spread": None,
+        "mclmc_grad_steps_per_sec": None,
+        "mclmc_min_ess_per_sec": None,
+        "mclmc_rel_spread": None,
         "compile_s": {},
         "errors": {},
     }
@@ -423,6 +426,64 @@ def main():
         mark("rmhmc phase done")
     except Exception as e:  # noqa: BLE001
         out["errors"]["rmhmc"] = f"{type(e).__name__}: {e}"
+
+    # ---- secondary: MCLMC unadjusted throughput on the flagship BNN -------
+    # The gradient-budget headline: every gradient moves the chain (no MH
+    # test, no rejected trajectories).  Tune once (fixed seed, untimed —
+    # the axon result cache serving a repeat capture is harmless), then
+    # time nonce-varied FROZEN chunks resumed at the per-chain tuned
+    # (eps, L) via run_mclmc_chains(resume_from=...).  mclachlan spends 2
+    # fresh gradients per transition.
+    try:
+        from hamiltorch_tpu.models.flagship import make_flagship_potential
+        from hamiltorch_tpu.samplers.mclmc import MCLMCConfig, run_mclmc_chains
+
+        mc_lp, mc_theta0 = make_flagship_potential()
+        mc_draws, mc_thin = 1500, 5  # kept trace (64, 300, 100k) ~ 7.7 GB
+        cfg_mc_tune = MCLMCConfig(num_samples=10, tune_steps=1000, thin=10)
+        cfg_mc = MCLMCConfig(num_samples=mc_draws, tune_steps=0, thin=mc_thin)
+        mc_key = jax.random.key(20260819)
+        r_tuned = run_mclmc_chains(mc_key, mc_lp, mc_theta0, cfg_mc_tune,
+                                   num_chains=num_chains)
+        _hard_sync(r_tuned.final_theta)
+        mark("mclmc tuning chunk done")
+
+        def run_mc(seed):
+            r = run_mclmc_chains(jax.random.key(seed), mc_lp, None, cfg_mc,
+                                 num_chains=num_chains, resume_from=r_tuned)
+            _hard_sync(r.samples)
+            return r
+
+        t_c = time.perf_counter()
+        r = run_mc(nonce)  # compile + warm up
+        first_call = time.perf_counter() - t_c
+        del r
+        gc.collect()
+        mc_times = []
+        for rep in range(3):
+            t1 = time.perf_counter()
+            r = run_mc(nonce + rep + 1)
+            mc_times.append(time.perf_counter() - t1)
+            if rep < 2:
+                del r
+                gc.collect()
+        dt_mc = float(np.median(mc_times))
+        compile_s["mclmc"] = round(max(first_call - dt_mc, 0.0), 1)
+        # ESS from the last timed chunk's kept draws (thin=5 — conservative:
+        # thinning can only discard ESS); wall from the median timed chunk
+        mc_ess_min, _ = ess_quantiles(r.samples)
+        del r, r_tuned
+        gc.collect()
+        out.update(
+            mclmc_grad_steps_per_sec=round(
+                num_chains * mc_draws * 2 / dt_mc, 1
+            ),
+            mclmc_min_ess_per_sec=round(mc_ess_min / dt_mc, 1),
+            mclmc_rel_spread=round((max(mc_times) - min(mc_times)) / dt_mc, 3),
+        )
+        mark("mclmc phase done")
+    except Exception as e:  # noqa: BLE001
+        out["errors"]["mclmc"] = f"{type(e).__name__}: {e}"
 
     if not out["errors"]:
         del out["errors"]

@@ -1607,3 +1607,93 @@ def run_ti_checkpointed(
     out = (cold, cat("llik").astype(dtype), cat("alphas").astype(dtype),
            cat("swaps"), betas, carry[1].step_size)
     return assemble_ti_result(out, config)
+
+
+def run_mclmc_checkpointed(
+    key,
+    log_prob_fn: Callable,
+    theta0,
+    config,  # MCLMCConfig
+    ckpt_dir: str,
+    chunk_size: int = 1000,
+    data=None,
+    resume: bool = True,
+    pass_grad=None,
+):
+    """MCLMC with per-chunk checkpointing — the unadjusted long-run driver.
+
+    The FIRST chunk runs the tuning phase (``config.tune_steps``); the
+    tuned (eps, L) ride the state file as f32 scalars and every later
+    chunk runs frozen (``tune_steps=0``) — exactly the tuned-then-frozen
+    resume contract of :func:`~.samplers.mclmc.run_mclmc`.  Per-step RNG
+    folds the GLOBAL transition index, so the assembled trace is
+    bit-identical to one straight ``run_mclmc`` call with the same key.
+    ``chunk_size`` counts TRANSITIONS (``config.num_samples`` units;
+    rounded to a ``thin`` multiple).  ``theta0`` may be flat or a
+    parameter pytree (boundary ravel; samples keep leaf shapes).
+    """
+    from .samplers.mclmc import (
+        MCLMCResult,
+        MCLMCStats,
+        _prep_flat,
+        _run_mclmc_jit,
+        _seed_scales,
+    )
+
+    theta0f, fn, data_r, unravel = _prep_flat(log_prob_fn, theta0, pass_grad)
+    if data is None:
+        data = data_r
+    eps0, length0 = _seed_scales(config, theta0f.shape[0])
+    template = (theta0f, theta0f, eps0, length0)  # (theta, u, eps, L)
+
+    def init_carry_fn():
+        # the u slot is a placeholder until the first chunk runs (the
+        # straight run draws u0 inside the kernel from the base key)
+        return (theta0f, jnp.zeros_like(theta0f), eps0, length0)
+
+    def chunk_runner(k, carry, n_done, cfg):
+        theta, u, eps, length = carry
+        if n_done == 0:
+            r = _run_mclmc_jit(k, theta, eps, length, fn, cfg, data=data)
+        else:
+            cfg = dataclasses.replace(cfg, tune_steps=0)
+            r = _run_mclmc_jit(k, theta, eps, length, fn, cfg, data=data,
+                               init_u=u, start_step=n_done)
+        return r, (r.final_theta, r.final_u, r.step_size,
+                   r.trajectory_length)
+
+    def save_chunk(result):
+        out = {"samples": result.samples}
+        out.update(
+            {f: getattr(result.stats, f) for f in MCLMCStats._fields}
+        )
+        return out
+
+    fp = _fingerprint(config, theta0, extra="mclmc")
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, fp, save_chunk,
+    )
+
+    kept = config.num_samples // max(config.thin, 1)
+
+    def cat(name):
+        return jnp.asarray(np.concatenate([z[name] for z in zs]))[:kept]
+
+    stats = MCLMCStats(**{f: cat(f) for f in MCLMCStats._fields})
+    # chunk files store sub-f32 arrays upcast to f32 (_np_savable); restore
+    # the chain-state dtype so a bf16-state run matches the straight run
+    samples = cat("samples").astype(theta0f.dtype)
+    thetaF, uF, eps, length = carry
+    if unravel is not None:
+        samples = jax.vmap(unravel)(samples)
+        thetaF = unravel(thetaF)
+    return MCLMCResult(
+        samples=samples,
+        stats=stats,
+        step_size=eps,
+        trajectory_length=length,
+        final_theta=thetaF,
+        final_u=uF,
+        final_step=jnp.asarray(config.num_samples, jnp.int32),
+    )

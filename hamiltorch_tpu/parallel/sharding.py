@@ -1301,3 +1301,168 @@ def run_svgd_sharded(
     xs, phi_tr, h_tr, rej, aux, last = jax.jit(shard)(particles, x, y)
     out = jax.vmap(unravel)(xs) if is_tree else xs
     return SVGDResult(out, phi_tr, h_tr, rej, aux, last)
+
+
+def run_mclmc_sharded(
+    key,
+    log_prob_fn: Callable,
+    theta0,
+    config,  # MCLMCConfig
+    mesh: Mesh,
+    num_chains: int,
+    data=None,
+    theta0_is_stacked: bool | None = None,
+):
+    """Independent MCLMC chains sharded over the WHOLE mesh (both axes
+    flattened) — zero communication; each chain tunes its own (eps, L).
+
+    MCLMC is the gradient-budget winner per chain, and chains are free at
+    the mesh level: C chains on N devices give C unadjusted trajectories
+    at the wall-clock of C/N.  ``theta0`` may be flat (D,), (C, D)
+    stacked, or a parameter PYTREE (single state broadcast or (C, ...)
+    leaves); pytrees run through the same boundary ravel as the local
+    :func:`~..samplers.mclmc.run_mclmc_chains` and samples keep leaf
+    shapes.  Matches the local run on the same chain keys up to f32
+    rounding (shard_map and plain vmap compile different XLA programs;
+    the isokinetic dynamics amplify the ~1-ulp fusion differences).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    from ..samplers.mclmc import _prep_flat, _run_mclmc_jit, _seed_scales
+    from ..utils.pytree import is_param_tree, stack_param_tree
+
+    tmap = jax.tree_util.tree_map
+    if is_param_tree(theta0):
+        template, theta0 = stack_param_tree(
+            theta0, num_chains, stacked=theta0_is_stacked
+        )
+        _, fn, data_r, unravel = _prep_flat(log_prob_fn, template, None)
+        theta0 = jax.vmap(lambda t: ravel_pytree(t)[0])(theta0)
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+        _, fn, data_r, unravel = _prep_flat(log_prob_fn, theta0[0], None)
+    if data is None:
+        data = data_r
+    keys = jax.random.split(key, num_chains)
+    eps0, length0 = _seed_scales(config, theta0.shape[1])
+
+    axes = tuple(mesh.axis_names)
+    n_dev = len(mesh.devices.flatten())
+    if num_chains % n_dev:
+        raise ValueError(
+            f"num_chains={num_chains} not divisible by {n_dev} devices"
+        )
+
+    def local(keys_l, thetas_l, data_l):
+        return jax.vmap(
+            lambda k, t: _run_mclmc_jit(k, t, eps0, length0, fn, config,
+                                        data=data_l)
+        )(keys_l, thetas_l)
+
+    local_chains = num_chains // n_dev
+    out_specs = _leading_axis_specs(
+        jax.eval_shape(local, keys[:local_chains], theta0[:local_chains],
+                       data),
+        axes,
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes), P(axes, None), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    r = jax.jit(shard)(keys, theta0, data)
+    if unravel is not None:
+        r = r._replace(
+            samples=jax.vmap(jax.vmap(unravel))(r.samples),
+            final_theta=jax.vmap(unravel)(r.final_theta),
+        )
+    return r
+
+
+def sample_mclmc_sharded(
+    key,
+    loglik_shard_fn: Callable,
+    log_prior_fn: Callable,
+    x,
+    y,
+    theta0,
+    config,  # MCLMCConfig
+    mesh: Mesh,
+    num_chains: int,
+):
+    """MCLMC chains over 'chains' with the likelihood sharded over 'data'.
+
+    The natural BNN fit: MCLMC consumes one FULL-dataset gradient per
+    step (it is unadjusted but not stochastic-gradient), so datasets
+    larger than one device's memory shard over 'data' and each step's
+    gradient completes with one value/grad psum pair over ICI
+    (``make_psum_log_prob``'s custom_vjp pairing — the naive psum has the
+    wrong shard_map transpose).  Chain keys replicate along 'data', so
+    every member of a data-shard group runs the identical trajectory.
+
+    ``loglik_shard_fn(theta, x_shard, y_shard)`` returns its device's
+    SLICE of the summed log likelihood; ``log_prior_fn(theta)`` enters
+    once, locally.  ``theta0``: flat (D,) broadcast or (num_chains, D).
+    Matches a local run on the gathered data up to f32 summation order.
+    """
+    from ..samplers.mclmc import _run_mclmc_jit, _seed_scales
+
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    keys = jax.random.split(key, num_chains)
+    eps0, length0 = _seed_scales(config, theta0.shape[1])
+    config = _warn_progress_ignored(config)
+
+    n_chain_shards = mesh.shape["chains"]
+    if num_chains % n_chain_shards:
+        raise ValueError(
+            f"num_chains={num_chains} not divisible by mesh "
+            f"chains={n_chain_shards}"
+        )
+    n_data_shards = mesh.shape["data"]
+    if x.shape[0] % n_data_shards:
+        raise ValueError(
+            f"data length {x.shape[0]} not divisible by mesh "
+            f"data={n_data_shards}"
+        )
+
+    def local(keys_l, thetas_l, x_shard, y_shard):
+        log_prob = make_psum_log_prob(
+            loglik_shard_fn, log_prior_fn, x_shard, y_shard
+        )
+        return jax.vmap(
+            lambda k, t: _run_mclmc_jit(k, t, eps0, length0, log_prob,
+                                        config)
+        )(keys_l, thetas_l)
+
+    def probe(keys_l, thetas_l, x_shard, y_shard):
+        # psum-free twin (a collective cannot trace outside shard_map);
+        # output SHAPES are identical, which is all the specs need
+        lp = lambda t: log_prior_fn(t) + loglik_shard_fn(t, x_shard, y_shard)
+        return jax.vmap(
+            lambda k, t: _run_mclmc_jit(k, t, eps0, length0, lp, config)
+        )(keys_l, thetas_l)
+
+    local_chains = num_chains // n_chain_shards
+    out_specs = _leading_axis_specs(
+        jax.eval_shape(
+            probe, keys[:local_chains], theta0[:local_chains],
+            x[: x.shape[0] // n_data_shards],
+            y[: y.shape[0] // n_data_shards],
+        ),
+        "chains",
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("chains"), P("chains", None), P("data"), P("data")),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(shard)(keys, theta0, x, y)

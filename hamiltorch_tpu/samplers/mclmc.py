@@ -426,11 +426,56 @@ def run_mclmc_chains(
     num_chains: int,
     data=None,
     theta0_is_stacked=None,
+    resume_from: MCLMCResult | None = None,
 ) -> MCLMCResult:
     """Vectorised independent MCLMC chains (vmap over keys/initial states;
     each chain tunes its own (eps, L); samples gain a leading
-    (num_chains,) axis)."""
+    (num_chains,) axis).
+
+    ``resume_from``: a previous ``run_mclmc_chains`` result — continues
+    every chain from its ``final_theta``/``final_u``/``final_step`` at
+    its OWN tuned per-chain (eps, L), which a scalar config cannot carry.
+    Requires ``config.tune_steps == 0`` (the tuning already happened) and
+    the SAME ``key`` as the original call (per-chain streams fold the
+    global step index into the chain key, so the glued trace is
+    bit-identical to one straight run); ``theta0`` is ignored.
+    """
     from ..utils.pytree import is_param_tree, stack_param_tree
+
+    if resume_from is not None:
+        if config.tune_steps != 0:
+            raise ValueError(
+                "resume_from continues at the ALREADY-tuned per-chain "
+                "(eps, L); set tune_steps=0 (re-tuning would fork the "
+                "chains from their carried state)"
+            )
+        prev_theta = resume_from.final_theta
+        if is_param_tree(prev_theta):
+            from jax.flatten_util import ravel_pytree
+
+            template = _tmap(lambda l: l[0], prev_theta)
+            _, fn, data_r, unravel = _prep_flat(log_prob_fn, template, None)
+            thetas = jax.vmap(lambda t: ravel_pytree(t)[0])(prev_theta)
+        else:
+            thetas = jnp.asarray(prev_theta)
+            _, fn, data_r, unravel = _prep_flat(log_prob_fn, thetas[0], None)
+        if data is None:
+            data = data_r
+        keys = jax.random.split(key, num_chains)
+        r = jax.vmap(
+            lambda k, t, u, e, l, s: _run_mclmc_jit(
+                k, t, e, l, fn, config, data=data, init_u=u, start_step=s
+            )
+        )(keys, thetas, resume_from.final_u,
+          jnp.asarray(resume_from.step_size, jnp.float32),
+          jnp.asarray(resume_from.trajectory_length, jnp.float32),
+          jnp.asarray(resume_from.final_step))
+        if unravel is not None:
+            r = r._replace(
+                samples=jax.vmap(jax.vmap(unravel))(r.samples),
+                final_theta=jax.vmap(unravel)(r.final_theta),
+            )
+        return r
 
     if is_param_tree(theta0):
         template, theta0 = stack_param_tree(

@@ -74,6 +74,19 @@ def render(artifact_name: str) -> str:
             f" curvature): **{data['rmhmc_grad_steps_per_sec']:,.1f}"
             f" implicit-leapfrog grad-steps/sec**."
         )
+    if data.get("mclmc_grad_steps_per_sec"):
+        mclmc = (
+            f"- MCLMC (unadjusted, auto-tuned, 64 chains on the flagship"
+            f" BNN): **{data['mclmc_grad_steps_per_sec']:,.1f}"
+            f" grad-steps/sec**"
+        )
+        if data.get("mclmc_min_ess_per_sec"):
+            mclmc += (
+                f", **{data['mclmc_min_ess_per_sec']:,.1f} min-ESS/sec**"
+            )
+        if data.get("mclmc_rel_spread") is not None:
+            mclmc += f" (rel. spread {data['mclmc_rel_spread']:.3f})"
+        lines.append(mclmc + ".")
     if data.get("compile_s"):
         comp = ", ".join(
             f"{k} {v:.1f}s" for k, v in sorted(data["compile_s"].items())

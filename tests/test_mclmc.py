@@ -244,3 +244,131 @@ class TestArviz:
         np.testing.assert_allclose(
             d["sample_stats"]["step_size"][:, 0], np.asarray(r.step_size)
         )
+
+
+class TestCheckpointed:
+    def test_chunked_bit_exact_and_resume(self, key, tmp_path):
+        """Checkpointed == straight (the first chunk tunes, the tuned
+        (eps, L) ride the state file, later chunks run frozen), and an
+        interrupted run resumed from the state file is bitwise equal."""
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_mclmc_checkpointed
+
+        t0 = jnp.full((8,), 0.5)
+        cfg = MCLMCConfig(num_samples=300, tune_steps=200, thin=3)
+        r = run_mclmc(key, iso_lp, t0, cfg)
+        r_ck = run_mclmc_checkpointed(key, iso_lp, t0, cfg,
+                                      str(tmp_path / "a"), chunk_size=90)
+        np.testing.assert_array_equal(np.asarray(r.samples),
+                                      np.asarray(r_ck.samples))
+        np.testing.assert_array_equal(np.asarray(r.step_size),
+                                      np.asarray(r_ck.step_size))
+        np.testing.assert_array_equal(np.asarray(r.trajectory_length),
+                                      np.asarray(r_ck.trajectory_length))
+        np.testing.assert_array_equal(np.asarray(r.final_u),
+                                      np.asarray(r_ck.final_u))
+        # interrupt at 120 transitions, then resume to the full budget
+        half = dataclasses.replace(cfg, num_samples=120)
+        run_mclmc_checkpointed(key, iso_lp, t0, half, str(tmp_path / "b"),
+                               chunk_size=90)
+        r_res = run_mclmc_checkpointed(key, iso_lp, t0, cfg,
+                                       str(tmp_path / "b"), chunk_size=90)
+        np.testing.assert_array_equal(np.asarray(r.samples),
+                                      np.asarray(r_res.samples))
+
+    def test_pytree_checkpointed(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_mclmc_checkpointed
+
+        tree0 = {"a": jnp.zeros((3,)), "b": jnp.ones(())}
+
+        def lp(t):
+            return -0.5 * (jnp.sum(t["a"] ** 2) + t["b"] ** 2)
+
+        cfg = MCLMCConfig(num_samples=120, tune_steps=150)
+        r = run_mclmc(key, lp, tree0, cfg)
+        r_ck = run_mclmc_checkpointed(key, lp, tree0, cfg,
+                                      str(tmp_path / "t"), chunk_size=50)
+        assert r_ck.samples["a"].shape == (120, 3)
+        for a, b in zip(jax.tree_util.tree_leaves(r.samples),
+                        jax.tree_util.tree_leaves(r_ck.samples)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_longer_directory_truncates(self, key, tmp_path):
+        """Resuming a directory left by a completed LONGER run returns
+        exactly the requested draws (num_samples is a cosmetic
+        fingerprint field)."""
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_mclmc_checkpointed
+
+        t0 = jnp.full((4,), 0.5)
+        cfg = MCLMCConfig(num_samples=200, tune_steps=100)
+        run_mclmc_checkpointed(key, iso_lp, t0, cfg, str(tmp_path / "c"),
+                               chunk_size=80)
+        shorter = dataclasses.replace(cfg, num_samples=100)
+        r_s = run_mclmc_checkpointed(key, iso_lp, t0, shorter,
+                                     str(tmp_path / "c"), chunk_size=80)
+        assert r_s.samples.shape == (100, 4)
+        full = run_mclmc(key, iso_lp, t0, cfg)
+        np.testing.assert_array_equal(np.asarray(r_s.samples),
+                                      np.asarray(full.samples[:100]))
+
+    def test_fingerprint_mismatch_raises(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_mclmc_checkpointed
+
+        t0 = jnp.full((4,), 0.5)
+        cfg = MCLMCConfig(num_samples=60, tune_steps=50)
+        run_mclmc_checkpointed(key, iso_lp, t0, cfg, str(tmp_path / "f"),
+                               chunk_size=30)
+        other = MCLMCConfig(num_samples=60, tune_steps=50, step_size=0.5)
+        with pytest.raises(ValueError, match="fingerprint"):
+            run_mclmc_checkpointed(key, iso_lp, t0, other,
+                                   str(tmp_path / "f"), chunk_size=30)
+
+
+class TestChainsResume:
+    def test_chains_resume_bit_exact(self, key):
+        """resume_from continues every chain at its OWN tuned (eps, L):
+        the glued ensemble trace equals one straight run bit for bit."""
+        t0 = jnp.full((6,), 0.5)
+        full = run_mclmc_chains(key, iso_lp, t0,
+                                MCLMCConfig(num_samples=120, tune_steps=150),
+                                num_chains=4)
+        c1 = run_mclmc_chains(key, iso_lp, t0,
+                              MCLMCConfig(num_samples=60, tune_steps=150),
+                              num_chains=4)
+        c2 = run_mclmc_chains(key, iso_lp, None,
+                              MCLMCConfig(num_samples=60, tune_steps=0),
+                              num_chains=4, resume_from=c1)
+        cat = jnp.concatenate([c1.samples, c2.samples], axis=1)
+        assert jnp.array_equal(cat, full.samples)
+        assert jnp.array_equal(c2.step_size, full.step_size)
+
+    def test_chains_resume_pytree(self, key):
+        tree0 = {"a": jnp.zeros((3,)), "b": jnp.ones(())}
+
+        def lp(t):
+            return -0.5 * (jnp.sum(t["a"] ** 2) + t["b"] ** 2)
+
+        full = run_mclmc_chains(key, lp, tree0,
+                                MCLMCConfig(num_samples=80, tune_steps=100),
+                                num_chains=3)
+        c1 = run_mclmc_chains(key, lp, tree0,
+                              MCLMCConfig(num_samples=40, tune_steps=100),
+                              num_chains=3)
+        c2 = run_mclmc_chains(key, lp, None,
+                              MCLMCConfig(num_samples=40, tune_steps=0),
+                              num_chains=3, resume_from=c1)
+        glued = jnp.concatenate([c1.samples["a"], c2.samples["a"]], axis=1)
+        assert jnp.array_equal(glued, full.samples["a"])
+
+    def test_resume_requires_frozen_config(self, key):
+        t0 = jnp.full((4,), 0.5)
+        c1 = run_mclmc_chains(key, iso_lp, t0,
+                              MCLMCConfig(num_samples=20, tune_steps=30),
+                              num_chains=2)
+        with pytest.raises(ValueError, match="tune_steps=0"):
+            run_mclmc_chains(key, iso_lp, None,
+                             MCLMCConfig(num_samples=20, tune_steps=10),
+                             num_chains=2, resume_from=c1)

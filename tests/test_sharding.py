@@ -756,3 +756,104 @@ class TestTISharding:
                 jnp.zeros((6, 1)), jnp.zeros(6), jnp.zeros(2),
                 TIConfig(num_samples=10, num_temps=4, burn=2), mesh,
             )
+
+
+@pytest.mark.slow
+class TestMCLMCSharding:
+    def test_sharded_chains_match_local(self, key):
+        """Chain-only mesh sharding matches the local vmapped run on the
+        same chain keys up to f32 rounding (shard_map compiles a different
+        XLA program; the chaotic dynamics amplify ~1-ulp fusion
+        differences, so keep the horizon short)."""
+        from hamiltorch_tpu.parallel.sharding import run_mclmc_sharded
+        from hamiltorch_tpu.samplers.mclmc import MCLMCConfig, run_mclmc_chains
+
+        cfg = MCLMCConfig(num_samples=10, tune_steps=0, step_size=0.1,
+                          trajectory_length=1.5)
+        mesh = make_mesh(chains=8, data=1)
+        r_shard = run_mclmc_sharded(key, std_normal, jnp.zeros(3) + 0.2,
+                                    cfg, mesh, num_chains=16)
+        r_local = run_mclmc_chains(key, std_normal, jnp.zeros(3) + 0.2,
+                                   cfg, num_chains=16)
+        np.testing.assert_allclose(np.asarray(r_shard.samples),
+                                   np.asarray(r_local.samples), atol=1e-4)
+
+    def test_sharded_pytree(self, key):
+        from hamiltorch_tpu.parallel.sharding import run_mclmc_sharded
+        from hamiltorch_tpu.samplers.mclmc import MCLMCConfig, run_mclmc_chains
+
+        tree0 = {"a": jnp.zeros((3,)), "b": jnp.ones(())}
+
+        def lp(t):
+            return -0.5 * (jnp.sum(t["a"] ** 2) + t["b"] ** 2)
+
+        cfg = MCLMCConfig(num_samples=30, tune_steps=0, step_size=0.1,
+                          trajectory_length=1.5)
+        mesh = make_mesh(chains=4, data=2)
+        r_shard = run_mclmc_sharded(key, lp, tree0, cfg, mesh, num_chains=8)
+        r_local = run_mclmc_chains(key, lp, tree0, cfg, num_chains=8)
+        assert r_shard.samples["a"].shape == (8, 30, 3)
+        for a, b in zip(jax.tree_util.tree_leaves(r_shard.samples),
+                        jax.tree_util.tree_leaves(r_local.samples)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
+
+    def test_data_sharded_matches_fullbatch(self, key):
+        """chains x data mesh: the psum-completed full-batch gradient
+        reproduces the local gathered-data run (f32 summation order is
+        the only difference; a tame posterior keeps it from amplifying)."""
+        from hamiltorch_tpu.parallel.sharding import sample_mclmc_sharded
+        from hamiltorch_tpu.samplers.mclmc import MCLMCConfig, run_mclmc_chains
+
+        rng = np.random.RandomState(1)
+        x = rng.randn(64, 3).astype(np.float32)
+        w = np.array([1.0, -2.0, 0.5], np.float32)
+        y = (x @ w + 0.5 * rng.randn(64)).astype(np.float32)
+
+        def ll(theta, xs, ys):
+            return -0.5 * jnp.sum((xs @ theta - ys) ** 2)
+
+        def prior(theta):
+            return -0.5 * jnp.dot(theta, theta)
+
+        full = lambda t: prior(t) + ll(t, jnp.asarray(x), jnp.asarray(y))
+        # fixed (eps, L): the comparison isolates the psum'd gradient from
+        # tuning-path rounding drift; short horizon bounds amplification
+        cfg = MCLMCConfig(num_samples=10, tune_steps=0, step_size=0.02,
+                          trajectory_length=1.0)
+        mesh = make_mesh(chains=2, data=4)
+        r_shard = sample_mclmc_sharded(key, ll, prior, x, y, jnp.zeros(3),
+                                       cfg, mesh, num_chains=4)
+        r_local = run_mclmc_chains(key, full, jnp.zeros(3), cfg,
+                                   num_chains=4)
+        np.testing.assert_allclose(np.asarray(r_shard.samples),
+                                   np.asarray(r_local.samples), atol=2e-4)
+
+    def test_sharded_tuned_moments(self, key):
+        """Per-chain (eps, L) tuning under shard_map: pooled sharded
+        chains recover the target's marginals."""
+        from hamiltorch_tpu.parallel.sharding import run_mclmc_sharded
+        from hamiltorch_tpu.samplers.mclmc import MCLMCConfig
+
+        stds = jnp.array([0.5, 1.0, 2.0])
+        lp = lambda t: -0.5 * jnp.sum((t / stds) ** 2)
+        cfg = MCLMCConfig(num_samples=800, tune_steps=400)
+        mesh = make_mesh(chains=4, data=2)
+        r = run_mclmc_sharded(key, lp, jnp.zeros(3) + 0.1, cfg, mesh,
+                              num_chains=8)
+        assert r.samples.shape == (8, 800, 3)
+        pooled = np.asarray(r.samples).reshape(-1, 3)
+        np.testing.assert_allclose(pooled.std(0), np.asarray(stds),
+                                   rtol=0.15)
+        assert r.step_size.shape == (8,)
+        assert bool(np.all(np.asarray(r.step_size) > 0))
+
+    def test_chains_not_divisible_raises(self, key):
+        from hamiltorch_tpu.parallel.sharding import run_mclmc_sharded
+        from hamiltorch_tpu.samplers.mclmc import MCLMCConfig
+
+        mesh = make_mesh(chains=4, data=2)
+        with pytest.raises(ValueError, match="divisible"):
+            run_mclmc_sharded(key, std_normal, jnp.zeros(3),
+                              MCLMCConfig(num_samples=10), mesh,
+                              num_chains=6)
