@@ -33,6 +33,7 @@ from .samplers.sgmcmc import (
     run_sgld,
     run_sgld_chains,
 )
+from .samplers.mams import MAMSConfig, MAMSResult, run_mams, run_mams_chains
 from .samplers.mclmc import MCLMCConfig, MCLMCResult, run_mclmc, run_mclmc_chains
 from .samplers.smc import SMCConfig, run_smc, smc_posterior_sample
 from .samplers.tempering import PTConfig, run_parallel_tempering, run_pt_chains
@@ -90,6 +91,10 @@ __all__ = [
     "MCLMCResult",
     "run_mclmc",
     "run_mclmc_chains",
+    "MAMSConfig",
+    "MAMSResult",
+    "run_mams",
+    "run_mams_chains",
     "TIConfig",
     "run_ti",
     "waic",

@@ -431,6 +431,20 @@ def to_inference_dict(result, like=None, info=None) -> Dict[str, Dict]:
         }
         return {"posterior": post, "sample_stats": stats}
 
+    if hasattr(result, "final_da") and hasattr(result, "final_theta"):
+        # MAMSResult (MCMCResult carries final_da but no final_theta;
+        # SG-MCMC carries final_theta but no final_da)
+        s = result.stats
+        chains_first = np.asarray(s.accept_prob).ndim == 2
+        post = _posterior_vars(result.samples, chains_first=chains_first)
+        stats = {
+            "acceptance_rate": _cn(s.accept_prob, chains_first),
+            "diverging": _cn(s.divergent, chains_first),
+            "energy_change": _cn(s.energy_change, chains_first),
+            "step_size": _cn(s.step_size, chains_first),
+        }
+        return {"posterior": post, "sample_stats": stats}
+
     if hasattr(result, "final_theta"):  # SGMCMCResult / CSGMCMCResult
         s = result.stats
         chains_first = np.asarray(s.step_size).ndim == 2

@@ -2,6 +2,7 @@ from .adaptation import DualAveragingState, da_init, da_update
 from .chees import ChEESConfig, ChEESResult, run_chees
 from .driver import ChainState, MCMCConfig, MCMCResult, MCMCStats, run_mcmc
 from .hmc import hmc_transition, run_hmc, run_hmc_chains, run_hmc_host_offload
+from .mams import MAMSConfig, MAMSResult, MAMSStats, run_mams, run_mams_chains
 from .mclmc import MCLMCConfig, MCLMCResult, MCLMCStats, run_mclmc, run_mclmc_chains
 from .nuts import NUTSConfig, NUTSInfo, run_nuts, run_nuts_chains, run_nuts_ensemble
 from .offload import (
@@ -63,6 +64,11 @@ __all__ = [
     "MCLMCStats",
     "run_mclmc",
     "run_mclmc_chains",
+    "MAMSConfig",
+    "MAMSResult",
+    "MAMSStats",
+    "run_mams",
+    "run_mams_chains",
     "TIConfig",
     "TIResult",
     "run_ti",
