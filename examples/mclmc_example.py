@@ -81,7 +81,22 @@ print(f"  MCLMC: {1000 * e_mc / mclmc_grads:.1f}   "
 print(f"  NUTS:  {1000 * e_nt / nuts_grads:.1f}   "
       f"(ESS {e_nt:.0f} / {nuts_grads:.0f} grads)")
 
-# --- 3. mesh-sharded chains ----------------------------------------------
+# --- 3. the exact sibling: MAMS at the same gradient accounting -----------
+# MAMS proposes whole isokinetic trajectories and MH-accepts on the
+# accumulated energy error — exact where MCLMC carries an O(eps^2) bias.
+n_steps = 10
+mams_cfg = hamiltorch.MAMSConfig(num_samples=budget(1000, 30),
+                                 num_steps_per_sample=n_steps,
+                                 burn=budget(200, 10))
+ma = hamiltorch.run_mams_chains(jax.random.key(4), lp, jnp.zeros(D) + 0.1,
+                                mams_cfg, num_chains=4)
+mams_grads = 4 * mams_cfg.num_samples * n_steps * 2
+e_ma = min_ess(ma.samples[:, mams_cfg.burn:])
+print(f"  MAMS:  {1000 * e_ma / mams_grads:.1f}   "
+      f"(ESS {e_ma:.0f} / {mams_grads} grads; exact, acceptance "
+      f"{float(np.mean(np.asarray(ma.acc_rate))):.2f})")
+
+# --- 4. mesh-sharded chains ----------------------------------------------
 n_dev = len(jax.devices())
 if n_dev > 1:
     from hamiltorch_tpu.parallel.sharding import make_mesh, run_mclmc_sharded

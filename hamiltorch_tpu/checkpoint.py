@@ -1697,3 +1697,87 @@ def run_mclmc_checkpointed(
         final_u=uF,
         final_step=jnp.asarray(config.num_samples, jnp.int32),
     )
+
+
+def run_mams_checkpointed(
+    key,
+    log_prob_fn: Callable,
+    theta0,
+    config,  # MAMSConfig
+    ckpt_dir: str,
+    chunk_size: int = 1000,
+    data=None,
+    resume: bool = True,
+    pass_grad=None,
+):
+    """MAMS with per-chunk checkpointing.
+
+    The dual-averaging state rides the state file; ``config.burn`` is a
+    GLOBAL draw index, so adaptation continues across chunk boundaries
+    and freezes at the same draw as the straight run.  Per-draw RNG
+    folds the GLOBAL index — the assembled trace is bit-identical to one
+    straight :func:`~.samplers.mams.run_mams` call with the same key.
+    ``chunk_size`` counts draws (rounded to a ``thin`` multiple);
+    ``theta0`` may be flat or a parameter pytree.
+    """
+    from .samplers.adaptation import da_init
+    from .samplers.mams import MAMSResult, MAMSStats, _run_mams_jit
+    from .samplers.mclmc import _prep_flat
+
+    if config.burn >= config.num_samples:
+        raise RuntimeError("burn must be less than num_samples.")
+    theta0f, fn, data_r, unravel = _prep_flat(log_prob_fn, theta0, pass_grad)
+    if data is None:
+        data = data_r
+    da0 = da_init(config.step_size)
+    template = (theta0f, da0)
+
+    def init_carry_fn():
+        return (theta0f, da0)
+
+    def chunk_runner(k, carry, n_done, cfg):
+        theta, da = carry
+        r = _run_mams_jit(k, theta, fn, cfg, data=data, init_da=da,
+                          start_step=n_done)
+        return r, (r.final_theta, r.final_da)
+
+    def save_chunk(result):
+        out = {"samples": result.samples}
+        out.update(
+            {f: getattr(result.stats, f) for f in MAMSStats._fields}
+        )
+        return out
+
+    fp = _fingerprint(config, theta0, extra="mams")
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, fp, save_chunk,
+    )
+
+    kept = config.num_samples // max(config.thin, 1)
+
+    def cat(name):
+        return jnp.asarray(np.concatenate([z[name] for z in zs]))[:kept]
+
+    stats = MAMSStats(**{f: cat(f) for f in MAMSStats._fields})
+    samples = cat("samples").astype(theta0f.dtype)
+    thetaF, daF = carry
+    burn_kept = config.burn // max(config.thin, 1)
+    acc_rate = jnp.mean(
+        stats.accept_prob[burn_kept:] if kept > burn_kept
+        else stats.accept_prob
+    )
+    eps_final = (jnp.exp(daF.log_eps_bar) if config.adapt_step_size
+                 else daF.step_size)
+    if unravel is not None:
+        samples = jax.vmap(unravel)(samples)
+        thetaF = unravel(thetaF)
+    return MAMSResult(
+        samples=samples,
+        stats=stats,
+        step_size=eps_final,
+        acc_rate=acc_rate,
+        final_theta=thetaF,
+        final_da=daF,
+        final_step=jnp.asarray(config.num_samples, jnp.int32),
+    )

@@ -1466,3 +1466,149 @@ def sample_mclmc_sharded(
         check_vma=False,
     )
     return jax.jit(shard)(keys, theta0, x, y)
+
+
+def run_mams_sharded(
+    key,
+    log_prob_fn: Callable,
+    theta0,
+    config,  # MAMSConfig
+    mesh: Mesh,
+    num_chains: int,
+    data=None,
+    theta0_is_stacked: bool | None = None,
+):
+    """Independent MAMS chains sharded over the WHOLE mesh (both axes
+    flattened) — zero communication; each chain dual-averages its own
+    step size.  Same layout contract as :func:`run_mclmc_sharded`
+    (flat/stacked/pytree ``theta0``; matches the local vmapped run up to
+    f32 rounding across the two compiled programs).
+    """
+    from jax.flatten_util import ravel_pytree
+
+    from ..samplers.mams import _run_mams_jit
+    from ..samplers.mclmc import _prep_flat
+    from ..utils.pytree import is_param_tree, stack_param_tree
+
+    tmap = jax.tree_util.tree_map
+    if is_param_tree(theta0):
+        template, theta0 = stack_param_tree(
+            theta0, num_chains, stacked=theta0_is_stacked
+        )
+        _, fn, data_r, unravel = _prep_flat(log_prob_fn, template, None)
+        theta0 = jax.vmap(lambda t: ravel_pytree(t)[0])(theta0)
+    else:
+        theta0 = jnp.asarray(theta0)
+        if theta0.ndim == 1:
+            theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+        _, fn, data_r, unravel = _prep_flat(log_prob_fn, theta0[0], None)
+    if data is None:
+        data = data_r
+    keys = jax.random.split(key, num_chains)
+
+    axes = tuple(mesh.axis_names)
+    n_dev = len(mesh.devices.flatten())
+    if num_chains % n_dev:
+        raise ValueError(
+            f"num_chains={num_chains} not divisible by {n_dev} devices"
+        )
+
+    def local(keys_l, thetas_l, data_l):
+        return jax.vmap(
+            lambda k, t: _run_mams_jit(k, t, fn, config, data=data_l)
+        )(keys_l, thetas_l)
+
+    local_chains = num_chains // n_dev
+    out_specs = _leading_axis_specs(
+        jax.eval_shape(local, keys[:local_chains], theta0[:local_chains],
+                       data),
+        axes,
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes), P(axes, None), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    r = jax.jit(shard)(keys, theta0, data)
+    if unravel is not None:
+        r = r._replace(
+            samples=jax.vmap(jax.vmap(unravel))(r.samples),
+            final_theta=jax.vmap(unravel)(r.final_theta),
+        )
+    return r
+
+
+def sample_mams_sharded(
+    key,
+    loglik_shard_fn: Callable,
+    log_prior_fn: Callable,
+    x,
+    y,
+    theta0,
+    config,  # MAMSConfig
+    mesh: Mesh,
+    num_chains: int,
+):
+    """MAMS chains over 'chains' with the likelihood sharded over 'data'
+    — the exact microcanonical sampler on datasets larger than one
+    device's memory.  Same contract as :func:`sample_mclmc_sharded`:
+    every trajectory consumes full-dataset gradients completed by one
+    value/grad psum pair per dynamics step
+    (``make_psum_log_prob``'s custom_vjp pairing); chain keys replicate
+    along 'data' so every member of a data-shard group runs the
+    identical trajectory and MH outcome.
+    """
+    from ..samplers.mams import _run_mams_jit
+
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    theta0 = jnp.asarray(theta0)
+    if theta0.ndim == 1:
+        theta0 = jnp.broadcast_to(theta0, (num_chains,) + theta0.shape)
+    keys = jax.random.split(key, num_chains)
+
+    n_chain_shards = mesh.shape["chains"]
+    if num_chains % n_chain_shards:
+        raise ValueError(
+            f"num_chains={num_chains} not divisible by mesh "
+            f"chains={n_chain_shards}"
+        )
+    n_data_shards = mesh.shape["data"]
+    if x.shape[0] % n_data_shards:
+        raise ValueError(
+            f"data length {x.shape[0]} not divisible by mesh "
+            f"data={n_data_shards}"
+        )
+
+    def local(keys_l, thetas_l, x_shard, y_shard):
+        log_prob = make_psum_log_prob(
+            loglik_shard_fn, log_prior_fn, x_shard, y_shard
+        )
+        return jax.vmap(
+            lambda k, t: _run_mams_jit(k, t, log_prob, config)
+        )(keys_l, thetas_l)
+
+    def probe(keys_l, thetas_l, x_shard, y_shard):
+        lp = lambda t: log_prior_fn(t) + loglik_shard_fn(t, x_shard, y_shard)
+        return jax.vmap(
+            lambda k, t: _run_mams_jit(k, t, lp, config)
+        )(keys_l, thetas_l)
+
+    local_chains = num_chains // n_chain_shards
+    out_specs = _leading_axis_specs(
+        jax.eval_shape(
+            probe, keys[:local_chains], theta0[:local_chains],
+            x[: x.shape[0] // n_data_shards],
+            y[: y.shape[0] // n_data_shards],
+        ),
+        "chains",
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P("chains"), P("chains", None), P("data"), P("data")),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(shard)(keys, theta0, x, y)

@@ -225,3 +225,52 @@ class TestArviz:
         assert d["sample_stats"]["energy_change"].shape == (3, 30)
         assert d["sample_stats"]["step_size"].shape == (3, 30)
         assert d["sample_stats"]["diverging"].shape == (3, 30)
+
+
+class TestCheckpointed:
+    def test_chunked_bit_exact_and_resume(self, key, tmp_path):
+        """Checkpointed == straight (the dual-averaging state rides the
+        state file; burn freezes at the same GLOBAL draw), and an
+        interrupted run resumed from the state file is bitwise equal."""
+        import dataclasses
+
+        from hamiltorch_tpu.checkpoint import run_mams_checkpointed
+
+        t0 = jnp.full((6,), 0.5)
+        cfg = MAMSConfig(num_samples=240, num_steps_per_sample=5, burn=100,
+                         thin=2)
+        r = run_mams(key, iso_lp, t0, cfg)
+        r_ck = run_mams_checkpointed(key, iso_lp, t0, cfg,
+                                     str(tmp_path / "a"), chunk_size=90)
+        np.testing.assert_array_equal(np.asarray(r.samples),
+                                      np.asarray(r_ck.samples))
+        np.testing.assert_array_equal(np.asarray(r.step_size),
+                                      np.asarray(r_ck.step_size))
+        np.testing.assert_array_equal(np.asarray(r.stats.step_size),
+                                      np.asarray(r_ck.stats.step_size))
+        np.testing.assert_allclose(np.asarray(r.acc_rate),
+                                   np.asarray(r_ck.acc_rate), rtol=1e-6)
+        half = dataclasses.replace(cfg, num_samples=120)
+        run_mams_checkpointed(key, iso_lp, t0, half, str(tmp_path / "b"),
+                              chunk_size=90)
+        r_res = run_mams_checkpointed(key, iso_lp, t0, cfg,
+                                      str(tmp_path / "b"), chunk_size=90)
+        np.testing.assert_array_equal(np.asarray(r.samples),
+                                      np.asarray(r_res.samples))
+
+    def test_pytree_checkpointed(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_mams_checkpointed
+
+        tree0 = {"a": jnp.zeros((3,)), "b": jnp.ones(())}
+
+        def lp(t):
+            return -0.5 * (jnp.sum(t["a"] ** 2) + t["b"] ** 2)
+
+        cfg = MAMSConfig(num_samples=120, num_steps_per_sample=5, burn=40)
+        r = run_mams(key, lp, tree0, cfg)
+        r_ck = run_mams_checkpointed(key, lp, tree0, cfg,
+                                     str(tmp_path / "t"), chunk_size=50)
+        assert r_ck.samples["a"].shape == (120, 3)
+        for a, b in zip(jax.tree_util.tree_leaves(r.samples),
+                        jax.tree_util.tree_leaves(r_ck.samples)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

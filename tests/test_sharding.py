@@ -857,3 +857,65 @@ class TestMCLMCSharding:
             run_mclmc_sharded(key, std_normal, jnp.zeros(3),
                               MCLMCConfig(num_samples=10), mesh,
                               num_chains=6)
+
+
+@pytest.mark.slow
+class TestMAMSSharding:
+    def test_sharded_chains_match_local(self, key):
+        """Chain-only mesh sharding matches the local vmapped run (fixed
+        step, short horizon — same f32 cross-program caveat as MCLMC)."""
+        from hamiltorch_tpu.parallel.sharding import run_mams_sharded
+        from hamiltorch_tpu.samplers.mams import MAMSConfig, run_mams_chains
+
+        cfg = MAMSConfig(num_samples=10, num_steps_per_sample=4,
+                         step_size=0.5, adapt_step_size=False)
+        mesh = make_mesh(chains=8, data=1)
+        r_shard = run_mams_sharded(key, std_normal, jnp.zeros(3) + 0.2,
+                                   cfg, mesh, num_chains=16)
+        r_local = run_mams_chains(key, std_normal, jnp.zeros(3) + 0.2,
+                                  cfg, num_chains=16)
+        np.testing.assert_allclose(np.asarray(r_shard.samples),
+                                   np.asarray(r_local.samples), atol=1e-4)
+
+    def test_sharded_adapted_moments(self, key):
+        """Per-chain dual averaging under shard_map: pooled sharded
+        chains recover the target's marginals at the 0.9 acceptance."""
+        from hamiltorch_tpu.parallel.sharding import run_mams_sharded
+        from hamiltorch_tpu.samplers.mams import MAMSConfig
+
+        stds = jnp.array([0.5, 1.0, 2.0])
+        lp = lambda t: -0.5 * jnp.sum((t / stds) ** 2)
+        cfg = MAMSConfig(num_samples=800, num_steps_per_sample=8, burn=200)
+        mesh = make_mesh(chains=4, data=2)
+        r = run_mams_sharded(key, lp, jnp.zeros(3) + 0.1, cfg, mesh,
+                             num_chains=8)
+        pooled = np.asarray(r.samples[:, 200:]).reshape(-1, 3)
+        np.testing.assert_allclose(pooled.std(0), np.asarray(stds),
+                                   rtol=0.15)
+        assert 0.7 < float(np.mean(np.asarray(r.acc_rate))) <= 1.0
+
+    def test_data_sharded_matches_fullbatch(self, key):
+        from hamiltorch_tpu.parallel.sharding import sample_mams_sharded
+        from hamiltorch_tpu.samplers.mams import MAMSConfig, run_mams_chains
+
+        rng = np.random.RandomState(2)
+        x = rng.randn(64, 3).astype(np.float32)
+        w = np.array([1.0, -2.0, 0.5], np.float32)
+        y = (x @ w + 0.5 * rng.randn(64)).astype(np.float32)
+
+        def ll(theta, xs, ys):
+            return -0.5 * jnp.sum((xs @ theta - ys) ** 2)
+
+        def prior(theta):
+            return -0.5 * jnp.dot(theta, theta)
+
+        full = lambda t: prior(t) + ll(t, jnp.asarray(x), jnp.asarray(y))
+        cfg = MAMSConfig(num_samples=10, num_steps_per_sample=3,
+                         step_size=0.02, adapt_step_size=False)
+        mesh = make_mesh(chains=2, data=4)
+        r_shard = sample_mams_sharded(key, ll, prior, x, y, jnp.zeros(3),
+                                      cfg, mesh, num_chains=4)
+        r_local = run_mams_chains(key, full, jnp.zeros(3), cfg,
+                                  num_chains=4)
+        np.testing.assert_allclose(np.asarray(r_shard.samples),
+                                   np.asarray(r_local.samples), atol=2e-4)
