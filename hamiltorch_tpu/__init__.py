@@ -36,6 +36,7 @@ from .samplers.sgmcmc import (
 from .samplers.mams import MAMSConfig, MAMSResult, run_mams, run_mams_chains
 from .samplers.mclmc import MCLMCConfig, MCLMCResult, run_mclmc, run_mclmc_chains
 from .samplers.smc import SMCConfig, run_smc, smc_posterior_sample
+from .samplers.stretch import StretchConfig, StretchResult, run_stretch
 from .samplers.tempering import PTConfig, run_parallel_tempering, run_pt_chains
 from .samplers.ti import TIConfig, run_ti
 from .model_comparison import (
@@ -95,6 +96,9 @@ __all__ = [
     "MAMSResult",
     "run_mams",
     "run_mams_chains",
+    "StretchConfig",
+    "StretchResult",
+    "run_stretch",
     "TIConfig",
     "run_ti",
     "waic",

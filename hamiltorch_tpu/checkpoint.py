@@ -1781,3 +1781,83 @@ def run_mams_checkpointed(
         final_da=daF,
         final_step=jnp.asarray(config.num_samples, jnp.int32),
     )
+
+
+def run_stretch_checkpointed(
+    key,
+    log_prob_fn: Callable,
+    theta0,
+    config,  # StretchConfig
+    ckpt_dir: str,
+    chunk_size: int = 1000,
+    num_walkers: int = 64,
+    data=None,
+    init_jitter: float = 1e-2,
+    resume: bool = True,
+):
+    """Stretch-move ensemble with per-chunk checkpointing.
+
+    The walker matrix and its cached log-densities ride the state file;
+    per-iteration RNG folds the GLOBAL index, so the assembled trace is
+    bit-identical to one straight :func:`~.samplers.stretch.run_stretch`
+    call with the same key.  ``chunk_size`` counts iterations (rounded
+    to a ``thin`` multiple); ``theta0`` may be flat, an explicit walker
+    matrix, or a parameter pytree.
+    """
+    from .samplers.stretch import (
+        StretchResult,
+        StretchStats,
+        _prep_walkers,
+        _run_stretch_jit,
+    )
+
+    walkers0, fn, data_r, unravel = _prep_walkers(
+        key, log_prob_fn, theta0, num_walkers, init_jitter
+    )
+    if data is None:
+        data = data_r
+    logp_t = jnp.zeros((num_walkers,), jnp.result_type(walkers0.dtype,
+                                                       jnp.float32))
+    template = (walkers0, logp_t)
+
+    def init_carry_fn():
+        return (walkers0, None)
+
+    def chunk_runner(k, carry, n_done, cfg):
+        walkers, logp = carry
+        r = _run_stretch_jit(k, walkers, fn, cfg, num_walkers, data=data,
+                             init_logp=logp, start_step=n_done)
+        return r, (r.final_walkers, r.final_logp)
+
+    def save_chunk(result):
+        out = {"samples": result.samples}
+        out.update(
+            {f: getattr(result.stats, f) for f in StretchStats._fields}
+        )
+        return out
+
+    fp = _fingerprint(config, theta0, extra=("stretch", num_walkers))
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, fp, save_chunk,
+    )
+
+    kept = config.num_samples // max(config.thin, 1)
+
+    def cat(name):
+        return jnp.asarray(np.concatenate([z[name] for z in zs]))[:kept]
+
+    stats = StretchStats(**{f: cat(f) for f in StretchStats._fields})
+    samples = cat("samples").astype(walkers0.dtype)
+    walkersF, logpF = carry
+    if unravel is not None:
+        samples = jax.vmap(jax.vmap(unravel))(samples)
+        walkersF = jax.vmap(unravel)(walkersF)
+    return StretchResult(
+        samples=samples,
+        stats=stats,
+        acc_rate=jnp.mean(stats.accept_frac),
+        final_walkers=walkersF,
+        final_logp=logpF,
+        final_step=jnp.asarray(config.num_samples, jnp.int32),
+    )

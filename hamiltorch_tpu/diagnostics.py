@@ -431,6 +431,27 @@ def to_inference_dict(result, like=None, info=None) -> Dict[str, Dict]:
         }
         return {"posterior": post, "sample_stats": stats}
 
+    if hasattr(result, "final_walkers"):  # StretchResult (ensemble)
+        # walkers export as chains: (N, K, ...) -> (K, N, ...); the
+        # accept fraction is ensemble-wide per iteration, broadcast
+        # across walker-chains
+        s = result.stats
+        samples = jax.tree_util.tree_map(
+            lambda l: jnp.moveaxis(l, 0, 1), result.samples
+        )
+        post = _posterior_vars(samples, chains_first=True)
+        n_kept = np.asarray(s.accept_frac).shape[0]
+        k_walk = next(iter(post.values())).shape[0]
+        stats = {
+            "acceptance_rate": np.broadcast_to(
+                np.asarray(s.accept_frac)[None, :], (k_walk, n_kept)
+            ),
+            "diverging": np.broadcast_to(
+                np.asarray(s.divergent)[None, :], (k_walk, n_kept)
+            ),
+        }
+        return {"posterior": post, "sample_stats": stats}
+
     if hasattr(result, "final_da") and hasattr(result, "final_theta"):
         # MAMSResult (MCMCResult carries final_da but no final_theta;
         # SG-MCMC carries final_theta but no final_da)

@@ -1612,3 +1612,84 @@ def sample_mams_sharded(
         check_vma=False,
     )
     return jax.jit(shard)(keys, theta0, x, y)
+
+
+def run_stretch_sharded(
+    key,
+    log_prob_fn: Callable,
+    theta0,
+    config,  # StretchConfig
+    mesh: Mesh,
+    num_ensembles: int,
+    num_walkers: int = 64,
+    data=None,
+    init_jitter: float = 1e-2,
+):
+    """Independent stretch-move ensembles sharded over the WHOLE mesh.
+
+    The stretch move is all-to-all WITHIN an ensemble (every proposal
+    draws a partner from the complementary half), so the walker cloud
+    stays device-local and the mesh multiplies throughput at the
+    ensemble level — embarrassingly parallel, zero collectives (the
+    same layout as :func:`run_pt_sharded`).  Returns a StretchResult
+    with a leading (num_ensembles,) axis; flat theta0 only (a (D,)
+    center jittered per ensemble, or a (E, K, D) explicit walker
+    block).  Gradient-free: the potential is only ever evaluated.
+    """
+    from ..ops.potential import resolve_potential
+    from ..samplers.stretch import _run_stretch_jit
+
+    if num_walkers < 4 or num_walkers % 2:
+        raise ValueError(
+            f"num_walkers={num_walkers}; the parallel stretch move needs "
+            "an EVEN ensemble of >= 4"
+        )
+    theta0 = jnp.asarray(theta0)
+    keys = jax.random.split(key, num_ensembles)
+    if theta0.ndim == 1:
+        noise = jax.random.normal(
+            jax.random.fold_in(key, 2**32 - 1),
+            (num_ensembles, num_walkers) + theta0.shape, theta0.dtype,
+        )
+        walkers = theta0[None, None, :] + init_jitter * noise
+    elif theta0.ndim == 3:
+        if theta0.shape[:2] != (num_ensembles, num_walkers):
+            raise ValueError(
+                f"theta0 {theta0.shape} != (num_ensembles, num_walkers, D)"
+            )
+        walkers = theta0
+    else:
+        raise ValueError(
+            f"theta0 must be (D,) or (num_ensembles, num_walkers, D); "
+            f"got {theta0.shape}"
+        )
+    fn, data_r = resolve_potential(log_prob_fn, None)
+    if data is None:
+        data = data_r
+
+    axes = tuple(mesh.axis_names)
+    n_dev = len(mesh.devices.flatten())
+    if num_ensembles % n_dev:
+        raise ValueError(
+            f"num_ensembles={num_ensembles} not divisible by {n_dev} devices"
+        )
+
+    def local(keys_l, walkers_l, data_l):
+        return jax.vmap(
+            lambda k, w: _run_stretch_jit(k, w, fn, config, num_walkers,
+                                          data=data_l)
+        )(keys_l, walkers_l)
+
+    local_e = num_ensembles // n_dev
+    out_specs = _leading_axis_specs(
+        jax.eval_shape(local, keys[:local_e], walkers[:local_e], data),
+        axes,
+    )
+    shard = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes), P(axes, None, None), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(shard)(keys, walkers, data)

@@ -69,6 +69,10 @@ __all__ = [
     "MAMSStats",
     "run_mams",
     "run_mams_chains",
+    "StretchConfig",
+    "StretchResult",
+    "StretchStats",
+    "run_stretch",
     "TIConfig",
     "TIResult",
     "run_ti",

@@ -115,3 +115,37 @@ def test_second_order_paths_are_f32_on_tpu():
     metric_fn = make_metric_fn(lp, RMOptions(metric=Metric.HESSIAN))
     g = metric_fn(jnp.zeros(2), None).g
     np.testing.assert_allclose(np.asarray(g), np.asarray(prec), atol=1e-5)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="timing floor only meaningful on TPU")
+def test_mclmc_throughput_floor():
+    """MCLMC frozen-chunk throughput floor: ~70% of the 111-114k
+    grad-steps/sec steady state measured on two independent captures
+    (the standalone phase driver and BENCH r05's mclmc field).  The
+    unadjusted hot loop is 2 gradients + exponential-map velocity
+    updates + one (D,) normal refresh per transition; a regression here
+    means the refresh or velocity algebra stopped fusing."""
+    from hamiltorch_tpu.models.flagship import make_flagship_potential
+    from hamiltorch_tpu.samplers.mclmc import MCLMCConfig, run_mclmc_chains
+
+    lp, theta0 = make_flagship_potential()
+    chains, draws, thin = 64, 500, 5
+    cfg = MCLMCConfig(num_samples=draws, tune_steps=0, step_size=0.15,
+                      trajectory_length=50.0, thin=thin)
+    nonce = int(time.time_ns() % (1 << 30))
+
+    def run(seed):
+        r = run_mclmc_chains(jax.random.key(seed), lp, theta0, cfg,
+                             num_chains=chains)
+        float(jnp.sum(r.samples[0, -1]))
+        return r
+
+    run(nonce)  # compile
+    times = []
+    for rep in range(3):
+        t0 = time.time()
+        run(nonce + rep + 1)
+        times.append(time.time() - t0)
+    wall = sorted(times)[1]
+    rate = chains * draws * 2 / wall
+    assert rate > 78_000, f"MCLMC throughput regressed: {rate:,.0f} grad-steps/s"

@@ -919,3 +919,42 @@ class TestMAMSSharding:
                                   num_chains=4)
         np.testing.assert_allclose(np.asarray(r_shard.samples),
                                    np.asarray(r_local.samples), atol=2e-4)
+
+
+@pytest.mark.slow
+class TestStretchSharding:
+    def test_sharded_ensembles_match_local(self, key):
+        """Ensemble-level sharding is embarrassingly parallel: each
+        sharded ensemble equals a local run from the same ensemble key
+        and walker block."""
+        from hamiltorch_tpu.parallel.sharding import run_stretch_sharded
+        from hamiltorch_tpu.samplers.stretch import (
+            StretchConfig,
+            run_stretch,
+        )
+
+        lp = lambda t: -0.5 * jnp.sum(t**2)
+        cfg = StretchConfig(num_samples=20)
+        mesh = make_mesh(chains=8, data=1)
+        w0 = jax.random.normal(jax.random.PRNGKey(3), (8, 8, 3))
+        r = run_stretch_sharded(key, lp, w0, cfg, mesh, num_ensembles=8,
+                                num_walkers=8)
+        assert r.samples.shape == (8, 20, 8, 3)
+        keys = jax.random.split(key, 8)
+        r0 = run_stretch(keys[0], lp, w0[0], cfg, num_walkers=8)
+        np.testing.assert_allclose(np.asarray(r.samples[0]),
+                                   np.asarray(r0.samples), atol=1e-5)
+
+    def test_sharded_moments(self, key):
+        from hamiltorch_tpu.parallel.sharding import run_stretch_sharded
+        from hamiltorch_tpu.samplers.stretch import StretchConfig
+
+        stds = jnp.array([0.5, 1.0, 2.0])
+        lp = lambda t: -0.5 * jnp.sum((t / stds) ** 2)
+        mesh = make_mesh(chains=4, data=2)
+        r = run_stretch_sharded(key, lp, jnp.zeros(3),
+                                StretchConfig(num_samples=1500), mesh,
+                                num_ensembles=8, num_walkers=16)
+        pooled = np.asarray(r.samples[:, 500:]).reshape(-1, 3)
+        np.testing.assert_allclose(pooled.std(0), np.asarray(stds),
+                                   rtol=0.12)
