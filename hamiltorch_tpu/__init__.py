@@ -37,6 +37,12 @@ from .samplers.mams import MAMSConfig, MAMSResult, run_mams, run_mams_chains
 from .samplers.mclmc import MCLMCConfig, MCLMCResult, run_mclmc, run_mclmc_chains
 from .samplers.smc import SMCConfig, run_smc, smc_posterior_sample
 from .samplers.stretch import StretchConfig, StretchResult, run_stretch
+from .samplers.elliptical import (
+    EllipticalConfig,
+    EllipticalResult,
+    run_elliptical,
+    run_elliptical_chains,
+)
 from .samplers.tempering import PTConfig, run_parallel_tempering, run_pt_chains
 from .samplers.ti import TIConfig, run_ti
 from .model_comparison import (
@@ -99,6 +105,10 @@ __all__ = [
     "StretchConfig",
     "StretchResult",
     "run_stretch",
+    "EllipticalConfig",
+    "EllipticalResult",
+    "run_elliptical",
+    "run_elliptical_chains",
     "TIConfig",
     "run_ti",
     "waic",

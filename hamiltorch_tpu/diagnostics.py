@@ -452,6 +452,18 @@ def to_inference_dict(result, like=None, info=None) -> Dict[str, Dict]:
         }
         return {"posterior": post, "sample_stats": stats}
 
+    if hasattr(result, "final_loglik"):  # EllipticalResult (slice: no
+        # acceptance series; shrinks + the kept state's log-likelihood)
+        s = result.stats
+        chains_first = np.asarray(s.shrinks).ndim == 2
+        post = _posterior_vars(result.samples, chains_first=chains_first)
+        stats = {
+            "diverging": _cn(s.divergent, chains_first),
+            "n_shrinks": _cn(s.shrinks, chains_first),
+            "loglik": _cn(s.loglik, chains_first),
+        }
+        return {"posterior": post, "sample_stats": stats}
+
     if hasattr(result, "final_da") and hasattr(result, "final_theta"):
         # MAMSResult (MCMCResult carries final_da but no final_theta;
         # SG-MCMC carries final_theta but no final_da)

@@ -1,6 +1,13 @@
 from .adaptation import DualAveragingState, da_init, da_update
 from .chees import ChEESConfig, ChEESResult, run_chees
 from .driver import ChainState, MCMCConfig, MCMCResult, MCMCStats, run_mcmc
+from .elliptical import (
+    EllipticalConfig,
+    EllipticalResult,
+    EllipticalStats,
+    run_elliptical,
+    run_elliptical_chains,
+)
 from .hmc import hmc_transition, run_hmc, run_hmc_chains, run_hmc_host_offload
 from .mams import MAMSConfig, MAMSResult, MAMSStats, run_mams, run_mams_chains
 from .mclmc import MCLMCConfig, MCLMCResult, MCLMCStats, run_mclmc, run_mclmc_chains
@@ -73,6 +80,11 @@ __all__ = [
     "StretchResult",
     "StretchStats",
     "run_stretch",
+    "EllipticalConfig",
+    "EllipticalResult",
+    "EllipticalStats",
+    "run_elliptical",
+    "run_elliptical_chains",
     "TIConfig",
     "TIResult",
     "run_ti",
