@@ -25,7 +25,14 @@ def test_flagship_throughput_floor():
     from hamiltorch_tpu.samplers.hmc import run_hmc_chains
 
     lp, theta0 = make_flagship_potential()
-    num_samples, steps, chains = 50, 10, 64
+    # SAME shape as bench.py's primary phase (100 draws x 50 steps): the
+    # floor must guard the program the headline reports.  Shorter
+    # trajectories run structurally slower per grad-step (the per-draw
+    # momentum refresh + MH bookkeeping amortize over fewer steps:
+    # steps=10 measured a steady ~173k on the same chip, same code, that
+    # ran the 50-step program at 243k) — a small-program floor would
+    # flake on overhead, not on regressions.
+    num_samples, steps, chains = 100, 50, 64
     config = MCMCConfig(num_samples=num_samples, num_steps_per_sample=steps,
                         step_size=1e-3)
     # unique inputs per timed run: the remote service can serve cached
@@ -48,7 +55,7 @@ def test_flagship_throughput_floor():
         run(nonce + rep + 1)
         times.append(time.time() - t0)
     wall = sorted(times)[1]  # median of 3 (async-dispatch artifacts)
-    grad_steps = num_samples * (steps + 1) * chains
+    grad_steps = num_samples * steps * chains  # bench.py's accounting
     rate = grad_steps / wall
     assert rate > 180_000, f"flagship throughput regressed: {rate:,.0f} grad-steps/s"
 
