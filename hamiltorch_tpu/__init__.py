@@ -13,7 +13,7 @@ Public API parity surface (reference: hamiltorch/__init__.py:3-4):
 ``Sampler``, ``Integrator``, ``Metric``, ``set_random_seed``.
 """
 
-__version__ = "0.5.0"
+__version__ = "0.6.0"
 
 from .api import sample
 from .enums import Integrator, Metric, Sampler
