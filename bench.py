@@ -62,6 +62,9 @@ def main():
         "mclmc_grad_steps_per_sec": None,
         "mclmc_min_ess_per_sec": None,
         "mclmc_rel_spread": None,
+        "mclmc_fused_grad_steps_per_sec": None,
+        "mclmc_fused_rel_spread": None,
+        "mclmc_fused_var_e": None,
         "compile_s": {},
         "errors": {},
     }
@@ -472,7 +475,7 @@ def main():
         # ESS from the last timed chunk's kept draws (thin=5 — conservative:
         # thinning can only discard ESS); wall from the median timed chunk
         mc_ess_min, _ = ess_quantiles(r.samples)
-        del r, r_tuned
+        del r
         gc.collect()
         out.update(
             mclmc_grad_steps_per_sec=round(
@@ -484,6 +487,72 @@ def main():
         mark("mclmc phase done")
     except Exception as e:  # noqa: BLE001
         out["errors"]["mclmc"] = f"{type(e).__name__}: {e}"
+
+    # ---- secondary: the fused Pallas MCLMC kernel, warm-started ------------
+    # Apples-to-apples with the XLA MCLMC phase above: SAME posterior (the
+    # flagship data regenerated from the same seed path), SAME warm state
+    # (r_tuned's final theta/velocity), and the median of the per-chain
+    # tuned (eps, L) as the kernel's frozen schedule.  Each draw spends 2
+    # fresh gradients (minimal-norm), like the XLA accounting.  The var_e
+    # output is the kernel's live bias monitor E[dE^2]/d (the auto-tuner
+    # drove the XLA phase toward its energy-variance target at the SAME
+    # eps, so the medians should sit in the same decade).
+    try:
+        from hamiltorch_tpu.kernels.bnn_mclmc import bnn_mclmc
+        from hamiltorch_tpu.models.flagship import HIDDEN, IN_DIM, N_DATA
+
+        k_x, k_w, _ = jax.random.split(jax.random.key(0), 3)
+        xf = jax.random.normal(k_x, (N_DATA, IN_DIM), jnp.float32)
+        w_t = jax.random.normal(k_w, (IN_DIM,), jnp.float32) / jnp.sqrt(
+            float(IN_DIM)
+        )
+        yf = jnp.tanh(xf @ w_t)[:, None]
+
+        eps_mcf = float(jnp.median(r_tuned.step_size))
+        len_mcf = float(jnp.median(r_tuned.trajectory_length))
+        th_t = r_tuned.final_theta  # (C, D) flat
+        s0, s1 = IN_DIM * HIDDEN, IN_DIM * HIDDEN + HIDDEN
+        s2 = s1 + HIDDEN
+        w1k = th_t[:, :s0].reshape(num_chains, IN_DIM, HIDDEN)
+        b1k, w2k, b2k = th_t[:, s0:s1], th_t[:, s1:s2], th_t[:, s2]
+        uk = r_tuned.final_u
+        mcf_draws = 1500
+
+        def run_mcf(seed):
+            o = bnn_mclmc(
+                seed, xf, yf, w1k, b1k, w2k, b2k, uk,
+                num_samples=mcf_draws, step_size=eps_mcf, length=len_mcf,
+                tau=10.0,
+            )
+            _hard_sync(o)
+            return o
+
+        t_c = time.perf_counter()
+        o = run_mcf(nonce)  # compile + warm up
+        first_call = time.perf_counter() - t_c
+        var_e_med = float(jnp.median(o[-1]))
+        del o
+        mcf_times = []
+        for rep in range(3):
+            t1 = time.perf_counter()
+            run_mcf(nonce + rep + 1)
+            mcf_times.append(time.perf_counter() - t1)
+        dt_mcf = float(np.median(mcf_times))
+        compile_s["mclmc_fused"] = round(max(first_call - dt_mcf, 0.0), 1)
+        out.update(
+            mclmc_fused_grad_steps_per_sec=round(
+                num_chains * mcf_draws * 2 / dt_mcf, 1
+            ),
+            mclmc_fused_rel_spread=round(
+                (max(mcf_times) - min(mcf_times)) / dt_mcf, 3
+            ),
+            mclmc_fused_var_e=float(f"{var_e_med:.3g}"),
+        )
+        del r_tuned, xf, yf, w1k, b1k, w2k, b2k, uk
+        gc.collect()
+        mark("mclmc fused phase done")
+    except Exception as e:  # noqa: BLE001
+        out["errors"]["mclmc_fused"] = f"{type(e).__name__}: {e}"
 
     if not out["errors"]:
         del out["errors"]

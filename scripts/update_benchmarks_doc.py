@@ -87,6 +87,23 @@ def render(artifact_name: str) -> str:
         if data.get("mclmc_rel_spread") is not None:
             mclmc += f" (rel. spread {data['mclmc_rel_spread']:.3f})"
         lines.append(mclmc + ".")
+    if data.get("mclmc_fused_grad_steps_per_sec"):
+        fused_mc = (
+            f"- Fused Pallas MCLMC kernel (same posterior, warm-started at"
+            f" the XLA phase's tuned state and median tuned (eps, L)): "
+            f"**{data['mclmc_fused_grad_steps_per_sec']:,.1f}"
+            f" grad-steps/sec**"
+        )
+        if data.get("mclmc_fused_rel_spread") is not None:
+            fused_mc += (
+                f" (rel. spread {data['mclmc_fused_rel_spread']:.3f}"
+            )
+            if data.get("mclmc_fused_var_e") is not None:
+                fused_mc += (
+                    f"; realised E[dE^2]/d {data['mclmc_fused_var_e']:.2e}"
+                )
+            fused_mc += ")"
+        lines.append(fused_mc + ".")
     if data.get("compile_s"):
         comp = ", ".join(
             f"{k} {v:.1f}s" for k, v in sorted(data["compile_s"].items())
