@@ -33,6 +33,12 @@ from .samplers.sgmcmc import (
     run_sgld,
     run_sgld_chains,
 )
+from .samplers.barker import (
+    BarkerConfig,
+    BarkerResult,
+    run_barker,
+    run_barker_chains,
+)
 from .samplers.mams import MAMSConfig, MAMSResult, run_mams, run_mams_chains
 from .samplers.mclmc import MCLMCConfig, MCLMCResult, run_mclmc, run_mclmc_chains
 from .samplers.smc import SMCConfig, run_smc, smc_posterior_sample
@@ -98,6 +104,10 @@ __all__ = [
     "MCLMCResult",
     "run_mclmc",
     "run_mclmc_chains",
+    "BarkerConfig",
+    "BarkerResult",
+    "run_barker",
+    "run_barker_chains",
     "MAMSConfig",
     "MAMSResult",
     "run_mams",

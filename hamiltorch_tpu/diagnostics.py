@@ -367,6 +367,9 @@ def to_inference_dict(result, like=None, info=None) -> Dict[str, Dict]:
       so there is no acceptance series; stats carry the per-draw
       ``energy_change`` plus the tuned per-chain ``step_size`` /
       ``trajectory_length`` broadcast over draws;
+    - ``BarkerResult`` (``run_barker``/``run_barker_chains``) — MH
+      acceptance series and per-draw step size (no Hamiltonian
+      energies: the proposal is first-order);
     - ``SMCResult`` (``run_smc``) — the final-stage particles export as
       one "chain" of draws with their normalised ``log_weight`` as a
       sample stat: they are WEIGHTED (resample with
@@ -461,6 +464,18 @@ def to_inference_dict(result, like=None, info=None) -> Dict[str, Dict]:
             "diverging": _cn(s.divergent, chains_first),
             "n_shrinks": _cn(s.shrinks, chains_first),
             "loglik": _cn(s.loglik, chains_first),
+        }
+        return {"posterior": post, "sample_stats": stats}
+
+    if hasattr(result, "final_welford"):  # BarkerResult (MH acceptance
+        # series but no Hamiltonian energies; scale rides the result)
+        s = result.stats
+        chains_first = np.asarray(s.accept_prob).ndim == 2
+        post = _posterior_vars(result.samples, chains_first=chains_first)
+        stats = {
+            "acceptance_rate": _cn(s.accept_prob, chains_first),
+            "diverging": _cn(s.divergent, chains_first),
+            "step_size": _cn(s.step_size, chains_first),
         }
         return {"posterior": post, "sample_stats": stats}
 
