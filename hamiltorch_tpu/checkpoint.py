@@ -1783,6 +1783,116 @@ def run_mams_checkpointed(
     )
 
 
+def run_barker_checkpointed(
+    key,
+    log_prob_fn: Callable,
+    theta0,
+    config,  # BarkerConfig
+    ckpt_dir: str,
+    chunk_size: int = 1000,
+    scale=None,
+    data=None,
+    resume: bool = True,
+    pass_grad=None,
+):
+    """Barker proposal with per-chunk checkpointing.
+
+    The dual-averaging AND Welford preconditioner states ride the state
+    file; ``config.burn`` is a GLOBAL draw index, so step-size
+    adaptation, the Welford window and the 3/4-burn scale switch all
+    land at the same draws as the straight run.  Per-draw RNG folds the
+    GLOBAL index — the assembled trace is bit-identical to one straight
+    :func:`~.samplers.barker.run_barker` call with the same key.
+    ``chunk_size`` counts draws (rounded to a ``thin`` multiple);
+    ``theta0`` may be flat or a parameter pytree (``scale`` may then be
+    a per-leaf pytree).
+    """
+    from .samplers.adaptation import da_init
+    from .samplers.barker import (
+        BarkerResult,
+        BarkerStats,
+        _ravel_scale,
+        _run_barker_jit,
+    )
+    from .samplers.mclmc import _prep_flat
+    from .samplers.warmup import welford_init, welford_variance
+
+    if config.burn >= config.num_samples:
+        raise RuntimeError("burn must be less than num_samples.")
+    scale_f = (_ravel_scale(scale, theta0)
+               if not hasattr(theta0, "ndim") else
+               (1.0 if scale is None else scale))
+    theta0f, fn, data_r, unravel = _prep_flat(log_prob_fn, theta0, pass_grad)
+    if data is None:
+        data = data_r
+    da0 = da_init(config.step_size)
+    wf0 = welford_init(theta0f.shape[0], theta0f.dtype)
+    template = (theta0f, da0, wf0)
+
+    def init_carry_fn():
+        return (theta0f, da0, wf0)
+
+    def chunk_runner(k, carry, n_done, cfg):
+        theta, da, wf = carry
+        r = _run_barker_jit(k, theta, fn, cfg, scale_f, data=data,
+                            init_da=da, init_welford=wf, start_step=n_done)
+        return r, (r.final_theta, r.final_da, r.final_welford)
+
+    def save_chunk(result):
+        out = {"samples": result.samples}
+        out.update(
+            {f: getattr(result.stats, f) for f in BarkerStats._fields}
+        )
+        return out
+
+    fp = _fingerprint(config, theta0, extra="barker")
+    zs, carry = _checkpoint_loop(
+        chunk_runner, key, template, init_carry_fn, config, ckpt_dir,
+        chunk_size, resume, fp, save_chunk,
+    )
+
+    kept = config.num_samples // max(config.thin, 1)
+
+    def cat(name):
+        return jnp.asarray(np.concatenate([z[name] for z in zs]))[:kept]
+
+    stats = BarkerStats(**{f: cat(f) for f in BarkerStats._fields})
+    samples = cat("samples").astype(theta0f.dtype)
+    thetaF, daF, wfF = carry
+    burn_kept = config.burn // max(config.thin, 1)
+    acc_rate = jnp.mean(
+        stats.accept_prob[burn_kept:] if kept > burn_kept
+        else stats.accept_prob
+    )
+    eps_final = (jnp.exp(daF.log_eps_bar) if config.adapt_step_size
+                 else daF.step_size)
+    scale_arr = jnp.broadcast_to(
+        jnp.asarray(scale_f, theta0f.dtype), theta0f.shape
+    )
+    if config.adapt_scale:
+        # the run ends past the 3/4-burn switch (burn < num_samples), so
+        # the post-burn scale is the Welford estimate whenever it has data
+        var = jnp.maximum(welford_variance(wfF), 1e-20)
+        scaleF = jnp.where(wfF.count > 2,
+                           jnp.sqrt(var).astype(theta0f.dtype), scale_arr)
+    else:
+        scaleF = scale_arr
+    if unravel is not None:
+        samples = jax.vmap(unravel)(samples)
+        thetaF = unravel(thetaF)
+    return BarkerResult(
+        samples=samples,
+        stats=stats,
+        step_size=eps_final,
+        acc_rate=acc_rate,
+        final_theta=thetaF,
+        final_da=daF,
+        final_welford=wfF,
+        final_step=jnp.asarray(config.num_samples, jnp.int32),
+        scale=scaleF,
+    )
+
+
 def run_stretch_checkpointed(
     key,
     log_prob_fn: Callable,

@@ -307,6 +307,16 @@ def run_barker(
     theta0f, fn, data_r, unravel = _prep_flat(log_prob_fn, theta0, pass_grad)
     if data is None:
         data = data_r
+    # adaptation states ride as jit OPERANDS even on the first chunk:
+    # baked-constant da/welford zeros constant-fold under the HLO
+    # evaluator with different rounding than the compiled TPU program,
+    # which would make checkpoint.run_barker_checkpointed's chunks (which
+    # must pass the carries as operands) drift from the straight run
+    # (measured on v5e: draws diverge in the 6th decimal from draw ~4)
+    if init_da is None:
+        init_da = da_init(config.step_size)
+    if init_welford is None:
+        init_welford = welford_init(theta0f.shape[0], theta0f.dtype)
     r = _run_barker_jit(key, theta0f, fn, config, scale_f, data=data,
                         init_da=init_da, init_welford=init_welford,
                         start_step=start_step)
@@ -352,8 +362,12 @@ def run_barker_chains(
     if data is None:
         data = data_r
     keys = jax.random.split(key, num_chains)
+    # operand-not-constant adaptation inits: see run_barker
+    da0 = da_init(config.step_size)
+    wf0 = welford_init(theta0.shape[1], theta0.dtype)
     r = jax.vmap(
-        lambda k, t: _run_barker_jit(k, t, fn, config, scale_f, data=data)
+        lambda k, t: _run_barker_jit(k, t, fn, config, scale_f, data=data,
+                                     init_da=da0, init_welford=wf0)
     )(keys, theta0)
     if unravel is not None:
         r = r._replace(

@@ -202,3 +202,50 @@ class TestMechanics:
         assert dc["posterior"]["theta"].shape == (4, 40, 3)
         assert dc["sample_stats"]["diverging"].shape == (4, 40)
         assert dc["sample_stats"]["step_size"].shape == (4, 40)
+
+
+class TestCheckpoint:
+    def test_checkpointed_bit_exact_and_resume(self, key, tmp_path):
+        """Chunked run (dual-averaging + Welford carries riding the
+        state file) == straight run, bit for bit; a directory holding a
+        completed shorter run resumes into the longer one."""
+        from hamiltorch_tpu.checkpoint import run_barker_checkpointed
+
+        t0 = jnp.full((6,), 0.5)
+        cfg = BarkerConfig(num_samples=240, burn=100, adapt_scale=True,
+                           thin=2)
+        r = run_barker(key, iso_lp, t0, cfg)
+        r_ck = run_barker_checkpointed(key, iso_lp, t0, cfg,
+                                       str(tmp_path / "a"), chunk_size=90)
+        np.testing.assert_array_equal(np.asarray(r.samples),
+                                      np.asarray(r_ck.samples))
+        np.testing.assert_array_equal(np.asarray(r.step_size),
+                                      np.asarray(r_ck.step_size))
+        np.testing.assert_array_equal(np.asarray(r.scale),
+                                      np.asarray(r_ck.scale))
+        np.testing.assert_allclose(np.asarray(r.acc_rate),
+                                   np.asarray(r_ck.acc_rate), rtol=1e-6)
+        half = dataclasses.replace(cfg, num_samples=120)
+        run_barker_checkpointed(key, iso_lp, t0, half, str(tmp_path / "b"),
+                                chunk_size=90)
+        r_res = run_barker_checkpointed(key, iso_lp, t0, cfg,
+                                        str(tmp_path / "b"), chunk_size=90)
+        np.testing.assert_array_equal(np.asarray(r.samples),
+                                      np.asarray(r_res.samples))
+
+    def test_pytree_checkpointed(self, key, tmp_path):
+        from hamiltorch_tpu.checkpoint import run_barker_checkpointed
+
+        tree0 = {"a": jnp.zeros((3,)), "b": jnp.ones(())}
+
+        def lp(t):
+            return -0.5 * (jnp.sum(t["a"] ** 2) + t["b"] ** 2)
+
+        cfg = BarkerConfig(num_samples=120, burn=40)
+        r = run_barker(key, lp, tree0, cfg)
+        r_ck = run_barker_checkpointed(key, lp, tree0, cfg,
+                                       str(tmp_path / "t"), chunk_size=50)
+        assert r_ck.samples["a"].shape == (120, 3)
+        for a, b in zip(jax.tree_util.tree_leaves(r.samples),
+                        jax.tree_util.tree_leaves(r_ck.samples)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
